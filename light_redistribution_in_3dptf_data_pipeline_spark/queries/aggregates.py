@@ -1,0 +1,285 @@
+"""Aggregations (SURVEY §2.4 A1-A9 + cube/rollup capability demo).
+
+Exactness discipline: measures are 2-decimal money in the fixtures, so
+``CAST(x AS DECIMAL(18,2))`` is lossless, sums are exact integers
+scaled by 100, and converting the exact sum to DOUBLE yields the same
+bits in Spark and DuckDB regardless of aggregation order. Derived
+doubles (averages, RMS) divide *after* the exact sum so both engines
+perform the identical single floating-point operation.
+
+Scale notes: every groupBy here benefits from Spark's partial (map-
+side) aggregation automatically; high-cardinality groupBys (per-order)
+shuffle once on the group key. Decimal aggregation is still codegen'd
+JVM-side — no UDF, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@register(
+    "a1_group_collect_list",
+    """
+    SELECT l_orderkey,
+           string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_list
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="A1: group + collect_list (handlehdrgen.py:14-21 paths per "
+        "pose); sorted + joined to a string so the value-hash is "
+        "order-insensitive")
+def group_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",")
+         .alias("line_list"))
+
+
+@register(
+    "a2_having_count",
+    """
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 5
+    """,
+    doc="A2: HAVING count>=k — complete-exposure-group filter "
+        "(handlehdrgen.py:25-27)")
+def having_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_orderkey")
+              .agg(F.count("*").cast("bigint").alias("n_lines"))
+              .filter(F.col("n_lines") >= 5))
+
+
+@register(
+    "a3_vector_mean",
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS mean_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="A3/A5: per-group mean via exact decimal sum "
+        "(extrinsic_calibration.py:72-73 mean rvec/tvec)")
+def vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*"))
+        .alias("mean_bal"))
+
+
+@register(
+    "a4_descriptive_stats",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sumsq_price,
+             CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+             CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+      FROM lineitem
+    )
+    SELECT n, sum_price, min_price, max_price,
+           sum_price / n AS mean_price,
+           sqrt(sumsq_price / n) AS rms_price,
+           sqrt((sumsq_price - sum_price * sum_price / n) / n)
+             AS std_price
+    FROM s
+    """,
+    doc="A4: descriptive stats — mean/std/min/max/RMS from exact "
+        "decimal sums (extrinsic_calibration.py:216-226)")
+def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(_dec("l_extendedprice") * _dec("l_extendedprice"))
+         .cast("double").alias("sumsq_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
+    return s.select(
+        "n", "sum_price", "min_price", "max_price",
+        (F.col("sum_price") / F.col("n")).alias("mean_price"),
+        F.sqrt(F.col("sumsq_price") / F.col("n")).alias("rms_price"),
+        F.sqrt((F.col("sumsq_price")
+                - F.col("sum_price") * F.col("sum_price") / F.col("n"))
+               / F.col("n")).alias("std_price"),
+    )
+
+
+@register(
+    "a5_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A5/A6: TPC-H-Q1-style pricing summary — grouped exact-decimal "
+        "sums + derived means (per-pose mean error analog, "
+        "extrinsic_calibration.py:213-214)")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+         .cast("double").alias("sum_disc_price"),
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))
+              * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+        .alias("avg_qty"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "a6_minmax_ranges",
+    """
+    SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    doc="A6: global per-column ranges (calculate.py:30-52)")
+def minmax_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "a7_mean_of_means",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS order_mean
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(order_mean AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS mean_of_means
+    FROM per_order
+    """,
+    doc="A7: two-level aggregation — overall reprojection error as mean "
+        "of per-image means (camera_calib.py:104-113); inner mean "
+        "re-stabilized to DECIMAL(18,6) so the outer sum is exact")
+def mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
+        .alias("order_mean"))
+    return per_order.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        (F.sum(F.col("order_mean").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("mean_of_means"))
+
+
+@register(
+    "a8_count_distinct",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    """,
+    doc="A8: count + distinct-key count (act_img.py:313-314); at 100 TB "
+        "prefer approx_count_distinct — demo'd rows-only elsewhere")
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+    )
+
+
+@register(
+    "a9_explode_reaccumulate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_residuals,
+           CAST(sum(CAST(r AS DECIMAL(18,2))) AS DOUBLE) AS sum_residuals
+    FROM (SELECT unnest([l_quantity, l_discount, l_tax]) AS r
+          FROM lineitem)
+    """,
+    doc="A9: explode per-row vectors into one residual collection, then "
+        "aggregate (solvepnp_ba.py:31-45 error concat)")
+def explode_reaccumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    exploded = li.select(
+        F.explode(F.array("l_quantity", "l_discount", "l_tax")).alias("r"))
+    return exploded.agg(
+        F.count("*").cast("bigint").alias("n_residuals"),
+        F.sum(F.col("r").cast("decimal(18,2)")).cast("double")
+         .alias("sum_residuals"))
+
+
+@register(
+    "a10_cube_demo",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Free-capability demo: CUBE grouping sets (SURVEY §2.4 note)")
+def cube_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+
+
+@register(
+    "a11_median_exact",
+    """
+    SELECT CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
+    FROM lineitem
+    """,
+    doc="A4-median: exact interpolated median, isolated in its own "
+        "query because interpolation arithmetic is the one engine-"
+        "difference risk (extrinsic_calibration.py:222)")
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.expr("percentile(l_quantity, 0.5)")
+                   .cast("double").alias("median_qty"))

@@ -1,0 +1,126 @@
+"""Joins (SURVEY §2.3 J1-J6).
+
+Join-strategy notes for 100 TB:
+- J1/J2: fact-to-fact joins shuffle on the key; the filtered/dim side is
+  broadcast (explicit ``F.broadcast``) so only the big side scans.
+- J3: the generated side is tiny → broadcast; the row_number side needs
+  a total order — at scale, derive the index from a monotonic key
+  arithmetic instead of a global sort when the key is dense.
+- J4/J6: semi/anti joins never materialize the probe side's payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "j1_fanout_broadcast_join",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_partkey
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    doc="J1: 1→N fan-out equi-join on derived key, small side broadcast "
+        "(act_img.py:292-295 pose→5 exposures)")
+def fanout_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+                   .select("o_orderkey", "o_orderpriority")
+    return (li.join(F.broadcast(urgent),
+                    li.l_orderkey == urgent.o_orderkey)
+              .select("o_orderkey", "o_orderpriority",
+                      "l_linenumber", "l_partkey"))
+
+
+@register(
+    "j2_key_intersection_join",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="J2: inner join on intersecting key sets + grouped agg "
+        "(extrinsic_calibration.py:349-360 pixel∩world)")
+def key_intersection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+                  .groupBy("c_custkey", "c_name")
+                  .agg(F.count("*").cast("bigint").alias("n_orders"),
+                       F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("double").alias("total_spend")))
+
+
+@register(
+    "j3_positional_index_join",
+    """
+    WITH numbered AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+      FROM orders
+    )
+    SELECT g.idx, g.gen_val, n.o_orderkey, n.o_totalprice
+    FROM (SELECT CAST(s.g AS BIGINT) AS idx,
+                 CAST(s.g AS DOUBLE) * 1.5 AS gen_val
+          FROM generate_series(0, 99) s(g)) g
+    JOIN numbered n ON n.idx = g.idx
+    """,
+    doc="J3: positional join — generated sequence index ↔ row_number of "
+        "a deterministically ordered table "
+        "(point3d_transformation.py:148-163 dict-key→list-index)")
+def positional_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    numbered = orders.select(
+        "o_orderkey", "o_totalprice",
+        (F.row_number().over(w) - 1).cast("bigint").alias("idx"))
+    gen = spark.range(0, 100).select(
+        F.col("id").cast("bigint").alias("idx"),
+        (F.col("id").cast("double") * 1.5).alias("gen_val"))
+    return (numbered.join(F.broadcast(gen), "idx")
+                    .select("idx", "gen_val", "o_orderkey", "o_totalprice"))
+
+
+@register(
+    "j4_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    doc="J4: anti-join — customers with no orders "
+        "(point3d_transformation.py:133-135 exclude missing)")
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_anti")
+                    .select("c_custkey", "c_name"))
+
+
+@register(
+    "j6_semi_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    SEMI JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    doc="J6: existence semi-join (point3d_transformation.py:149-156)")
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_semi")
+                    .select("c_custkey", "c_name"))

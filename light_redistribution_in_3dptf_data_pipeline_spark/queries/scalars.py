@@ -1,0 +1,202 @@
+"""Scalar functions (SURVEY §2.8 F1-F12) + text-source parsing (S4, S7).
+
+All JVM-side built-ins — no Python UDFs; every expression stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "f1_split_part",
+    """
+    SELECT split_part(p_name, ' ', 1) AS first_word,
+           CAST(count(*) AS BIGINT) AS n
+    FROM part
+    GROUP BY 1
+    """,
+    doc="F1: split + element_at — stem.split('_')[0] pose-id derivation "
+        "(act_img.py:169)")
+def split_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (part.select(F.split_part("p_name", F.lit(" "), F.lit(1))
+                         .alias("first_word"))
+                .groupBy("first_word")
+                .agg(F.count("*").cast("bigint").alias("n")))
+
+
+@register(
+    "f3_format_string",
+    """
+    SELECT l_orderkey, l_linenumber,
+           printf('%d_%d.JPG', l_orderkey, l_linenumber) AS fname
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+    doc="F3: filename formatting f'{group}_{num}.JPG' "
+        "(file_rename_sort.py:12)")
+def format_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_orderkey") <= 200)
+              .select("l_orderkey", "l_linenumber",
+                      F.format_string("%d_%d.JPG", "l_orderkey",
+                                      "l_linenumber").alias("fname")))
+
+
+@register(
+    "f5_f6_time_math",
+    """
+    SELECT event_id,
+           CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                ts) AS DOUBLE) / 1000000.0 AS s_since_epoch_start,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day
+    FROM events
+    """,
+    doc="F5/F6: epoch↔timestamp + second-resolution differences "
+        "(point3d_transformation.py:22,42-43)")
+def time_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    return events.select(
+        "event_id",
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(t0)).cast("double")
+         / F.lit(1000000.0)).alias("s_since_epoch_start"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    )
+
+
+@register(
+    "f9_l2_distance",
+    """
+    SELECT a.event_id,
+           sqrt((a.value - b.value) * (a.value - b.value)
+                + (CAST(a.user_id AS DOUBLE) - CAST(b.user_id AS DOUBLE))
+                  * (CAST(a.user_id AS DOUBLE) - CAST(b.user_id AS DOUBLE)))
+             AS dist
+    FROM events a
+    JOIN events b ON b.event_id = a.event_id + 1
+    """,
+    doc="F9: Euclidean distance between paired rows "
+        "(extrinsic_calibration.py:212 ||pix - proj||)")
+def l2_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    du = F.col("a.value") - F.col("b.value")
+    dv = (F.col("a.user_id").cast("double")
+          - F.col("b.user_id").cast("double"))
+    return (a.join(b, F.col("b.event_id") == F.col("a.event_id") + 1)
+             .select(F.col("a.event_id").alias("event_id"),
+                     F.sqrt(du * du + dv * dv).alias("dist")))
+
+
+# Fixed 4x4 homogeneous transform (row-major), the reference's pose
+# matrix pattern (point3d_transformation.py:109-120). Values chosen to
+# be exactly representable so the expression arithmetic is reproducible.
+T4X4 = (
+    (0.5, -0.25, 0.0, 10.0),
+    (0.25, 0.5, 0.0, -5.0),
+    (0.0, 0.0, 1.0, 2.5),
+)
+
+
+@register(
+    "f12_homogeneous_transform",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {T4X4[0][0]} * l_quantity + {T4X4[0][1]} * l_discount
+             + {T4X4[0][2]} * l_tax + {T4X4[0][3]} AS tx,
+           {T4X4[1][0]} * l_quantity + {T4X4[1][1]} * l_discount
+             + {T4X4[1][2]} * l_tax + {T4X4[1][3]} AS ty,
+           {T4X4[2][0]} * l_quantity + {T4X4[2][1]} * l_discount
+             + {T4X4[2][2]} * l_tax + {T4X4[2][3]} AS tz
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+    doc="F12: 4x4 homogeneous transform of 3-vectors as closed-form "
+        "column expressions — no UDF "
+        "(point3d_transformation.py:109-120)")
+def homogeneous_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y, z = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")
+    rows = []
+    for name, (r0, r1, r2, t) in zip(("tx", "ty", "tz"), T4X4):
+        rows.append((F.lit(r0) * x + F.lit(r1) * y + F.lit(r2) * z
+                     + F.lit(t)).alias(name))
+    return (li.filter(F.col("l_orderkey") <= 500)
+              .select("l_orderkey", "l_linenumber", *rows))
+
+
+@register(
+    "s4_robot_program_parse",
+    r"""
+    WITH rendered AS (
+      SELECT l_orderkey, l_linenumber,
+             printf('LIN {X %.3f, Y %.3f, Z %.3f, A %.3f, B %.3f, C %.3f, E1 0, E2 0} C_DIS',
+                    l_quantity, l_extendedprice, l_discount,
+                    l_tax, CAST(l_partkey AS DOUBLE),
+                    CAST(l_suppkey AS DOUBLE)) AS line
+      FROM lineitem WHERE l_orderkey <= 300
+    ), parsed AS (
+      SELECT l_orderkey, l_linenumber,
+             list_transform(
+               regexp_extract_all(line, '-?\d+\.\d+|-?\d+')[1:6],
+               s -> CAST(s AS DOUBLE)) AS nums
+      FROM rendered
+    )
+    SELECT l_orderkey, l_linenumber,
+           nums[1] AS x, nums[2] AS y, nums[3] AS z,
+           nums[4] AS a, nums[5] AS b, nums[6] AS c
+    FROM parsed
+    """,
+    doc="S4+F2+P2: embedded-text source — render KUKA LIN lines, then "
+        "regexp_extract_all → cast → slice first 6 "
+        "(pose_filter.py:15-3143)")
+def robot_program_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rendered = (li.filter(F.col("l_orderkey") <= 300)
+                  .select("l_orderkey", "l_linenumber",
+                          F.format_string(
+                              "LIN {X %.3f, Y %.3f, Z %.3f, A %.3f, "
+                              "B %.3f, C %.3f, E1 0, E2 0} C_DIS",
+                              "l_quantity", "l_extendedprice",
+                              "l_discount", "l_tax",
+                              F.col("l_partkey").cast("double"),
+                              F.col("l_suppkey").cast("double"))
+                          .alias("line")))
+    nums = F.slice(
+        F.transform(
+            F.expr(r"regexp_extract_all(line, '-?\\d+\\.\\d+|-?\\d+', 0)"),
+            lambda s: s.cast("double")),
+        1, 6)
+    parsed = rendered.select("l_orderkey", "l_linenumber",
+                             nums.alias("nums"))
+    return parsed.select(
+        "l_orderkey", "l_linenumber",
+        F.col("nums")[0].alias("x"), F.col("nums")[1].alias("y"),
+        F.col("nums")[2].alias("z"), F.col("nums")[3].alias("a"),
+        F.col("nums")[4].alias("b"), F.col("nums")[5].alias("c"))
+
+
+@register(
+    "s7_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="S7: JSON source field extraction (pose_filter.py:9-13 "
+        "commented id→pose JSON map)")
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (events.select(F.get_json_object("props", "$.k").cast("bigint")
+                           .alias("k"))
+                  .groupBy("k")
+                  .agg(F.count("*").cast("bigint").alias("n")))

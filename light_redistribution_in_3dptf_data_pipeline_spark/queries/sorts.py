@@ -1,0 +1,106 @@
+"""Sorts / limits / top-k (SURVEY §2.6 T1-T5).
+
+Scale notes: ``orderBy().limit(k)`` plans as TakeOrderedAndProject —
+each partition keeps its local top-k, only k×partitions rows reach the
+driver-side merge; no global sort materializes. T1's global sort is a
+range-partitioned exchange (sampled boundaries), the one case where a
+total order is genuinely required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "t1_global_sort_rank",
+    """
+    SELECT event_id, ts,
+           CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+             AS time_rank
+    FROM events
+    """,
+    doc="T1: global sort by timestamp, materialized as a rank column "
+        "so the hash check captures the order "
+        "(point3d_transformation.py:24)")
+def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (events.select("event_id", "ts",
+                          F.row_number().over(w).cast("bigint")
+                           .alias("time_rank"))
+                  .orderBy("time_rank"))
+
+
+@register(
+    "t2_topk",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="T2: top-k with full tie-break — 10 worst poses analog "
+        "(extrinsic_calibration.py:237-240); plans as "
+        "TakeOrderedAndProject")
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.select("o_orderkey", "o_totalprice")
+                  .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+                  .limit(10))
+
+
+@register(
+    "t3_min_by_cast",
+    """
+    SELECT CAST(min(CAST(doc_id AS BIGINT)) AS BIGINT) AS first_key
+    FROM documents
+    """,
+    doc="T3: numerically-first key (calculate.py:56 sorted(keys,key=int)[0])")
+def min_by_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(F.min(F.col("doc_id").cast("bigint")).cast("bigint")
+                     .alias("first_key"))
+
+
+@register(
+    "t4_argmin_argmax",
+    """
+    SELECT l_orderkey,
+           arg_min(l_partkey, l_extendedprice * 1000 + l_linenumber)
+             AS cheapest_part,
+           arg_max(l_partkey, l_extendedprice * 1000 + l_linenumber)
+             AS priciest_part
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="T4: argmin/argmax by expression — corner classification "
+        "TL=argmin(x+y) etc. (pixel_processing.py:51-62); the ranking "
+        "expression embeds the unique l_linenumber so ties are "
+        "impossible and min_by is deterministic")
+def argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_extendedprice") * 1000 + F.col("l_linenumber")
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", key).alias("cheapest_part"),
+        F.max_by("l_partkey", key).alias("priciest_part"))
+
+
+@register(
+    "t5_head_sample",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20
+    """,
+    doc="T5: deterministic head sample — first-20-poses PnP init "
+        "(extrinsic_calibration.py:41-42)")
+def head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.select("o_orderkey", "o_totalprice")
+                  .orderBy("o_orderkey").limit(20))

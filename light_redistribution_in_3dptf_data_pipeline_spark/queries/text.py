@@ -1,0 +1,227 @@
+"""Text-analysis + deduplication queries over `documents` (SURVEY
+Phase 6 — the training-data-pipeline extensions).
+
+All counting is integer-exact (token counts, stopword hits), divisions
+happen once at the end, so Spark↔DuckDB parity is bit-exact. The
+n-gram near-dup query is the SQL-expressible baseline; the MinHash-LSH
+scale path lives in ``operators/dedup.py`` (rows-only checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+STOPWORDS = ("a", "the")
+JACCARD_THRESHOLD = 0.35
+
+
+@register(
+    "tx1_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_len,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+    FROM documents
+    """,
+    doc="Text: token counting (whitespace tokenizer) + char stats — "
+        "the token-count operator of an LLM data pipeline")
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_len"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+         .cast("bigint").alias("n_nonspace"),
+    )
+
+
+@register(
+    "tx2_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks,
+                  x -> x IN {STOPWORDS})) AS BIGINT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 AS quality_pass
+    FROM c
+    """,
+    doc="Text: quality scoring — stopword-ratio feature + threshold "
+        "gate (LLM-pipeline quality filter)")
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select("doc_id", toks.alias("toks"))
+    c = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+         .cast("bigint").alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return c.select("doc_id", "n_tokens", "n_stop",
+                    ratio.alias("stopword_ratio"),
+                    (ratio >= 0.02).alias("quality_pass"))
+
+
+@register(
+    "tx3_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Dedup (exact): hash-groupBy on content; keep_doc_id = the "
+        "survivor under keep-first policy. At 100 TB this is one "
+        "shuffle on a 128-bit key — the cheapest dedup there is")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5(F.col("text").cast("binary"))
+                          .alias("content_hash"))
+                .agg(F.count("*").cast("bigint").alias("n_copies"),
+                     F.min("doc_id").cast("bigint").alias("keep_doc_id")))
+
+
+@register(
+    "tx4_doc_fingerprint",
+    """
+    SELECT doc_id,
+           substr(md5(lower(text)), 1, 16) AS fingerprint
+    FROM documents
+    """,
+    doc="Text: document fingerprinting — normalized-content digest "
+        "prefix as a compact join/dedup key")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.col("text")).cast("binary")), 1, 16)
+         .alias("fingerprint"))
+
+
+@register(
+    "tx5_lang_stopword_signal",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1000
+                    // len(toks)) AS BIGINT) AS permille_sum
+    FROM t
+    GROUP BY lang
+    """,
+    doc="Text: language-ID signal — per-language aggregate of an "
+        "n-gram/stopword heuristic feature (integer permille so the "
+        "aggregate is exact)")
+def lang_stopword_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    permille = F.floor((n_stop * 1000) / F.size(toks))
+    return (docs.select("lang", permille.alias("pm"))
+                .groupBy("lang")
+                .agg(F.count("*").cast("bigint").alias("n_docs"),
+                     F.sum("pm").cast("bigint").alias("permille_sum")))
+
+
+NEARDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+           AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh2 AS (
+  SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh2 GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh2 a JOIN sh2 b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE)
+        / (sa.n_sh + sb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "tx6_ngram_jaccard_neardup",
+    NEARDUP_ORACLE,
+    doc="Dedup (near): 3-gram shingle Jaccard similarity — the "
+        "exhaustive baseline. The pairwise join explodes at 100 TB; "
+        "the scale path is MinHash+LSH banding (operators/dedup.py) "
+        "whose candidate pairs are a superset of these above-threshold "
+        "pairs")
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+"))
+         .alias("pos", "tok"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok",
+                        F.lead("tok", 1).over(w),
+                        F.lead("tok", 2).over(w)).alias("shingle"),
+            (F.lead("tok", 2).over(w).isNotNull()).alias("full"))
+          .filter(F.col("full"))
+          .select("doc_id", "shingle")
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").cast("bigint").alias("n_inter")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")))
+    return (inter.join(F.broadcast(sa),
+                       F.col("doc_a") == F.col("sa.doc_id"))
+                 .join(F.broadcast(sb),
+                       F.col("doc_b") == F.col("sb.doc_id"))
+                 .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= JACCARD_THRESHOLD))

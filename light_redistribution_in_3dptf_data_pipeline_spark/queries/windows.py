@@ -1,0 +1,188 @@
+"""Window / sequence analytics (SURVEY §2.5 W1-W6, §2.3 J5, §2.8 F5-F7).
+
+Flagship: the missing-pose detection query — the reference's most
+distinctive analytic (``src/core/point3d_transformation.py:11-62``):
+photos ordered by capture time, chunked into fixed-count groups of 5,
+per-group time envelope, lead-gap to the next group, gap>threshold ⇒ a
+missing pose, running missing count. Re-expressed on the ``events``
+fixture purely with window functions — a single shuffle-free chain
+after one range-partitioned sort.
+
+Scale notes: the global ``row_number`` over event time is a single
+total order — at 100 TB you would first bucket by a coarse time range
+(day/hour partition) and run the count-group logic per bucket with
+boundary stitching, or use the streaming session_window operator
+(``streaming/sessionization.py``). The batch form here is the oracle-
+checkable semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+GROUP_SIZE = 5           # exposure brackets per pose (handlehdrgen.py:25)
+GAP_SECONDS = 1200.0     # session-gap threshold (12 s in the reference,
+                         # scaled to the events fixture's cadence)
+
+
+def missing_pose_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: row_number over event time → floor/pmod count-bucketing;
+    W3: per-group envelope + lead; W4: gap flag + running missing count;
+    J5 expressed as the lead() window (no self-join shuffle needed)."""
+    events = load_table(spark, sf_dir, "events")
+
+    w_ts = Window.orderBy("ts", "event_id")
+    numbered = events.select(
+        "event_id", "ts",
+        F.row_number().over(w_ts).alias("rn"),
+    ).select(
+        "event_id", "ts",
+        F.floor((F.col("rn") - F.lit(1)) / F.lit(GROUP_SIZE)).alias("gid"),
+    )
+
+    groups = numbered.groupBy("gid").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+    w_gid = Window.orderBy("gid")
+    w_run = Window.orderBy("gid").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    gap_us = (F.unix_micros(F.lead("first_ts").over(w_gid))
+              - F.unix_micros(F.col("last_ts")))
+    flagged = groups.select(
+        "gid", "first_ts", "last_ts", "n_events",
+        (gap_us.cast("double") / F.lit(1000000.0)).alias("gap_s"),
+        F.when(gap_us > int(GAP_SECONDS * 1e6), F.lit(1))
+         .otherwise(F.lit(0)).cast("bigint").alias("gap_flag"),
+    )
+    return flagged.select(
+        "gid", "first_ts", "last_ts", "n_events", "gap_s", "gap_flag",
+        F.sum("gap_flag").over(w_run).cast("bigint").alias("missing_before"),
+    )
+
+
+MISSING_POSE_ORACLE = f"""
+WITH numbered AS (
+  SELECT event_id, ts,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events
+), grouped AS (
+  SELECT CAST(floor((rn - 1) / {GROUP_SIZE}) AS BIGINT) AS gid,
+         min(ts) AS first_ts, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1
+), flagged AS (
+  SELECT gid, first_ts, last_ts, n_events,
+         CAST(date_diff('microsecond', last_ts,
+              lead(first_ts) OVER (ORDER BY gid)) AS DOUBLE) / 1000000.0
+           AS gap_s,
+         CAST(CASE WHEN date_diff('microsecond', last_ts,
+              lead(first_ts) OVER (ORDER BY gid)) > {int(GAP_SECONDS * 1e6)}
+              THEN 1 ELSE 0 END AS BIGINT) AS gap_flag
+  FROM grouped
+)
+SELECT gid, first_ts, last_ts, n_events, gap_s, gap_flag,
+       CAST(sum(gap_flag) OVER (ORDER BY gid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS missing_before
+FROM flagged
+"""
+
+register("w_missing_pose_detection", MISSING_POSE_ORACLE,
+         doc="Flagship: capture-group sessionization + gap analysis "
+             "(point3d_transformation.py:11-62)")(missing_pose_detection)
+
+
+@register(
+    "w1_rownumber_bucket",
+    f"""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn,
+           CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
+                / {GROUP_SIZE}) AS BIGINT) AS gid,
+           CAST((row_number() OVER (ORDER BY ts, event_id) - 1)
+                % {GROUP_SIZE} AS BIGINT) AS slot
+    FROM events
+    """,
+    doc="W1/W2+F7: enumerate by time, i//5 group, i%5 slot "
+        "(file_rename_sort.py:7-13)")
+def rownumber_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    rn = F.row_number().over(w).cast("bigint")
+    return events.select(
+        "event_id",
+        rn.alias("rn"),
+        F.floor((rn - 1) / F.lit(GROUP_SIZE)).cast("bigint").alias("gid"),
+        F.pmod(rn - 1, F.lit(GROUP_SIZE)).cast("bigint").alias("slot"),
+    )
+
+
+@register(
+    "w3_lead_lag_user_sessions",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS DOUBLE) / 1000000.0 AS since_prev_s
+    FROM events
+    """,
+    doc="W3/J5: per-user adjacent-event time delta via lag() "
+        "(point3d_transformation.py:37-43)")
+def lead_lag_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return events.select(
+        "event_id", "user_id", "ts",
+        (delta_us.cast("double") / F.lit(1000000.0)).alias("since_prev_s"),
+    )
+
+
+@register(
+    "w4_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="W4: running-total frame spec "
+        "(point3d_transformation.py:44-58 running missing count)")
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "w6_rank_desc",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           CAST(rank() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC) AS BIGINT) AS bal_rank
+    FROM customer
+    """,
+    doc="W6: ranking desc (extrinsic_calibration.py:237 worst-pose rank)")
+def rank_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return customer.select(
+        "c_nationkey", "c_custkey", "c_acctbal",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+    )
