@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is fully materialized via the `noop` sink (forces the whole
+plan to execute without driver-side collect — the honest measure of
+distributed throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the heavy
+# shuffles (joins, window chains, pairwise similarity).
+HEADLINE = [
+    "w_missing_pose_detection",
+    "w4_running_total",
+    "j1_fanout_broadcast_join",
+    "j2_key_intersection_join",
+    "a1_group_collect_list",
+    "a4_descriptive_stats",
+    "a5_pricing_summary",
+    "t2_topk",
+    "t4_argmin_argmax",
+    "s4_robot_program_parse",
+    "f14_pose_grid_generator",
+    "tx2_quality_score",
+    "tx6_ngram_jaccard_neardup",
+    "sim2_cosine_topk",
+    "x1_intersect_keys",
+]
+
+
+def main() -> None:
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+    from light_redistribution_in_3dptf_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # JVM/codegen warm-up on a tiny query so t=0 effects don't pollute q1.
+    QUERIES["t5_head_sample"].builder(spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        q.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
