@@ -1,0 +1,126 @@
+"""Stream-batch parity tests (SURVEY §5.4): session_window detector and
+the exactly-5 stateful group assembler, driven through real streaming
+file sources with availableNow triggers."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.streaming import sessionization as ss
+
+EVENT_SCHEMA = "event_id INT, ts TIMESTAMP"
+
+
+@pytest.fixture(scope="module")
+def event_rows():
+    """Bursts of 5 events 2 s apart, separated by 20 s gaps; one burst
+    of 3 (simulating the robot skipping mid-pose)."""
+    rows, eid, t = [], 0, 1_700_000_000
+    for burst, n in enumerate([5, 5, 3, 5]):
+        for _ in range(n):
+            rows.append((eid, t))
+            eid += 1
+            t += 2
+        t += 20
+    return rows
+
+
+SENTINEL_EPOCH = 1_700_000_000 + 3_600
+
+
+@pytest.fixture(scope="module")
+def event_parquet(spark, tmp_path_factory, event_rows):
+    d = tmp_path_factory.mktemp("stream_src")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in event_rows], "event_id INT, epoch BIGINT"
+    ).select("event_id", F.timestamp_seconds("epoch").alias("ts"))
+    df.write.mode("overwrite").parquet(str(d / "events"))
+    # Sentinel end-of-replay event far past every real session: in
+    # append mode a session only emits once the watermark (max event
+    # time - delay) passes its end, so a bounded replay needs one
+    # trailing event to finalize the tail sessions.
+    spark.createDataFrame(
+        [(999, SENTINEL_EPOCH)], "event_id INT, epoch BIGINT"
+    ).select("event_id", F.timestamp_seconds("epoch").alias("ts")) \
+     .write.mode("append").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def _real_sessions(rows):
+    """Drop the sentinel's own 1-event session (it is never finalized
+    in streaming and is not part of the replay)."""
+    import datetime
+    cutoff = datetime.datetime.utcfromtimestamp(SENTINEL_EPOCH - 60)
+    return [r for r in rows if r[0] < cutoff]
+
+
+def test_session_window_stream_batch_parity(spark, event_parquet):
+    batch = spark.read.parquet(event_parquet)
+    batch_out = _real_sessions(sorted(map(tuple, ss.gap_sessions(
+        batch, gap_seconds=12.0).collect())))
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .parquet(event_parquet))
+    q = ss.run_stream_to_memory(
+        ss.gap_sessions(stream, gap_seconds=12.0), "sessions_t")
+    q.awaitTermination(60)
+    stream_out = _real_sessions(sorted(map(tuple, spark.sql(
+        "SELECT * FROM sessions_t").collect())))
+
+    assert len(batch_out) == 4
+    assert [r[2] for r in batch_out] == [5, 5, 3, 5]  # n_events per burst
+    assert stream_out == batch_out
+
+
+def test_session_window_matches_flagship_groups(spark, event_parquet):
+    """With bursts shorter than the gap, session_window must find the
+    same capture groups as the reference's count-based chunking when
+    all groups are complete — and diverge exactly on the short one."""
+    batch = spark.read.parquet(event_parquet)
+    sessions = _real_sessions(sorted(
+        map(tuple, ss.gap_sessions(batch, gap_seconds=12.0).collect())))
+    short = [s for s in sessions if s[2] < 5]
+    assert len(short) == 1  # the 3-event burst = the missing pose signal
+    assert short[0][2] == 3
+
+
+@pytest.fixture(scope="module")
+def catalog_parquet(spark, tmp_path_factory):
+    """File-catalog rows arriving in two micro-batches: pose 0 complete
+    in batch 1; pose 1 split across batches; pose 2 never completes."""
+    d = tmp_path_factory.mktemp("cat_src")
+    t0 = 1_700_000_000
+    b1 = [(0, f"/img/0_{i}.JPG", t0 + 2 * i) for i in range(5)] + \
+         [(1, f"/img/1_{i}.JPG", t0 + 20 + 2 * i) for i in range(3)] + \
+         [(2, f"/img/2_0.JPG", t0 + 40)]
+    b2 = [(1, f"/img/1_{i}.JPG", t0 + 20 + 2 * i) for i in range(3, 5)]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(
+            rows, "pose_id INT, path STRING, epoch BIGINT"
+        ).select("pose_id", "path",
+                 F.timestamp_seconds("epoch").alias("modificationTime")) \
+         .write.mode("overwrite").parquet(str(d / name))
+    return str(d)
+
+
+def test_stateful_group_assembler(spark, catalog_parquet):
+    """applyInPandasWithState emits exactly the complete groups, with
+    cross-batch state for the split pose."""
+    stream = (spark.readStream
+              .schema("pose_id INT, path STRING,"
+                      " modificationTime TIMESTAMP")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(catalog_parquet + "/*"))
+    q = ss.run_stream_to_memory(
+        ss.assemble_exposure_groups(stream), "groups_t")
+    q.awaitTermination(90)
+    time.sleep(0.5)
+    rows = {r.pose_id: r for r in spark.sql(
+        "SELECT * FROM groups_t").collect()}
+    assert set(rows) == {0, 1}          # pose 2 incomplete → never emitted
+    assert rows[0].n_exposures == 5
+    assert rows[1].n_exposures == 5     # assembled across micro-batches
+    assert rows[0].paths == ",".join(f"/img/0_{i}.JPG" for i in range(5))
