@@ -21,6 +21,7 @@ from . import scalars       # noqa: F401,E402
 from . import generators    # noqa: F401,E402
 from . import text          # noqa: F401,E402
 from . import similarity    # noqa: F401,E402
+from . import multimodal    # noqa: F401,E402
 
 # Operator modules that register rows-only (non-SQL-expressible) queries.
 from ..operators import dedup as _op_dedup          # noqa: F401,E402

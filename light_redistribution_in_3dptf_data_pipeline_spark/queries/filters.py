@@ -34,6 +34,36 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_glob_filtered_views",
+    """
+    WITH files AS (
+      SELECT printf('%d_%d.JPG', l_orderkey, l_linenumber) AS fname
+      FROM lineitem
+    )
+    SELECT 'detect' AS view_name, CAST(count(*) AS BIGINT) AS n_files
+    FROM files WHERE fname LIKE '%\\_1.JPG' ESCAPE '\\'
+    UNION ALL
+    SELECT 'all' AS view_name, CAST(count(*) AS BIGINT) AS n_files
+    FROM files
+    """,
+    doc="S2: glob scan with pattern — the reference's two filtered "
+        "views of one image dir, glob('*_0*.JPG') for detection frames "
+        "vs glob('*.JPG') for all (act_img.py:267-268). On Spark the "
+        "pattern is a pathGlobFilter at listing time (pruned before "
+        "any read) or an rlike predicate on the derived name column")
+def glob_filtered_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.select(F.format_string("%d_%d.JPG", "l_orderkey",
+                                      "l_linenumber").alias("fname"))
+    detect = (files.filter(F.col("fname").rlike(r"_1\.JPG$"))
+                   .agg(F.count("*").cast("bigint").alias("n_files"))
+                   .select(F.lit("detect").alias("view_name"), "n_files"))
+    all_v = (files.agg(F.count("*").cast("bigint").alias("n_files"))
+                  .select(F.lit("all").alias("view_name"), "n_files"))
+    return detect.unionByName(all_v)
+
+
+@register(
     "p1_suffix_predicate",
     """
     SELECT doc_id, source

@@ -134,6 +134,43 @@ def homogeneous_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f11_f15_array_ops",
+    """
+    WITH built AS (
+      SELECT l_orderkey, l_linenumber,
+             list_concat([l_quantity, l_discount, l_tax], [1.0]) AS homo
+      FROM lineitem
+      WHERE l_orderkey <= 400
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(len(homo) AS BIGINT) AS n_homo,
+           homo[4] AS homo_last,
+           homo[2] AS second_comp,
+           (homo[1] * 0.5 + homo[2] * 0.5) + homo[3] * 0.5 AS scaled_sum
+    FROM built
+    """,
+    doc="F15+F11: array ops — hstack-ones (concat(arr, array(1.0)), "
+        "the homogeneous-coordinate pattern of "
+        "point3d_transformation.py:116), element slicing, and a "
+        "constant-rescale fold (camera_calib.py:115-119 fx/=scale). "
+        "The Spark side is a genuine array fold (transform + "
+        "aggregate, left-to-right like the oracle's explicit sum)")
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    homo = F.concat(arr, F.array(F.lit(1.0)))
+    scaled_sum = F.aggregate(
+        F.transform(arr, lambda x: x * F.lit(0.5)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (li.filter(F.col("l_orderkey") <= 400)
+              .select("l_orderkey", "l_linenumber",
+                      F.size(homo).cast("bigint").alias("n_homo"),
+                      F.element_at(homo, 4).alias("homo_last"),
+                      F.element_at(homo, 2).alias("second_comp"),
+                      scaled_sum.alias("scaled_sum")))
+
+
+@register(
     "s4_robot_program_parse",
     r"""
     WITH rendered AS (

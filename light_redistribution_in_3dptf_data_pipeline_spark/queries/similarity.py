@@ -114,6 +114,149 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(TOP_K))
 
 
+NEARDUP_TOP_PAIRS = 20
+
+DX3_ORACLE = f"""
+WITH comps AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS comp
+  FROM embeddings
+), nsq AS (
+  SELECT vec_id, CAST(sum(comp * comp) AS DOUBLE) AS n2
+  FROM comps GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         CAST(sum(a.comp * b.comp) AS DOUBLE) AS dot
+  FROM comps a
+  JOIN comps b ON b.label = a.label AND b.pos = a.pos
+              AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+)
+SELECT vec_a, vec_b, CAST(label AS BIGINT) AS label,
+       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+FROM dots
+JOIN nsq na ON na.vec_id = vec_a
+JOIN nsq nb ON nb.vec_id = vec_b
+ORDER BY round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) DESC, vec_a, vec_b
+LIMIT {NEARDUP_TOP_PAIRS}
+"""
+
+
+@register(
+    "dx3_embedding_cosine_neardup",
+    DX3_ORACLE,
+    doc="Dedup (near, embedding-cosine): top near-duplicate pairs by "
+        "exact pairwise cosine *within a coarse bucket* (label = the "
+        "IVF cell). Bucketing is what makes this O(sum b_i^2) instead "
+        "of O(N^2) at 100 TB — all-pairs only ever happens inside a "
+        "bounded bucket, and buckets shuffle independently. Decimal-"
+        "exact dot products → bit-identical to the DuckDB oracle")
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Array-native plan: one self-join on the bucket key (no component
+    # explode shuffle); the 64-term dot product runs inside zip_with/
+    # aggregate per pair-row, JVM-side, with exact DECIMAL accumulation.
+    dec = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double").cast("decimal(18,9)")).alias("v"))
+    # Fold with an explicit DECIMAL(30,18) accumulator: |component| ≤ 1
+    # so every product fits (20,18) and 64-term sums fit (30,18); the
+    # casts keep Spark's lambda type equal to the accumulator type.
+    zero = F.lit(0).cast("decimal(30,18)")
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: (x * y).cast("decimal(20,18)")),
+            zero,
+            lambda acc, x: (acc + x).cast("decimal(30,18)")).cast("double")
+    a, b = dec.alias("a"), dec.alias("b")
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"),
+                     F.col("a.label").cast("bigint").alias("label"),
+                     dot(F.col("a.v"), F.col("b.v")).alias("dot"),
+                     dot(F.col("a.v"), F.col("a.v")).alias("na2"),
+                     dot(F.col("b.v"), F.col("b.v")).alias("nb2")))
+    cosine = F.round(F.col("dot")
+                     / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 12)
+    return (pairs.select("vec_a", "vec_b", "label", cosine.alias("cosine"))
+                 .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+                 .limit(NEARDUP_TOP_PAIRS))
+
+
+# Fixed-point trick for sim4: comp → integer nano-units (exact BIGINT),
+# centroid = per-(label,pos) SUM of those (exact BIGINT), vector·centroid
+# = sum of DECIMAL(19,0) products (exact DECIMAL(38,0)). Both engines do
+# identical integer arithmetic; the only float op is one final division.
+SIM4_ORACLE = """
+WITH comps AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
+              * 1000000000 AS BIGINT) AS ci
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, pos,
+         CAST(sum(ci) AS BIGINT) AS csum,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM comps GROUP BY label, pos
+), scored AS (
+  SELECT c.vec_id, t.clabel,
+         CAST(sum(CAST(c.ci AS DECIMAL(19,0))
+                  * CAST(t.csum AS DECIMAL(19,0))) AS DOUBLE)
+           / (max(t.nv) * 1e18) AS score
+  FROM comps c JOIN cent t ON t.pos = c.pos
+  GROUP BY c.vec_id, t.clabel
+), ranked AS (
+  SELECT vec_id, clabel, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, clabel) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(clabel AS BIGINT) AS assigned_label,
+       round(score, 9) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "sim4_ivf_assign",
+    SIM4_ORACLE,
+    doc="Similarity/IVF: assign every vector to its nearest coarse "
+        "centroid (mean-dot argmax) — the IVF probe step. Centroids "
+        "are a tiny broadcast side (n_labels × dims); the big side "
+        "streams through one groupBy, so the assignment is a single "
+        "shuffle at any scale. Fixed-point integer arithmetic keeps "
+        "Spark and DuckDB bit-identical")
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "c")
+    ).select(
+        "vec_id", "label", "pos",
+        (F.col("c").cast("double").cast("decimal(18,9)")
+         * F.lit(1000000000)).cast("bigint").alias("ci"))
+    cent = (comps.groupBy(F.col("label").alias("clabel"), "pos")
+                 .agg(F.sum("ci").cast("bigint").alias("csum"),
+                      F.count("*").cast("bigint").alias("nv")))
+    prod = (F.col("ci").cast("decimal(19,0)")
+            * F.col("csum").cast("decimal(19,0)"))
+    scored = (comps.join(F.broadcast(cent), "pos")
+              .groupBy("vec_id", "clabel")
+              .agg((F.sum(prod).cast("double")
+                    / (F.max("nv") * F.lit(1e18))).alias("score")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("clabel"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("vec_id",
+                          F.col("clabel").cast("bigint")
+                           .alias("assigned_label"),
+                          F.round("score", 9).alias("score")))
+
+
 @register(
     "sim3_label_centroid_dot",
     """
