@@ -35,19 +35,21 @@ HASH_PRIME = 2147483647
 
 def shingles(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Array-native: n-grams via an indexed transform and per-row
+    array_distinct — a pure flat map with zero shuffles, unlike the
+    window-sort + global DISTINCT formulation it replaces."""
     toks = docs.select(
-        id_col,
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
-         .alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.lead("tok", i).over(w) for i in range(n)]
-    return (toks.select(id_col,
-                        F.concat_ws(" ", *parts).alias("shingle"),
-                        parts[-1].isNotNull().alias("full"))
-                .filter("full")
-                .select(id_col, "shingle")
-                .distinct())
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    arr = F.col("_toks")
+    gram = F.transform(
+        arr, lambda x, i: F.concat_ws(
+            " ", *([x] + [F.get(arr, i + k) for k in range(1, n)])))
+    grams = F.array_distinct(
+        F.slice(gram, F.lit(1),
+                F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))))
+    return toks.select(id_col, F.explode(grams).alias("shingle"))
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
