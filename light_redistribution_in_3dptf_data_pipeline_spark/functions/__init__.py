@@ -1,0 +1,14 @@
+"""Engine scalar-function surface: reusable Column builders."""
+
+from .columns import (  # noqa: F401
+    DEG2RAD,
+    decimal_components,
+    decimal_dot,
+    euler_zyx_matrix_cols,
+    homogeneous_transform_cols,
+    l2_distance,
+    ngram_shingles,
+    pose_grid_df,
+    seconds_between,
+    whitespace_tokens,
+)

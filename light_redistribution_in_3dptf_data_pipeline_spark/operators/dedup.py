@@ -40,16 +40,13 @@ def shingles(docs: DataFrame, text_col: str = "text",
     Array-native: n-grams via an indexed transform and per-row
     array_distinct — a pure flat map with zero shuffles, unlike the
     window-sort + global DISTINCT formulation it replaces."""
-    toks = docs.select(
-        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
-    arr = F.col("_toks")
-    gram = F.transform(
-        arr, lambda x, i: F.concat_ws(
-            " ", *([x] + [F.get(arr, i + k) for k in range(1, n)])))
-    grams = F.array_distinct(
-        F.slice(gram, F.lit(1),
-                F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))))
-    return toks.select(id_col, F.explode(grams).alias("shingle"))
+    from ..functions import ngram_shingles, whitespace_tokens
+
+    toks = docs.select(id_col, whitespace_tokens(F.col(text_col))
+                       .alias("_toks"))
+    return toks.select(
+        id_col, F.explode(ngram_shingles(F.col("_toks"), n))
+        .alias("shingle"))
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",

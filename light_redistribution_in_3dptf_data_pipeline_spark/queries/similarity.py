@@ -153,24 +153,15 @@ LIMIT {NEARDUP_TOP_PAIRS}
         "bounded bucket, and buckets shuffle independently. Decimal-"
         "exact dot products → bit-identical to the DuckDB oracle")
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import decimal_components, decimal_dot as dot
+
     emb = load_table(spark, sf_dir, "embeddings")
     # Array-native plan: one self-join on the bucket key (no component
     # explode shuffle); the 64-term dot product runs inside zip_with/
     # aggregate per pair-row, JVM-side, with exact DECIMAL accumulation.
     dec = emb.select(
         "vec_id", "label",
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double").cast("decimal(18,9)")).alias("v"))
-    # Fold with an explicit DECIMAL(30,18) accumulator: |component| ≤ 1
-    # so every product fits (20,18) and 64-term sums fit (30,18); the
-    # casts keep Spark's lambda type equal to the accumulator type.
-    zero = F.lit(0).cast("decimal(30,18)")
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: (x * y).cast("decimal(20,18)")),
-            zero,
-            lambda acc, x: (acc + x).cast("decimal(30,18)")).cast("double")
+        decimal_components(F.col("embedding")).alias("v"))
     a, b = dec.alias("a"), dec.alias("b")
     pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))

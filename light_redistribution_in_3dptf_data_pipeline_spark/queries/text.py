@@ -196,21 +196,18 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only shuffle left in this subtree is none at all — no per-doc
     # window sort, no global DISTINCT exchange. Matters doubly because
     # the self-join below evaluates this subtree twice.
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-    arr = F.col("toks")
-    tri = F.transform(
-        arr, lambda x, i: F.concat_ws(" ", x, F.get(arr, i + 1),
-                                      F.get(arr, i + 2)))
-    grams = F.array_distinct(
-        F.slice(tri, F.lit(1),
-                F.greatest(F.size(arr) - F.lit(2), F.lit(0))))
+    from ..functions import ngram_shingles, whitespace_tokens
+
+    toks = docs.select("doc_id", whitespace_tokens(F.col("text"))
+                       .alias("toks"))
     # One explicit exchange on the join key: both sides of the self-
     # join below and the sizes agg reuse this single shuffle (Spark's
     # ReuseExchange), and the shingle-equality join needs no further
     # exchange — measured ~25% faster than the window+DISTINCT
     # formulation and ~2x faster than leaving the flat map bare.
-    sh = (toks.select("doc_id", F.explode(grams).alias("shingle"))
+    sh = (toks.select("doc_id",
+                      F.explode(ngram_shingles(F.col("toks"), 3))
+                       .alias("shingle"))
               .repartition(F.col("shingle")))
     sizes = sh.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_sh"))

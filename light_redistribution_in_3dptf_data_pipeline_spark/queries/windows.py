@@ -171,6 +171,63 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w7_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming-capability demo (batch form): tumbling event-time "
+        "window agg — window(ts, '1 hour') — the groupBy shape that "
+        "runs unchanged under readStream+withWatermark (SURVEY §2.10 "
+        "tumbling note). Decimal-exact sums for oracle parity")
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+@register(
+    "w8_sliding_window",
+    """
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS half_slot, value
+      FROM events
+    ), expanded AS (
+      SELECT half_slot - INTERVAL '30 minutes' * off AS window_start,
+             value
+      FROM assigned, (SELECT unnest([0, 1]) AS off)
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    """,
+    doc="Streaming-capability demo (batch form): sliding window — "
+        "window(ts, '1 hour', '30 minutes'); each event lands in 2 "
+        "overlapping windows (the 1→k expansion Spark plans for "
+        "sliding windows). Oracle expands via explicit offset unnest")
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "sum_value"))
+
+
+@register(
     "w6_rank_desc",
     """
     SELECT c_nationkey, c_custkey, c_acctbal,
