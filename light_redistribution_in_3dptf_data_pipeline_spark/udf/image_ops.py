@@ -119,6 +119,41 @@ HDR_SCHEMA = StructType([
 ])
 
 
+FILTER_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("ok", IntegerType()),
+    StructField("output", StringType()),
+])
+
+
+def external_filter_per_file(catalog: DataFrame, out_dir: str,
+                             command: list[str] | None = None,
+                             suffix: str = ".out") -> DataFrame:
+    """U12: per-file external filter — the ``pcomb -s 0.9 in > out``
+    luminance rescale (lumiadjust.py:10-18), generalized. One
+    subprocess per row inside ``mapInPandas``; Spark task scheduling
+    bounds concurrency (vs the reference's sequential loop). Default
+    command is ``cat`` so the plumbing is testable without Radiance
+    binaries installed."""
+    cmd = command or ["cat"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                local = path.removeprefix("file:")
+                out = f"{out_dir}/{local.rsplit('/', 1)[-1]}{suffix}"
+                with open(out, "wb") as fh:
+                    res = subprocess.run(cmd + [local], stdout=fh,
+                                         check=False)
+                rows.append({"path": path,
+                             "ok": int(res.returncode == 0),
+                             "output": out})
+            yield pd.DataFrame(rows, columns=["path", "ok", "output"])
+
+    return catalog.select("path").mapInPandas(fn, FILTER_SCHEMA)
+
+
 def hdr_merge_groups(catalog: DataFrame, out_dir: str,
                      command: list[str] | None = None,
                      expected: int = 5) -> DataFrame:
