@@ -34,7 +34,11 @@ HEADLINE = [
     "f14_pose_grid_generator",
     "tx2_quality_score",
     "tx6_ngram_jaccard_neardup",
+    "dx1_minhash_lsh_candidates",
+    "dx3_embedding_cosine_neardup",
     "sim2_cosine_topk",
+    "sim4_ivf_assign",
+    "w7_tumbling_window",
     "x1_intersect_keys",
 ]
 
