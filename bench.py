@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # shuffles (joins, window chains, pairwise similarity).
 HEADLINE = [
     "w_missing_pose_detection",
+    "w9_missing_pose_scalable",
     "w4_running_total",
     "j1_fanout_broadcast_join",
     "j2_key_intersection_join",

@@ -99,6 +99,87 @@ register("w_missing_pose_detection", MISSING_POSE_ORACLE,
              "(point3d_transformation.py:11-62)")(missing_pose_detection)
 
 
+def scalable_missing_pose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's 100 TB formulation — identical semantics (same
+    oracle), no global-order window anywhere:
+
+    1. Global row numbers = per-time-bucket ``row_number`` + bucket
+       offsets. Offsets come from a bucket-count table (one row per
+       hour — thousands of rows at any scale), prefix-summed on a
+       single tiny partition and broadcast back.
+    2. The next-group gap uses J5's *join* form — ``gid+1`` equi-join
+       (AQE-planned shuffle or broadcast) instead of ``lead`` over a
+       global sort.
+    3. The running missing count reuses the offset trick at gid-bucket
+       granularity.
+
+    Every shuffle is keyed (bucket, gid, join key); nothing ever
+    funnels through one task except the bucket-level prefix sums,
+    which are O(#buckets), not O(#rows).
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bk")
+    w_local = Window.partitionBy("bk").orderBy("ts", "event_id")
+    local = events.select("event_id", "ts", bucket).withColumn(
+        "lrn", F.row_number().over(w_local))
+
+    # tiny: one row per hour bucket
+    w_bk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (local.groupBy("bk").agg(F.count("*").alias("n"))
+               .withColumn("off", F.coalesce(F.sum("n").over(w_bk),
+                                             F.lit(0)))
+               .select("bk", "off"))
+
+    numbered = (local.join(F.broadcast(offsets), "bk")
+                .select("event_id", "ts",
+                        F.floor((F.col("lrn") + F.col("off") - 1)
+                                / F.lit(GROUP_SIZE)).alias("gid")))
+
+    groups = numbered.groupBy("gid").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("bigint").alias("n_events"))
+
+    # J5 join form: group k ⋈ group k+1
+    nxt = groups.select((F.col("gid") - 1).alias("gid"),
+                        F.col("first_ts").alias("next_first"))
+    gap_us = (F.unix_micros(F.col("next_first"))
+              - F.unix_micros(F.col("last_ts")))
+    flagged = (groups.join(nxt, "gid", "left")
+               .select("gid", "first_ts", "last_ts", "n_events",
+                       (gap_us.cast("double") / F.lit(1000000.0))
+                       .alias("gap_s"),
+                       F.when(gap_us > int(GAP_SECONDS * 1e6), F.lit(1))
+                        .otherwise(F.lit(0)).cast("bigint")
+                        .alias("gap_flag")))
+
+    # running sum of gap_flag, again via bucket offsets over gids
+    GBUCKET = 4096
+    flagged = flagged.withColumn(
+        "gbk", F.floor(F.col("gid") / F.lit(GBUCKET)))
+    w_g = Window.partitionBy("gbk").orderBy("gid")
+    w_gbk = Window.orderBy("gbk").rowsBetween(Window.unboundedPreceding, -1)
+    goff = (flagged.groupBy("gbk").agg(F.sum("gap_flag").alias("s"))
+            .withColumn("goff", F.coalesce(F.sum("s").over(w_gbk),
+                                           F.lit(0)))
+            .select("gbk", "goff"))
+    return (flagged.join(F.broadcast(goff), "gbk")
+            .select("gid", "first_ts", "last_ts", "n_events", "gap_s",
+                    "gap_flag",
+                    (F.sum("gap_flag").over(w_g) + F.col("goff"))
+                    .cast("bigint").alias("missing_before")))
+
+
+register("w9_missing_pose_scalable", MISSING_POSE_ORACLE,
+         doc="Flagship, scale-out form: same semantics and SAME oracle "
+             "as w_missing_pose_detection, but with zero global-order "
+             "windows — per-bucket row numbers + broadcast prefix-sum "
+             "offsets, the J5 gid+1 equi-join for the inter-group gap, "
+             "and bucketed running totals. The formulation that "
+             "survives 1000 executors")(scalable_missing_pose)
+
+
 @register(
     "w1_rownumber_bucket",
     f"""
