@@ -124,3 +124,71 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (customer.join(orders, customer.c_custkey == orders.o_custkey,
                           "left_semi")
                     .select("c_custkey", "c_name"))
+
+
+@register(
+    "j7_asof_join",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.ts, l.event_id, r.purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    doc="J7 (custom operator — Spark has no native as-of join): every "
+        "click gains the user's most recent purchase value at or "
+        "before it. Union-tag + per-key window formulation: ONE "
+        "shuffle on the key, no range condition near a join operator, "
+        "so no nested-loop blowup at scale. Oracle is DuckDB's native "
+        "ASOF LEFT JOIN. Right side deduped per (key, ts) so the "
+        "match is well-defined in both engines")
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = asof_join(clicks, purchases, key="user_id", ts="ts",
+                    payload=["purchase_value"], suffix="")
+    return out.select("user_id", "ts", "event_id", "purchase_value")
+
+
+@register(
+    "j8_range_join",
+    """
+    WITH intervals AS (
+      SELECT p_partkey, p_retailprice - 3.0 AS lo, p_retailprice + 3.0 AS hi
+      FROM part WHERE p_partkey <= 40
+    )
+    SELECT i.p_partkey, e.event_id, e.value
+    FROM events e JOIN intervals i
+      ON e.value * 10.0 BETWEEN i.lo AND i.hi
+    """,
+    doc="J8 (custom operator — interval/range join): probes matched to "
+        "overlapping intervals by exploding intervals into fixed-width "
+        "bins and equi-joining on the bin key, then exact-filtering. "
+        "Hash join instead of the nested loop Spark would otherwise "
+        "plan for a pure range predicate")
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_joins import binned_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    part = load_table(spark, sf_dir, "part")
+    probes = events.select("event_id",
+                           (F.col("value") * 10.0).alias("scaled"),
+                           "value")
+    intervals = (part.filter(F.col("p_partkey") <= 40)
+                 .select("p_partkey",
+                         (F.col("p_retailprice") - 3.0).alias("lo"),
+                         (F.col("p_retailprice") + 3.0).alias("hi")))
+    out = binned_range_join(probes, intervals, "scaled", "lo", "hi",
+                            bin_width=8.0)
+    return out.select("p_partkey", "event_id", "value")
