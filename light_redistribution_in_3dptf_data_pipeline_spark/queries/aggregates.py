@@ -283,3 +283,22 @@ def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(F.expr("percentile(l_quantity, 0.5)")
                    .cast("double").alias("median_qty"))
+
+
+@register(
+    "a12_approx_sketches", None,
+    doc="A8 at scale: sketch aggregates — approx_count_distinct (HLL++)"
+        " and percentile_approx (KLL-style) per group. Rows-only: "
+        "sketch estimates are engine-specific by design; the exact "
+        "counterparts are oracle-checked in a8/a11. Sketches are the "
+        "100 TB answer when exact distinct/median would shuffle the "
+        "full key set")
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                  .alias("approx_users"),
+                 F.percentile_approx("value", 0.5, 10000)
+                  .alias("approx_median_value"),
+                 F.count("*").cast("bigint").alias("n"))
+            .orderBy("event_type"))
