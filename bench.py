@@ -54,7 +54,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    # JVM/codegen warm-up on a tiny query so t=0 effects don't pollute q1.
+    # JVM/codegen/file-listing warm-up so t=0 effects don't pollute q1:
+    # touch every fixture table once with a cheap count.
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import (
+        TABLES, load_table)
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
     QUERIES["t5_head_sample"].builder(spark, SF_DIR).collect()
 
     per_query: dict[str, float] = {}

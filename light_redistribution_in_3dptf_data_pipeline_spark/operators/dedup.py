@@ -53,18 +53,20 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = NUM_HASHES) -> DataFrame:
     """(id, hash_idx, minhash) — k seeded murmur3 mins per document.
 
-    The crossJoin with the k hash seeds is a 1→k flat map (broadcast,
-    no shuffle); the min-aggregate shuffles once on (id, hash_idx)
-    with map-side partial mins.
+    Wide-aggregate form: all k per-bit mins are columns of ONE hash
+    aggregate over the raw shingle rows (map-side partial mins, one
+    shuffle of N·1 rows), then unpivoted. The k-fold row expansion of
+    the naive seeds-crossJoin (N·k shuffled rows) never materializes.
     """
-    seeds = sh.sparkSession.range(num_hashes).select(
-        F.col("id").cast("int").alias("hash_idx"))
-    return (sh.crossJoin(F.broadcast(seeds))
-              .select(id_col, "hash_idx",
-                      F.pmod(F.hash("shingle", "hash_idx"),
-                             F.lit(HASH_PRIME)).alias("h"))
-              .groupBy(id_col, "hash_idx")
-              .agg(F.min("h").alias("minhash")))
+    mins = [F.min(F.pmod(F.hash("shingle", F.lit(i)), F.lit(HASH_PRIME)))
+             .alias(f"h{i}") for i in range(num_hashes)]
+    wide = sh.groupBy(id_col).agg(*mins)
+    stack_args = ", ".join(f"{i}, h{i}" for i in range(num_hashes))
+    return wide.select(
+        id_col,
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (hash_idx, minhash)")
+    ).select(id_col, F.col("hash_idx").cast("int").alias("hash_idx"),
+             "minhash")
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
