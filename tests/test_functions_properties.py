@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis) for the shared Column builders:
+each Spark expression is compared against a plain-Python/NumPy
+reference on randomized inputs, batched so one Spark job covers a
+whole generated example set."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.functions import (
+    decimal_components, decimal_dot, ngram_shingles, whitespace_tokens)
+
+TOKEN = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+def _py_shingles(toks: list[str], n: int) -> list[str]:
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i:i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(TOKEN, min_size=0, max_size=12), min_size=1,
+                max_size=20), st.integers(min_value=2, max_value=4))
+def test_ngram_shingles_match_python(spark, docs, n):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    toks_df = df.select("doc_id", whitespace_tokens(F.col("text"))
+                        .alias("toks"))
+    got = {r.doc_id: r.sh for r in toks_df.select(
+        "doc_id", ngram_shingles(F.col("toks"), n).alias("sh")).collect()}
+    for i, toks in enumerate(docs):
+        # split on whitespace mirrors the tokenizer (empty text → [''])
+        pytoks = " ".join(toks).strip().split()
+        if not pytoks:
+            pytoks = [""]
+        assert got[i] == _py_shingles(pytoks, n), (toks, n)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32),
+                 min_size=1, max_size=64),
+        st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32),
+                 min_size=1, max_size=64)),
+    min_size=1, max_size=10))
+def test_decimal_dot_tracks_numpy(spark, pairs):
+    pairs = [(u[:min(len(u), len(v))], v[:min(len(u), len(v))])
+             for u, v in pairs]
+    rows = [(i, u, v) for i, (u, v) in enumerate(pairs)]
+    df = spark.createDataFrame(
+        rows, "i INT, u ARRAY<FLOAT>, v ARRAY<FLOAT>")
+    got = {r.i: r.d for r in df.select(
+        "i", decimal_dot(decimal_components(F.col("u")),
+                         decimal_components(F.col("v"))).alias("d"))
+        .collect()}
+    for i, (u, v) in enumerate(pairs):
+        want = float(np.dot(np.asarray(u, dtype=np.float64),
+                            np.asarray(v, dtype=np.float64)))
+        # decimal(18,9) rounding of each component → ≤ 0.5e-9 per
+        # element against the float64 reference
+        assert abs(got[i] - want) < 1e-6, (i, got[i], want)

@@ -124,3 +124,26 @@ def test_stateful_group_assembler(spark, catalog_parquet):
     assert rows[0].n_exposures == 5
     assert rows[1].n_exposures == 5     # assembled across micro-batches
     assert rows[0].paths == ",".join(f"/img/0_{i}.JPG" for i in range(5))
+
+
+def test_tumbling_window_stream_batch_parity(spark, event_parquet):
+    """The w7 tumbling groupBy runs unchanged under readStream: same
+    windows, same counts (sentinel's unfinalized window excluded)."""
+    def tumbling(df):
+        return (df.groupBy(F.window("ts", "30 seconds").alias("w"))
+                .agg(F.count("*").cast("bigint").alias("n"))
+                .select(F.col("w.start").alias("ws"), "n"))
+
+    batch = spark.read.parquet(event_parquet)
+    batch_out = _real_sessions(sorted(
+        map(tuple, tumbling(batch).collect())))
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .parquet(event_parquet).withWatermark("ts", "1 minute"))
+    q = ss.run_stream_to_memory(tumbling(stream), "tumbling_t")
+    q.awaitTermination(60)
+    stream_out = _real_sessions(sorted(map(tuple, spark.sql(
+        "SELECT * FROM tumbling_t").collect())))
+
+    assert stream_out == batch_out
+    assert sum(n for _, n in batch_out) == 18  # all replayed events
