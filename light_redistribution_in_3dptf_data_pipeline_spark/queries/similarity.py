@@ -22,19 +22,6 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 
 
-def _components(df: DataFrame) -> DataFrame:
-    """Explode vectors into (vec_id, pos, comp DECIMAL(18,9)) rows —
-    the relational form that scales: at 100 TB the explode is a flat
-    map (no shuffle) and the dot-product groupBy shuffles once on
-    vec_id, partially aggregated map-side."""
-    return df.select(
-        "vec_id",
-        F.posexplode("embedding").alias("pos", "comp_raw"),
-    ).select(
-        "vec_id", "pos",
-        F.col("comp_raw").cast("double").cast("decimal(18,9)").alias("comp"))
-
-
 @register(
     "sim1_l2_norms",
     """
