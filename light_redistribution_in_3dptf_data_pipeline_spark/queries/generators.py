@@ -74,23 +74,28 @@ register("f14_pose_grid_generator", POSE_GRID_ORACLE,
 
 
 def euler_zyx_matrix_cols(a, b, c):
-    """Rotation-matrix entries for intrinsic z-y-x Euler angles
-    (degrees), as closed-form column expressions — R = Rz(a)Ry(b)Rx(c),
-    matching scipy's ``from_euler('zyx', ...)``
-    (point3d_transformation.py:87-93). Returns dict name→Column."""
+    """Rotation-matrix entries for EXTRINSIC z-y-x Euler angles
+    (degrees), as closed-form column expressions.
+
+    scipy's lowercase ``from_euler('zyx', [a, b, c])``
+    (point3d_transformation.py:88) means rotations about the FIXED
+    axes applied in order z(a), y(b), x(c) — composing on the left:
+    R = Rx(c) @ Ry(b) @ Rz(a). (Uppercase 'ZYX' would be the intrinsic
+    Rz(a)Ry(b)Rx(c) form; the reference uses lowercase.)
+    Returns dict name→Column."""
     ra, rb, rc = (x * F.lit(DEG2RAD) for x in (a, b, c))
     sa, ca = F.sin(ra), F.cos(ra)
     sb, cb = F.sin(rb), F.cos(rb)
     sc, cc = F.sin(rc), F.cos(rc)
     return {
         "r00": ca * cb,
-        "r01": ca * sb * sc - sa * cc,
-        "r02": ca * sb * cc + sa * sc,
-        "r10": sa * cb,
-        "r11": sa * sb * sc + ca * cc,
-        "r12": sa * sb * cc - ca * sc,
-        "r20": -sb,
-        "r21": cb * sc,
+        "r01": -(sa * cb),
+        "r02": sb,
+        "r10": sa * cc + ca * sb * sc,
+        "r11": ca * cc - sa * sb * sc,
+        "r12": -(cb * sc),
+        "r20": sa * sc - ca * sb * cc,
+        "r21": ca * sc + sa * sb * cc,
         "r22": cb * cc,
     }
 
@@ -113,19 +118,20 @@ def euler_zyx_matrix_cols(a, b, c):
     )
     SELECT oi,
            round(ca * cb, 12) + 0.0 AS r00,
-           round(ca * sb * sc - sa * cc, 12) + 0.0 AS r01,
-           round(ca * sb * cc + sa * sc, 12) + 0.0 AS r02,
-           round(sa * cb, 12) + 0.0 AS r10,
-           round(sa * sb * sc + ca * cc, 12) + 0.0 AS r11,
-           round(sa * sb * cc - ca * sc, 12) + 0.0 AS r12,
-           round(-sb, 12) + 0.0 AS r20,
-           round(cb * sc, 12) + 0.0 AS r21,
+           round(-(sa * cb), 12) + 0.0 AS r01,
+           round(sb, 12) + 0.0 AS r02,
+           round(sa * cc + ca * sb * sc, 12) + 0.0 AS r10,
+           round(ca * cc - sa * sb * sc, 12) + 0.0 AS r11,
+           round(-(cb * sc), 12) + 0.0 AS r12,
+           round(sa * sc - ca * sb * cc, 12) + 0.0 AS r20,
+           round(ca * sc + sa * sb * cc, 12) + 0.0 AS r21,
            round(cb * cc, 12) + 0.0 AS r22
     FROM t
     """,
-    doc="F13: Euler(zyx, degrees)→rotation matrix as trig column "
-        "expressions; rounded to 12 dp because JVM and libm trig may "
-        "differ in the last ulp (point3d_transformation.py:87-93)")
+    doc="F13: extrinsic Euler(zyx, degrees)→rotation matrix "
+        "(R = Rx(c)Ry(b)Rz(a), scipy lowercase-'zyx' semantics) as trig "
+        "column expressions; rounded to 12 dp because JVM and libm trig "
+        "may differ in the last ulp (point3d_transformation.py:87-93)")
 def euler_rotation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oi = spark.range(125).select(F.col("id").cast("bigint").alias("oi"))
     ea = -20.0 + 10.0 * (F.col("oi") / 25).cast("bigint")

@@ -91,9 +91,13 @@ def matrix_to_rodrigues(R: np.ndarray) -> np.ndarray:
     if theta < 1e-12:
         return np.zeros(3)
     if np.pi - theta < 1e-6:
-        # antipodal: extract axis from R + I
+        # antipodal: near theta=pi, (R+I)/2 ≈ k·kᵀ, so the diagonal gives
+        # |k_i| but not signs.  Take the row of the largest diagonal entry
+        # (its pivot sign is a free choice: k and -k are the same rotation
+        # at pi) and read the relative signs off that row's off-diagonals.
         M = (R + np.eye(3)) / 2
-        axis = np.sqrt(np.maximum(np.diag(M), 0))
+        i0 = int(np.argmax(np.diag(M)))
+        axis = M[i0] / np.sqrt(max(M[i0, i0], 1e-18))
         axis = axis / np.linalg.norm(axis)
         return axis * theta
     w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],

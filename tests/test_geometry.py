@@ -21,6 +21,19 @@ RVEC_TRUE = np.array([0.1, -0.2, 0.05])
 TVEC_TRUE = np.array([10.0, -20.0, 1500.0])
 
 
+def _extrinsic_zyx_np(a, b, c):
+    """scipy from_euler('zyx', [a,b,c], degrees=True): fixed-axis z(a)
+    then y(b) then x(c) ⇒ R = Rx(c) @ Ry(b) @ Rz(a)."""
+    az, ay, ax = np.radians([a, b, c])
+    Rz = np.array([[np.cos(az), -np.sin(az), 0],
+                   [np.sin(az), np.cos(az), 0], [0, 0, 1]])
+    Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
+                   [-np.sin(ay), 0, np.cos(ay)]])
+    Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)],
+                   [0, np.sin(ax), np.cos(ax)]])
+    return Rx @ Ry @ Rz
+
+
 class TestHomography:
     def test_maps_corners_exactly(self):
         rng = np.random.default_rng(7)
@@ -67,9 +80,27 @@ class TestRotations:
             back = geo.matrix_to_rodrigues(R)
             assert np.allclose(back, rvec, atol=1e-8)
 
-    def test_euler_expressions_match_scipy_formula(self, spark):
+    def test_rodrigues_antipodal_mixed_sign_axes(self):
+        """theta≈pi rotations about mixed-sign axes: the axis signs must
+        come from the off-diagonals of (R+I)/2, not bare sqrt(diag)."""
+        axes = [(1, -1, 0), (1, 0, -1), (0, -1, 1), (1, -1, 1),
+                (-1, 1, 2), (2, -3, 1)]
+        for ax in axes:
+            k = np.array(ax, dtype=float)
+            k /= np.linalg.norm(k)
+            rvec = k * np.pi
+            R = geo.rodrigues_to_matrix(rvec)
+            back = geo.matrix_to_rodrigues(R)
+            # at exactly pi, k and -k encode the same rotation
+            assert (np.allclose(back, rvec, atol=1e-8)
+                    or np.allclose(back, -rvec, atol=1e-8))
+            assert np.allclose(geo.rodrigues_to_matrix(back), R, atol=1e-8)
+
+    def test_euler_expressions_match_extrinsic_zyx(self, spark):
         """The engine's F13 trig expressions vs an independent numpy
-        Rz@Ry@Rx composition."""
+        composition of scipy's lowercase (EXTRINSIC) 'zyx' convention:
+        fixed-axis z(a) then y(b) then x(c) ⇒ R = Rx(c) @ Ry(b) @ Rz(a)
+        (point3d_transformation.py:88)."""
         from light_redistribution_in_3dptf_data_pipeline_spark.queries.generators import (
             euler_zyx_matrix_cols,
         )
@@ -82,18 +113,31 @@ class TestRotations:
         rows = df.select("a", "b", "c",
                          *[v.alias(k) for k, v in cols.items()]).collect()
 
-        def rot(a, b, c):
-            az, ay, ax = np.radians([a, b, c])
-            Rz = np.array([[np.cos(az), -np.sin(az), 0],
-                           [np.sin(az), np.cos(az), 0], [0, 0, 1]])
-            Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
-                           [-np.sin(ay), 0, np.cos(ay)]])
-            Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)],
-                           [0, np.sin(ax), np.cos(ax)]])
-            return Rz @ Ry @ Rx
-
         for r in rows:
-            expected = rot(r.a, r.b, r.c)
+            expected = _extrinsic_zyx_np(r.a, r.b, r.c)
+            got = np.array([[r.r00, r.r01, r.r02],
+                            [r.r10, r.r11, r.r12],
+                            [r.r20, r.r21, r.r22]])
+            assert np.allclose(got, expected, atol=1e-12)
+
+    def test_euler_expressions_match_scipy(self, spark):
+        """Cross-check against scipy itself when available (the library
+        the reference calls at point3d_transformation.py:88)."""
+        scipy_rot = pytest.importorskip("scipy.spatial.transform")
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.generators import (
+            euler_zyx_matrix_cols,
+        )
+
+        df = spark.createDataFrame(
+            [(a, b, c) for a, b, c in
+             itertools.product([-20.0, -10.0, 0.0, 10.0, 20.0], repeat=3)],
+            "a DOUBLE, b DOUBLE, c DOUBLE")
+        cols = euler_zyx_matrix_cols(F.col("a"), F.col("b"), F.col("c"))
+        rows = df.select("a", "b", "c",
+                         *[v.alias(k) for k, v in cols.items()]).collect()
+        for r in rows:
+            expected = scipy_rot.Rotation.from_euler(
+                "zyx", [r.a, r.b, r.c], degrees=True).as_matrix()
             got = np.array([[r.r00, r.r01, r.r02],
                             [r.r10, r.r11, r.r12],
                             [r.r20, r.r21, r.r22]])
