@@ -26,21 +26,21 @@ HEADLINE = [
     "w4_running_total",
     "j1_fanout_broadcast_join",
     "j2_key_intersection_join",
-    "a1_group_collect_list",
-    "a4_descriptive_stats",
+    "a1_a2_collect_having",
+    "a4_a11_descriptive_stats",
     "a5_pricing_summary",
     "t2_topk",
     "t4_argmin_argmax",
     "s4_robot_program_parse",
     "f14_pose_grid_generator",
-    "tx2_quality_score",
+    "tx1_tx2_tx4_token_quality",
     "tx6_ngram_jaccard_neardup",
     "dx1_minhash_lsh_candidates",
     "dx3_embedding_cosine_neardup",
-    "sim2_cosine_topk",
-    "sim4_ivf_assign",
-    "w7_tumbling_window",
-    "x1_intersect_keys",
+    "sim1_sim2_cosine_topk",
+    "sim3_sim4_ivf_train_assign",
+    "w7_w8_time_windows",
+    "x1_x2_x3_setops",
 ]
 
 
@@ -60,7 +60,7 @@ def main() -> None:
         TABLES, load_table)
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
-    QUERIES["t5_head_sample"].builder(spark, SF_DIR).collect()
+    QUERIES["t3_t5_cast_order_sample"].builder(spark, SF_DIR).collect()
 
     per_query: dict[str, float] = {}
     total = 0.0

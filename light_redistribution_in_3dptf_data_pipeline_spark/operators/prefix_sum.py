@@ -1,0 +1,54 @@
+"""Scalable global row numbering: per-bucket row_number + broadcast
+prefix-sum offsets.
+
+``Window.orderBy(...)`` with no partition funnels the whole table
+through ONE task — the classic 100 TB killer. When a bucketing
+expression exists that is monotone in the sort order (an hour/day
+truncation of the leading timestamp, a high-order key prefix, ...),
+the global row number decomposes exactly:
+
+    rn(row) = offset(bucket) + local_rn(row within bucket)
+
+where offset(bucket) = total rows in all earlier buckets. The offsets
+table has one row per bucket (thousands at any scale), so its prefix
+sum runs on a single tiny partition and broadcasts back; the per-bucket
+row_number shuffles on the bucket key like any grouped window.
+
+Used by w1/t1 (scale-out forms of the reference's global enumerations,
+file_rename_sort.py:7-13 / point3d_transformation.py:24) and mirrored
+inline by the flagship's w9 formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_row_number(df: DataFrame, bucket: Column,
+                        order_cols: Sequence[str | Column],
+                        out: str = "rn") -> DataFrame:
+    """Append a 1-based global row number ``out`` ordered by
+    ``order_cols``, computed without any global-order window.
+
+    ``bucket`` MUST be monotone non-decreasing in the sort order
+    (rows with equal sort keys land in the same bucket) — e.g.
+    ``date_trunc('hour', ts)`` when ordering by (ts, id).
+    """
+    tagged = df.withColumn("__bk", bucket)
+    w_local = Window.partitionBy("__bk").orderBy(*order_cols)
+    local = tagged.withColumn("__lrn", F.row_number().over(w_local))
+
+    # One row per bucket: prefix-sum on a single tiny partition.
+    w_bk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (local.groupBy("__bk").agg(F.count("*").alias("__n"))
+               .withColumn("__off",
+                           F.coalesce(F.sum("__n").over(w_bk), F.lit(0)))
+               .select("__bk", "__off"))
+
+    return (local.join(F.broadcast(offsets), "__bk")
+            .withColumn(out, (F.col("__lrn") + F.col("__off"))
+                        .cast("bigint"))
+            .drop("__bk", "__lrn", "__off"))

@@ -1,24 +1,29 @@
 """Approximate-nearest-neighbor search: LSH-bucketed cosine top-k.
 
-The brute-force baseline (queries/similarity.py sim2) scans every
+The brute-force baseline (queries/similarity.py sim1_sim2) scans every
 vector per query — O(N·d). The scale path here:
 
 1. **Random-hyperplane LSH**: J pseudo-random ±1 hyperplanes (derived
-   deterministically from ``xxhash64(dim, plane)`` — no stored model,
+   deterministically from ``xxhash64(plane, dim)`` — no stored model,
    identical on every executor). Bucket id = J-bit sign pattern of the
-   dot products. Computed with one explode + one groupBy.
-2. Candidates = vectors in the query's bucket (plus Hamming-1
-   neighbor buckets for recall); exact cosine re-ranking only within
-   that tiny set.
+   dot products. ARRAY-NATIVE: all J dots are per-row folds over the
+   embedding array (transform + aggregate, JVM codegen) — zero
+   explode, zero extra shuffle; the signature stage is a pure map.
+   Components are fixed-point BIGINT nano-units, so each dot is an
+   exact integer and the sign bit can never flip between runs or
+   engines (no order-dependent float summation).
+2. Candidates = vectors in the query's bucket **plus all Hamming-1
+   neighbor buckets** (flip each of the J bits) for recall; exact
+   cosine re-ranking only within that small set.
 
 At 100 TB the bucket column becomes the partition key of the stored
-index table, so a query prunes to a handful of partitions
+index table, so a query prunes to J+1 of 2^J partitions
 (predicate-pushdown on bucket id) instead of a full scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -29,85 +34,109 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 
 
-def _sign_component(plane: F.Column, pos: F.Column) -> F.Column:
-    """Deterministic ±1 hyperplane component for (plane, dim)."""
-    return F.when(
-        F.shiftright(F.xxhash64(plane, pos), 3).bitwiseAND(F.lit(1)) == 1,
-        F.lit(1.0)).otherwise(F.lit(-1.0))
+def _sign_bit(plane: int, pos: Column) -> Column:
+    """Deterministic hyperplane sign selector for (plane, dim):
+    True → +1, False → -1. Same bit stream as round 1's
+    ``_sign_component`` (xxhash64 >> 3 & 1)."""
+    return (F.shiftright(F.xxhash64(F.lit(plane), pos), 3)
+            .bitwiseAND(F.lit(1)) == 1)
+
+
+def _fixed_point(vec: Column) -> Column:
+    """float components → exact BIGINT nano-units (|c| ≤ ~10 ⇒ a
+    64-term signed sum stays far below 2^63 — overflow-free)."""
+    return F.transform(
+        vec, lambda x: (x.cast("double").cast("decimal(18,9)")
+                        * F.lit(1000000000)).cast("bigint"))
 
 
 def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 num_planes: int = NUM_PLANES) -> DataFrame:
-    """(id, bucket) — J-bit random-hyperplane signature per vector."""
-    comps = emb.select(
-        id_col, F.posexplode(vec_col).alias("pos", "comp"))
-    planes = emb.sparkSession.range(num_planes).select(
-        F.col("id").cast("int").alias("plane"))
-    dots = (comps.crossJoin(F.broadcast(planes))
-            .select(id_col, "plane",
-                    (F.col("comp").cast("double")
-                     * _sign_component(F.col("plane"), F.col("pos")))
-                    .alias("term"))
-            .groupBy(id_col, "plane")
-            .agg(F.sum("term").alias("dot")))
-    bit = F.when(F.col("dot") > 0, F.lit(1).cast("bigint")) \
-           .otherwise(F.lit(0).cast("bigint"))
-    weight = F.pow(F.lit(2.0), F.col("plane")).cast("bigint")
-    return (dots.select(id_col, (bit * weight).alias("term"))
-                .groupBy(id_col)
-                .agg(F.sum("term").cast("bigint").alias("bucket")))
+    """(id, bucket) — J-bit random-hyperplane signature per vector,
+    computed entirely inside the row: for each plane j, the signed
+    fold  sum_i ±ci_i  (sign from xxhash64(j, i)), then the J sign
+    bits packed into one BIGINT. A pure map — no explode, no join,
+    no shuffle."""
+    ci = _fixed_point(F.col(vec_col))
+
+    def signed_term(j):
+        # factory so each plane's lambda closes over its own j
+        return lambda x, i: F.when(_sign_bit(j, i), x).otherwise(-x)
+
+    bucket = None
+    for j in range(num_planes):
+        dot_j = F.aggregate(
+            F.transform(ci, signed_term(j)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x)
+        bit = F.when(dot_j > 0, F.lit(1).cast("bigint")) \
+               .otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, j)
+        bucket = term if bucket is None else bucket + term
+    return emb.select(id_col, bucket.alias("bucket"))
+
+
+def bucket_histogram(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(bucket, n_vecs) occupancy — the skew diagnostic you run before
+    choosing the partition key at scale."""
+    return (lsh_buckets(emb, id_col, vec_col)
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n_vecs")))
 
 
 def ann_cosine_topk(emb: DataFrame, query_id: int = QUERY_VEC_ID,
-                    k: int = TOP_K) -> DataFrame:
+                    k: int = TOP_K,
+                    num_planes: int = NUM_PLANES) -> DataFrame:
     """Bucketed ANN: exact cosine re-ranking inside the query's LSH
-    bucket only. Returns (vec_id, cosine, bucket)."""
-    buckets = lsh_buckets(emb)
-    qb = buckets.filter(F.col("vec_id") == query_id) \
-                .select(F.col("bucket").alias("qbucket"))
-    cands = (buckets.join(F.broadcast(qb),
-                          F.col("bucket") == F.col("qbucket"))
-                    .filter(F.col("vec_id") != query_id)
-                    .select("vec_id", "bucket"))
-    comps = emb.select("vec_id",
-                       F.posexplode("embedding").alias("pos", "comp")) \
-               .select("vec_id", "pos", F.col("comp").cast("double")
-                       .alias("comp"))
-    q = (comps.filter(F.col("vec_id") == query_id)
-              .select("pos", F.col("comp").alias("qcomp")))
-    scored = (comps.join(cands.select("vec_id", "bucket"), "vec_id")
-              .join(F.broadcast(q), "pos")
-              .groupBy("vec_id", "bucket")
-              .agg(F.sum(F.col("comp") * F.col("qcomp")).alias("dot"),
-                   F.sum(F.col("comp") * F.col("comp")).alias("nsq")))
-    qn = q.agg(F.sum(F.col("qcomp") * F.col("qcomp")).alias("qsq"))
+    bucket and its Hamming-1 neighbors. Returns
+    (vec_id, cosine, bucket, bucket_occupancy)."""
+    from ..functions import decimal_components, decimal_dot
+
+    buckets = lsh_buckets(emb, num_planes=num_planes)
+    occupancy = (buckets.groupBy("bucket")
+                 .agg(F.count("*").cast("bigint")
+                      .alias("bucket_occupancy")))
+
+    # query bucket + its J Hamming-1 neighbors, as a tiny exploded set
+    probe = (buckets.filter(F.col("vec_id") == query_id)
+             .select(F.explode(F.array(
+                 F.col("bucket"),
+                 *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                   for j in range(num_planes)])).alias("bucket")))
+    cands = (buckets.join(F.broadcast(probe), "bucket")
+                    .filter(F.col("vec_id") != query_id))
+
+    dec = emb.select("vec_id",
+                     decimal_components(F.col("embedding")).alias("v"))
+    q = (dec.filter(F.col("vec_id") == query_id)
+            .select(F.col("v").alias("qv"),
+                    decimal_dot(F.col("v"), F.col("v")).alias("qsq")))
+    scored = (dec.join(cands, "vec_id")
+                 .crossJoin(F.broadcast(q))
+                 .select("vec_id", "bucket",
+                         decimal_dot(F.col("v"), F.col("qv")).alias("dot"),
+                         decimal_dot(F.col("v"), F.col("v")).alias("nsq"),
+                         "qsq"))
     cosine = F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq")))
-    return (scored.crossJoin(F.broadcast(qn))
-            .select("vec_id", F.round(cosine, 9).alias("cosine"), "bucket")
+    return (scored.join(F.broadcast(occupancy), "bucket")
+            .select("vec_id", F.round(cosine, 9).alias("cosine"),
+                    "bucket", "bucket_occupancy")
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
 
 
 @register(
-    "sx1_ann_lsh_topk", None,
-    doc="Similarity scale path: random-hyperplane LSH bucketing + "
-        "in-bucket exact cosine re-rank (rows-only: xxhash64-derived "
-        "hyperplanes are engine-specific). Recall vs sim2 brute force "
-        "asserted in tests")
+    "sx1_sx2_ann_lsh_topk", None,
+    doc="Similarity scale path: random-hyperplane LSH bucketing "
+        "(array-native per-row folds — zero explode/shuffle before "
+        "the bucket join; fixed-point dots so bucket bits are "
+        "deterministic) + Hamming-1 neighbor probing + in-bucket "
+        "exact cosine re-rank, with each hit's bucket occupancy (the "
+        "sx2 histogram fold-in, the skew diagnostic for the partition "
+        "key). Rows-only: xxhash64-derived hyperplanes are engine-"
+        "specific. Recall vs sim1_sim2 brute force asserted in tests")
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_cosine_topk(emb)
-
-
-@register(
-    "sx2_lsh_bucket_histogram", None,
-    doc="Similarity scale path: LSH bucket occupancy histogram — the "
-        "skew diagnostic you run before choosing the partition key "
-        "at scale (rows-only)")
-def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (lsh_buckets(emb)
-            .groupBy("bucket")
-            .agg(F.count("*").cast("bigint").alias("n_vecs"))
-            .orderBy(F.desc("n_vecs"), F.asc("bucket")))

@@ -10,19 +10,26 @@ from __future__ import annotations
 
 from .registry import QUERIES, Query, register  # noqa: F401
 
-# Import side-effect modules that populate the registry.
-from . import windows       # noqa: F401,E402
-from . import filters       # noqa: F401,E402
-from . import joins         # noqa: F401,E402
-from . import aggregates    # noqa: F401,E402
-from . import sorts         # noqa: F401,E402
-from . import setops        # noqa: F401,E402
-from . import scalars       # noqa: F401,E402
-from . import generators    # noqa: F401,E402
-from . import text          # noqa: F401,E402
-from . import similarity    # noqa: F401,E402
-from . import multimodal    # noqa: F401,E402
+# Import side-effect modules that populate the registry. ORDER MATTERS:
+# the driver verifies queries in registration order under a fixed
+# budget, so the flagship + Phase-6 (LLM-pipeline) surface registers
+# first and the per-operator relational inventory follows. Total
+# registered queries is kept ≤ 50 (the driver's verification window)
+# by folding related operators into composite queries — every SURVEY
+# §2 [Q] operator keeps a registered, oracle-checked home.
+from . import windows       # noqa: F401,E402  flagship + W*
+from . import generators    # noqa: F401,E402  F14/W5 + F13
+from . import text          # noqa: F401,E402  tx* (tokens/quality/dedup)
+from . import similarity    # noqa: F401,E402  sim*/dx3 (ANN/IVF)
+from . import multimodal    # noqa: F401,E402  mm* (binary columns)
 
 # Operator modules that register rows-only (non-SQL-expressible) queries.
 from ..operators import dedup as _op_dedup          # noqa: F401,E402
 from ..operators import similarity as _op_sim       # noqa: F401,E402
+
+from . import filters       # noqa: F401,E402  S1/S2 + P*
+from . import joins         # noqa: F401,E402  J*
+from . import aggregates    # noqa: F401,E402  A*
+from . import sorts         # noqa: F401,E402  T*
+from . import setops        # noqa: F401,E402  X*
+from . import scalars       # noqa: F401,E402  F* + S4/S7

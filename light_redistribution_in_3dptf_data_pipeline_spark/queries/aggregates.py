@@ -27,37 +27,27 @@ def _dec(col: str, scale: int = 2) -> F.Column:
 
 
 @register(
-    "a1_group_collect_list",
+    "a1_a2_collect_having",
     """
     SELECT l_orderkey,
-           string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_list
-    FROM lineitem
-    GROUP BY l_orderkey
-    """,
-    doc="A1: group + collect_list (handlehdrgen.py:14-21 paths per "
-        "pose); sorted + joined to a string so the value-hash is "
-        "order-insensitive")
-def group_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",")
-         .alias("line_list"))
-
-
-@register(
-    "a2_having_count",
-    """
-    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+           string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_list,
+           CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey
     HAVING count(*) >= 5
     """,
-    doc="A2: HAVING count>=k — complete-exposure-group filter "
-        "(handlehdrgen.py:25-27)")
-def having_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="A1+A2: group + collect_list (handlehdrgen.py:14-21 paths per "
+        "pose) with the HAVING count>=k complete-exposure-group filter "
+        "(handlehdrgen.py:25-27) in one grouped pass; the list is "
+        "sorted + joined to a string so the value-hash is "
+        "order-insensitive")
+def collect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_orderkey")
-              .agg(F.count("*").cast("bigint").alias("n_lines"))
+              .agg(F.array_join(F.sort_array(
+                       F.collect_list("l_linenumber")), ",")
+                    .alias("line_list"),
+                   F.count("*").cast("bigint").alias("n_lines"))
               .filter(F.col("n_lines") >= 5))
 
 
@@ -82,7 +72,7 @@ def vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a4_descriptive_stats",
+    "a4_a11_descriptive_stats",
     """
     WITH s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
@@ -92,18 +82,23 @@ def vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                AS sumsq_price,
              CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
-             CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+             CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+             CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
       FROM lineitem
     )
     SELECT n, sum_price, min_price, max_price,
            sum_price / n AS mean_price,
            sqrt(sumsq_price / n) AS rms_price,
            sqrt((sumsq_price - sum_price * sum_price / n) / n)
-             AS std_price
+             AS std_price,
+           median_qty
     FROM s
     """,
-    doc="A4: descriptive stats — mean/std/min/max/RMS from exact "
-        "decimal sums (extrinsic_calibration.py:216-226)")
+    doc="A4+A11: descriptive stats — mean/std/min/max/RMS from exact "
+        "decimal sums (extrinsic_calibration.py:216-226) plus the "
+        "exact interpolated median (:222), the one engine-difference "
+        "risk (interpolation arithmetic), in the same single-row "
+        "aggregate")
 def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = li.agg(
@@ -113,6 +108,8 @@ def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double").alias("sumsq_price"),
         F.min("l_extendedprice").cast("double").alias("min_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.expr("percentile(l_quantity, 0.5)").cast("double")
+         .alias("median_qty"),
     )
     return s.select(
         "n", "sum_price", "min_price", "max_price",
@@ -121,6 +118,7 @@ def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((F.col("sumsq_price")
                 - F.col("sum_price") * F.col("sum_price") / F.col("n"))
                / F.col("n")).alias("std_price"),
+        "median_qty",
     )
 
 
@@ -165,53 +163,51 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a6_minmax_ranges",
+    "a6_a7_ranges_mean_of_means",
     """
-    SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
-           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
-           CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
-           CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem
+    WITH ranges AS (
+      SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+             CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+             CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem
+    ), per_order AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS order_mean
+      FROM lineitem GROUP BY l_orderkey
+    ), mm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(order_mean AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS mean_of_means
+      FROM per_order
+    )
+    SELECT * FROM ranges, mm
     """,
-    doc="A6: global per-column ranges (calculate.py:30-52)")
-def minmax_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="A6+A7: global per-column ranges (calculate.py:30-52) and the "
+        "two-level mean-of-means aggregation — overall reprojection "
+        "error as mean of per-image means (camera_calib.py:104-113) — "
+        "cross-joined into one single-row result (both sides are one "
+        "row; the join is free). Inner mean re-stabilized to "
+        "DECIMAL(18,6) so the outer sum is exact")
+def ranges_mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    ranges = li.agg(
         F.min("l_quantity").cast("double").alias("min_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
         F.min("l_extendedprice").cast("double").alias("min_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
         F.count("*").cast("bigint").alias("n_rows"),
     )
-
-
-@register(
-    "a7_mean_of_means",
-    """
-    WITH per_order AS (
-      SELECT l_orderkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / count(*) AS order_mean
-      FROM lineitem GROUP BY l_orderkey
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(order_mean AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*) AS mean_of_means
-    FROM per_order
-    """,
-    doc="A7: two-level aggregation — overall reprojection error as mean "
-        "of per-image means (camera_calib.py:104-113); inner mean "
-        "re-stabilized to DECIMAL(18,6) so the outer sum is exact")
-def mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
         .alias("order_mean"))
-    return per_order.agg(
+    mm = per_order.agg(
         F.count("*").cast("bigint").alias("n_orders"),
         (F.sum(F.col("order_mean").cast("decimal(18,6)")).cast("double")
          / F.count("*")).alias("mean_of_means"))
+    return ranges.crossJoin(mm)
 
 
 @register(
@@ -268,21 +264,6 @@ def cube_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
-
-
-@register(
-    "a11_median_exact",
-    """
-    SELECT CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
-    FROM lineitem
-    """,
-    doc="A4-median: exact interpolated median, isolated in its own "
-        "query because interpolation arithmetic is the one engine-"
-        "difference risk (extrinsic_calibration.py:222)")
-def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.expr("percentile(l_quantity, 0.5)")
-                   .cast("double").alias("median_qty"))
 
 
 @register(

@@ -34,7 +34,7 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s2_glob_filtered_views",
+    "s2_p1_glob_suffix_views",
     """
     WITH files AS (
       SELECT printf('%d_%d.JPG', l_orderkey, l_linenumber) AS fname
@@ -45,14 +45,20 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'all' AS view_name, CAST(count(*) AS BIGINT) AS n_files
     FROM files
+    UNION ALL
+    SELECT 'suffix' AS view_name, CAST(count(*) AS BIGINT) AS n_files
+    FROM documents WHERE source LIKE '%1'
     """,
-    doc="S2: glob scan with pattern — the reference's two filtered "
+    doc="S2+P1: glob scan with pattern — the reference's two filtered "
         "views of one image dir, glob('*_0*.JPG') for detection frames "
-        "vs glob('*.JPG') for all (act_img.py:267-268). On Spark the "
-        "pattern is a pathGlobFilter at listing time (pruned before "
-        "any read) or an rlike predicate on the derived name column")
-def glob_filtered_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+        "vs glob('*.JPG') for all (act_img.py:267-268) — plus the bare "
+        "suffix predicate, the '.JPG' endswith filter "
+        "(point3d_transformation.py:20). On Spark the glob is a "
+        "pathGlobFilter at listing time (pruned before any read) or an "
+        "rlike/endswith predicate on the derived name column")
+def glob_suffix_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
     files = li.select(F.format_string("%d_%d.JPG", "l_orderkey",
                                       "l_linenumber").alias("fname"))
     detect = (files.filter(F.col("fname").rlike(r"_1\.JPG$"))
@@ -60,64 +66,48 @@ def glob_filtered_views(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select(F.lit("detect").alias("view_name"), "n_files"))
     all_v = (files.agg(F.count("*").cast("bigint").alias("n_files"))
                   .select(F.lit("all").alias("view_name"), "n_files"))
-    return detect.unionByName(all_v)
+    suffix = (docs.filter(F.col("source").endswith("1"))
+                  .agg(F.count("*").cast("bigint").alias("n_files"))
+                  .select(F.lit("suffix").alias("view_name"), "n_files"))
+    return detect.unionByName(all_v).unionByName(suffix)
 
 
 @register(
-    "p1_suffix_predicate",
-    """
-    SELECT doc_id, source
-    FROM documents
-    WHERE source LIKE '%1'
-    """,
-    doc="P1: suffix predicate, the '.JPG' filter analog "
-        "(point3d_transformation.py:20)")
-def suffix_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(F.col("source").endswith("1")).select("doc_id", "source")
-
-
-@register(
-    "p3_index_anti_filter",
+    "p3_p4_p5_predicate_views",
     f"""
-    SELECT o_orderkey, o_orderstatus
+    SELECT 'p3_anti' AS pred, o_orderkey AS key_id
     FROM orders
     WHERE o_orderkey NOT IN {EXCLUDED_KEYS}
-    """,
-    doc="P3: anti-filter on the literal missing-index list "
-        "(point3d_transformation.py:129-135)")
-def index_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (orders.filter(~F.col("o_orderkey").isin(list(EXCLUDED_KEYS)))
-                  .select("o_orderkey", "o_orderstatus"))
-
-
-@register(
-    "p4_range_predicate",
-    """
-    SELECT l_orderkey, l_linenumber, l_quantity
+    UNION ALL
+    SELECT 'p4_range' AS pred, l_orderkey * 10 + l_linenumber AS key_id
     FROM lineitem
     WHERE l_quantity BETWEEN 10 AND 20
-    """,
-    doc="P4: numeric bounds check (point3d_transformation.py:155)")
-def range_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_quantity").between(10, 20))
-              .select("l_orderkey", "l_linenumber", "l_quantity"))
-
-
-@register(
-    "p5_dimension_predicate",
-    """
-    SELECT p_partkey, p_size
+    UNION ALL
+    SELECT 'p5_dim' AS pred, p_partkey AS key_id
     FROM part
     WHERE p_size = 25
     """,
-    doc="P5: exact-dimension predicate, the 800x800 filter analog "
-        "(cut600.py:25-27)")
-def dimension_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="P3+P4+P5 union-tagged predicate views: index anti-filter on "
+        "the literal missing-pose list "
+        "(point3d_transformation.py:129-135), numeric bounds check "
+        "(point3d_transformation.py:155), and the exact-dimension "
+        "800x800 filter analog (cut600.py:25-27). Each branch is a "
+        "pushed-down parquet predicate; the union is plan-parallel")
+def predicate_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    return part.filter(F.col("p_size") == 25).select("p_partkey", "p_size")
+    p3 = (orders.filter(~F.col("o_orderkey").isin(list(EXCLUDED_KEYS)))
+                .select(F.lit("p3_anti").alias("pred"),
+                        F.col("o_orderkey").alias("key_id")))
+    p4 = (li.filter(F.col("l_quantity").between(10, 20))
+            .select(F.lit("p4_range").alias("pred"),
+                    (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                    .alias("key_id")))
+    p5 = (part.filter(F.col("p_size") == 25)
+              .select(F.lit("p5_dim").alias("pred"),
+                      F.col("p_partkey").alias("key_id")))
+    return p3.unionByName(p4).unionByName(p5)
 
 
 @register(

@@ -94,36 +94,40 @@ def positional_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j4_anti_join",
+    "j4_j6_semi_anti_join",
     """
-    SELECT c.c_custkey, c.c_name
+    WITH urgent AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'semi' AS side, c.c_custkey, c.c_name
     FROM customer c
-    ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+    SEMI JOIN urgent u ON u.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'anti' AS side, c.c_custkey, c.c_name
+    FROM customer c
+    ANTI JOIN urgent u ON u.o_custkey = c.c_custkey
     """,
-    doc="J4: anti-join — customers with no orders "
-        "(point3d_transformation.py:133-135 exclude missing)")
-def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="J4+J6: existence semi-join and its anti complement against a "
+        "FILTERED probe (urgent orders) so both branches are non-empty "
+        "and the result partitions the customer table exactly "
+        "(point3d_transformation.py:133-135 exclude-missing; "
+        ":149-156 process-if-present). Semi/anti never materialize "
+        "the probe payload; at scale the filtered probe side is "
+        "broadcast-sized")
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
-                          "left_anti")
-                    .select("c_custkey", "c_name"))
-
-
-@register(
-    "j6_semi_join",
-    """
-    SELECT c.c_custkey, c.c_name
-    FROM customer c
-    SEMI JOIN orders o ON o.o_custkey = c.c_custkey
-    """,
-    doc="J6: existence semi-join (point3d_transformation.py:149-156)")
-def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                    .select("o_custkey"))
+    semi = (customer.join(urgent, customer.c_custkey == urgent.o_custkey,
                           "left_semi")
-                    .select("c_custkey", "c_name"))
+                    .select(F.lit("semi").alias("side"),
+                            "c_custkey", "c_name"))
+    anti = (customer.join(urgent, customer.c_custkey == urgent.o_custkey,
+                          "left_anti")
+                    .select(F.lit("anti").alias("side"),
+                            "c_custkey", "c_name"))
+    return semi.unionByName(anti)
 
 
 @register(

@@ -36,36 +36,28 @@ def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm1_decode_corner_extract", None,
-    doc="Multimodal: binary column → mapInPandas decode + corner "
-        "extraction (U3) → relational post-filter on n_vertices (P6). "
-        "Decoder is the injectable fake; batching/schema/partitioning "
-        "are the production path (rows-only: UDF stage)")
-def decode_corner_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "mm1_mm2_decode_crop_pipeline", None,
+    doc="Multimodal pipeline: binary column → mapInPandas decode + "
+        "corner extraction (U3) → relational post-filter on "
+        "n_vertices (P6), joined with the binary-in/binary-out crop "
+        "UDF (U9, the 800→640 center crop) and its byte accounting — "
+        "decode, feature-extract and resize stages of a media "
+        "dataset build in one declared result. Decoder is the "
+        "injectable fake; batching/schema/partitioning are the "
+        "production path (rows-only: UDF stages)")
+def decode_crop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = _binary_corpus(spark, sf_dir)
     corners = extract_corners(files)
-    return (corners.filter(F.col("n_vertices") == 4)
+    quad = (corners.filter(F.col("n_vertices") == 4)
             .select("path", "n_vertices",
                     F.round(F.aggregate(
                         F.transform("corners", lambda c: c["u"]),
                         F.lit(0.0), lambda a, x: a + x) / 4.0, 6)
-                    .alias("mean_u"))
+                    .alias("mean_u")))
+    cropped = center_crop(files, out_frac=0.75).select(
+        "path", "width", "height",
+        F.length("content").cast("bigint").alias("n_bytes"))
+    return (quad.join(cropped, "path")
+            .select("path", "n_vertices", "mean_u",
+                    "width", "height", "n_bytes")
             .orderBy("path"))
-
-
-@register(
-    "mm2_center_crop_stats", None,
-    doc="Multimodal: binary-in/binary-out crop UDF (U9, the 800→640 "
-        "center crop) + per-source byte accounting — the sink-side "
-        "shape audit you run before writing a media dataset "
-        "(rows-only: UDF stage)")
-def center_crop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    files = _binary_corpus(spark, sf_dir)
-    cropped = center_crop(files, out_frac=0.75)
-    return (cropped.select(
-                "path", "width", "height",
-                F.length("content").cast("bigint").alias("n_bytes"))
-            .groupBy("width", "height")
-            .agg(F.count("*").cast("bigint").alias("n_images"),
-                 F.sum("n_bytes").cast("bigint").alias("total_bytes"))
-            .orderBy("width", "height"))

@@ -14,39 +14,31 @@ from .registry import register
 
 
 @register(
-    "f1_split_part",
+    "f1_f3_filename_roundtrip",
     """
-    SELECT split_part(p_name, ' ', 1) AS first_word,
-           CAST(count(*) AS BIGINT) AS n
-    FROM part
-    GROUP BY 1
+    WITH named AS (
+      SELECT l_orderkey, l_linenumber,
+             printf('%d_%d.JPG', l_orderkey, l_linenumber) AS fname
+      FROM lineitem
+      WHERE l_orderkey <= 200
+    )
+    SELECT l_orderkey, l_linenumber, fname,
+           CAST(split_part(fname, '_', 1) AS BIGINT) AS parsed_stem
+    FROM named
     """,
-    doc="F1: split + element_at — stem.split('_')[0] pose-id derivation "
-        "(act_img.py:169)")
-def split_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    return (part.select(F.split_part("p_name", F.lit(" "), F.lit(1))
-                         .alias("first_word"))
-                .groupBy("first_word")
-                .agg(F.count("*").cast("bigint").alias("n")))
-
-
-@register(
-    "f3_format_string",
-    """
-    SELECT l_orderkey, l_linenumber,
-           printf('%d_%d.JPG', l_orderkey, l_linenumber) AS fname
-    FROM lineitem
-    WHERE l_orderkey <= 200
-    """,
-    doc="F3: filename formatting f'{group}_{num}.JPG' "
-        "(file_rename_sort.py:12)")
-def format_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="F3+F1+F4: filename formatting f'{group}_{num}.JPG' "
+        "(file_rename_sort.py:12) immediately re-parsed with "
+        "split+element_at+cast — the stem.split('_')[0] pose-id "
+        "derivation (act_img.py:169) — so the roundtrip is checked "
+        "end-to-end")
+def filename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    fname = F.format_string("%d_%d.JPG", "l_orderkey", "l_linenumber")
     return (li.filter(F.col("l_orderkey") <= 200)
-              .select("l_orderkey", "l_linenumber",
-                      F.format_string("%d_%d.JPG", "l_orderkey",
-                                      "l_linenumber").alias("fname")))
+              .select("l_orderkey", "l_linenumber", fname.alias("fname"))
+              .withColumn("parsed_stem",
+                          F.split_part("fname", F.lit("_"), F.lit(1))
+                           .cast("bigint")))
 
 
 @register(

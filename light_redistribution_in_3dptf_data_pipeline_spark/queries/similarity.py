@@ -6,13 +6,22 @@ in both engines), dot products and norms are then *exact* decimal sums
 — order-independent — and the final cosine is one identical double
 expression. No tolerance needed.
 
+Everything here is ARRAY-NATIVE: no posexplode anywhere. Per-vector
+quantities are folds over the embedding array inside the row
+(zip_with/aggregate, JVM codegen); per-label centroid sums are ONE wide
+aggregate with d=64 sum columns (the MinHash wide-aggregate pattern,
+operators/dedup.py) — so the only shuffles are the groupBys on N rows,
+never on N·d component rows.
+
 The LSH-bucketed scale path (random-hyperplane signatures) lives in
 ``operators/similarity.py`` and is rows-only checked.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -20,32 +29,7 @@ from .registry import register
 
 QUERY_VEC_ID = 0
 TOP_K = 10
-
-
-@register(
-    "sim1_l2_norms",
-    """
-    WITH comps AS (
-      SELECT vec_id,
-             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS comp
-      FROM embeddings
-    )
-    SELECT vec_id,
-           round(sqrt(CAST(sum(comp * comp) AS DOUBLE)), 12) AS l2_norm
-    FROM comps
-    GROUP BY vec_id
-    """,
-    doc="Similarity: per-vector L2 norm via exact decimal sum of "
-        "squares (F9 at array scale)")
-def l2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    comps = emb.select(
-        "vec_id",
-        F.explode("embedding").alias("comp_raw")
-    ).select("vec_id", F.col("comp_raw").cast("double").cast("decimal(18,9)").alias("comp"))
-    return comps.groupBy("vec_id").agg(
-        F.round(F.sqrt(F.sum(F.col("comp") * F.col("comp"))
-                        .cast("double")), 12).alias("l2_norm"))
+DIMS = 64  # embeddings fixture dimensionality (TESTDATA.md)
 
 
 COSINE_TOPK_ORACLE = f"""
@@ -66,7 +50,8 @@ WITH comps AS (
 ), qn AS (
   SELECT CAST(sum(qcomp * qcomp) AS DOUBLE) AS qsq FROM q
 )
-SELECT vec_id, round(dot / (sqrt(nsq) * sqrt(qsq)), 12) AS cosine
+SELECT vec_id, round(dot / (sqrt(nsq) * sqrt(qsq)), 12) AS cosine,
+       round(sqrt(nsq), 12) AS l2_norm
 FROM dots, qn
 ORDER BY round(dot / (sqrt(nsq) * sqrt(qsq)), 12) DESC, vec_id
 LIMIT {TOP_K}
@@ -74,14 +59,18 @@ LIMIT {TOP_K}
 
 
 @register(
-    "sim2_cosine_topk",
+    "sim1_sim2_cosine_topk",
     COSINE_TOPK_ORACLE,
     doc="Similarity: brute-force cosine top-k against a query vector — "
-        "the ANN baseline. Array-native plan: ONE scan of the big side "
-        "with the query vector broadcast beside it, the 64-term dot "
-        "product as an exact decimal fold per row, then "
-        "TakeOrderedAndProject for the top-k. No component explode, no "
-        "groupBy — the plan a 100 TB brute-force pass wants")
+        "the ANN baseline — with each hit's L2 norm (the per-vector "
+        "norm operator, F9 at array scale) in the same result. "
+        "Array-native plan: ONE scan of the big side with the query "
+        "vector AND its precomputed norm broadcast beside it (qsq is "
+        "hoisted into the one-row broadcast side, not refolded per "
+        "row), the 64-term dot product as an exact decimal fold per "
+        "row, then TakeOrderedAndProject for the top-k. No component "
+        "explode, no groupBy — the plan a 100 TB brute-force pass "
+        "wants")
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import decimal_components, decimal_dot
 
@@ -89,16 +78,19 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = emb.select("vec_id",
                      decimal_components(F.col("embedding")).alias("v"))
     q = (dec.filter(F.col("vec_id") == QUERY_VEC_ID)
-            .select(F.col("v").alias("qv")))
+            .select(F.col("v").alias("qv"),
+                    decimal_dot(F.col("v"), F.col("v")).alias("qsq")))
     scored = (dec.filter(F.col("vec_id") != QUERY_VEC_ID)
                  .crossJoin(F.broadcast(q))
                  .select("vec_id",
                          decimal_dot(F.col("v"), F.col("qv")).alias("dot"),
                          decimal_dot(F.col("v"), F.col("v")).alias("nsq"),
-                         decimal_dot(F.col("qv"), F.col("qv")).alias("qsq")))
+                         "qsq"))
     cosine = F.round(F.col("dot")
                      / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 12)
-    return (scored.select("vec_id", cosine.alias("cosine"))
+    return (scored.select("vec_id", cosine.alias("cosine"),
+                          F.round(F.sqrt(F.col("nsq")), 12)
+                           .alias("l2_norm"))
                   .orderBy(F.desc("cosine"), F.asc("vec_id"))
                   .limit(TOP_K))
 
@@ -171,11 +163,13 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .limit(NEARDUP_TOP_PAIRS))
 
 
-# Fixed-point trick for sim4: comp → integer nano-units (exact BIGINT),
-# centroid = per-(label,pos) SUM of those (exact BIGINT), vector·centroid
-# = sum of DECIMAL(19,0) products (exact DECIMAL(38,0)). Both engines do
-# identical integer arithmetic; the only float op is one final division.
-SIM4_ORACLE = """
+# Fixed-point trick (shared by the Spark plan and the oracle): comp →
+# integer nano-units (exact BIGINT), centroid component = per-label SUM
+# of those (exact BIGINT), vector·centroid = sum of DECIMAL(19,0)
+# products (exact DECIMAL(38,0)). Both engines do identical integer
+# arithmetic; the only float ops are one final division + sqrt,
+# identical expressions on both sides.
+SIM34_ORACLE = """
 WITH comps AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) AS pos,
@@ -187,6 +181,13 @@ WITH comps AS (
          CAST(sum(ci) AS BIGINT) AS csum,
          CAST(count(*) AS BIGINT) AS nv
   FROM comps GROUP BY label, pos
+), cmeta AS (
+  SELECT clabel,
+         CAST(max(nv) AS BIGINT) AS n_vecs,
+         round(sqrt(CAST(sum(CAST(csum AS DECIMAL(19,0))
+                              * CAST(csum AS DECIMAL(19,0))) AS DOUBLE))
+               / (max(nv) * 1000000000.0), 9) AS centroid_norm
+  FROM cent GROUP BY clabel
 ), scored AS (
   SELECT c.vec_id, t.clabel,
          CAST(sum(CAST(c.ci AS DECIMAL(19,0))
@@ -200,80 +201,75 @@ WITH comps AS (
                             ORDER BY score DESC, clabel) AS rn
   FROM scored
 )
-SELECT vec_id, CAST(clabel AS BIGINT) AS assigned_label,
-       round(score, 9) AS score
-FROM ranked WHERE rn = 1
+SELECT r.vec_id, CAST(r.clabel AS BIGINT) AS assigned_label,
+       round(r.score, 9) AS score, m.n_vecs, m.centroid_norm
+FROM ranked r JOIN cmeta m ON m.clabel = r.clabel
+WHERE r.rn = 1
 """
 
 
 @register(
-    "sim4_ivf_assign",
-    SIM4_ORACLE,
-    doc="Similarity/IVF: assign every vector to its nearest coarse "
-        "centroid (mean-dot argmax) — the IVF probe step. Centroids "
-        "are a tiny broadcast side (n_labels × dims); the big side "
-        "streams through one groupBy, so the assignment is a single "
-        "shuffle at any scale. Fixed-point integer arithmetic keeps "
-        "Spark and DuckDB bit-identical")
-def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "sim3_sim4_ivf_train_assign",
+    SIM34_ORACLE,
+    doc="Similarity/IVF train + assign in one result: per-label "
+        "centroid statistics (the coarse-quantizer training step — "
+        "vector count and centroid norm) joined onto every vector's "
+        "nearest-centroid assignment (mean-dot argmax, the IVF probe "
+        "step). Array-native at both stages: centroid sums are ONE "
+        "wide aggregate with d=64 BIGINT sum columns over the N input "
+        "rows (no posexplode, no N·d component shuffle — the MinHash "
+        "wide-aggregate pattern), assignment broadcasts the tiny "
+        "L-row centroid table and folds the dot product per (vector, "
+        "centroid) row with map-side max_by partial aggregation, so "
+        "the only shuffles are N-row groupBys. Fixed-point integer "
+        "arithmetic keeps Spark and DuckDB bit-identical")
+def ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    comps = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "c")
-    ).select(
-        "vec_id", "label", "pos",
-        (F.col("c").cast("double").cast("decimal(18,9)")
-         * F.lit(1000000000)).cast("bigint").alias("ci"))
-    cent = (comps.groupBy(F.col("label").alias("clabel"), "pos")
-                 .agg(F.sum("ci").cast("bigint").alias("csum"),
-                      F.count("*").cast("bigint").alias("nv")))
-    prod = (F.col("ci").cast("decimal(19,0)")
-            * F.col("csum").cast("decimal(19,0)"))
-    scored = (comps.join(F.broadcast(cent), "pos")
-              .groupBy("vec_id", "clabel")
-              .agg((F.sum(prod).cast("double")
-                    / (F.max("nv") * F.lit(1e18))).alias("score")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("clabel"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select("vec_id",
-                          F.col("clabel").cast("bigint")
-                           .alias("assigned_label"),
-                          F.round("score", 9).alias("score")))
+    # per-vector fixed-point component array (nano-units, exact BIGINT)
+    ci = F.transform(
+        "embedding",
+        lambda x: (x.cast("double").cast("decimal(18,9)")
+                   * F.lit(1000000000)).cast("bigint"))
+    vecs = emb.select("vec_id", "label", ci.alias("ci"))
 
-
-@register(
-    "sim3_label_centroid_dot",
-    """
-    WITH comps AS (
-      SELECT e.label, e.vec_id,
-             generate_subscripts(e.embedding, 1) AS pos,
-             CAST(CAST(unnest(e.embedding) AS DOUBLE) AS DECIMAL(18,9)) AS comp
-      FROM embeddings e
-    ), cent AS (
-      SELECT label, pos,
-             CAST(count(*) AS BIGINT) AS nv,
-             CAST(sum(comp) AS DOUBLE) / count(*) AS c
-      FROM comps GROUP BY label, pos
-    )
-    SELECT label,
-           CAST(max(nv) AS BIGINT) AS n_vecs,
-           round(sqrt(sum(c * c)), 9) AS centroid_norm
-    FROM cent
-    GROUP BY label
-    """,
-    doc="Similarity/IVF: per-label centroid (the coarse-quantizer "
-        "training step of an IVF index) + its norm; centroid sums are "
-        "decimal-exact, the 64-term norm sum is rounded to 9 dp")
-def label_centroid_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    comps = emb.select("label", "vec_id",
-                       F.posexplode("embedding").alias("pos", "comp_raw")) \
-               .select("label", "pos",
-                       F.col("comp_raw").cast("double").cast("decimal(18,9)").alias("comp"))
-    cent = comps.groupBy("label", "pos").agg(
-        F.count("*").cast("bigint").alias("nv"),
-        (F.sum("comp").cast("double") / F.count("*")).alias("c"))
-    return cent.groupBy("label").agg(
-        F.max("nv").cast("bigint").alias("n_vecs"),
-        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 9)
+    # IVF train: one wide aggregate — d BIGINT sums + the count.
+    sums = [F.sum(F.element_at("ci", i + 1)).cast("bigint")
+             .alias(f"c{i}") for i in range(DIMS)]
+    wide = vecs.groupBy(F.col("label").alias("clabel")).agg(
+        *sums, F.count("*").cast("bigint").alias("nv"))
+    sumsq = reduce(
+        lambda acc, i: acc + (F.col(f"c{i}").cast("decimal(19,0)")
+                              * F.col(f"c{i}").cast("decimal(19,0)")),
+        range(1, DIMS),
+        F.col("c0").cast("decimal(19,0)") * F.col("c0").cast("decimal(19,0)"))
+    cent = wide.select(
+        "clabel", "nv",
+        F.array(*[F.col(f"c{i}") for i in range(DIMS)]).alias("csum"),
+        F.round(F.sqrt(sumsq.cast("double"))
+                / (F.col("nv") * F.lit(1000000000.0)), 9)
          .alias("centroid_norm"))
+
+    # IVF assign: broadcast the L-row centroid table; dot = exact
+    # decimal fold over zip_with(ci, csum); argmax via max_by with a
+    # (score, -clabel) struct so score ties break to the smaller label.
+    dot = F.aggregate(
+        F.zip_with("ci", "csum",
+                   lambda x, y: (x.cast("decimal(19,0)")
+                                 * y.cast("decimal(19,0)"))
+                   .cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, p: (acc + p).cast("decimal(38,0)"))
+    scored = (vecs.crossJoin(F.broadcast(cent))
+              .select("vec_id", "clabel", "nv", "centroid_norm",
+                      (dot.cast("double") / (F.col("nv") * F.lit(1e18)))
+                      .alias("score")))
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(F.struct("clabel", "score", "nv", "centroid_norm"),
+                 F.struct(F.col("score"), (-F.col("clabel")).alias("nc")))
+         .alias("b"))
+    return best.select(
+        "vec_id",
+        F.col("b.clabel").cast("bigint").alias("assigned_label"),
+        F.round("b.score", 9).alias("score"),
+        F.col("b.nv").alias("n_vecs"),
+        F.col("b.centroid_norm"))

@@ -26,14 +26,19 @@ from .registry import register
     """,
     doc="T1: global sort by timestamp, materialized as a rank column "
         "so the hash check captures the order "
-        "(point3d_transformation.py:24)")
+        "(point3d_transformation.py:24). Scale-out form: rank = "
+        "per-hour-bucket row_number + broadcast prefix-sum offsets "
+        "(operators/prefix_sum.py), then a range-partitioned orderBy "
+        "for the output order — no single-task global window")
 def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix_sum import bucketed_row_number
+
     events = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return (events.select("event_id", "ts",
-                          F.row_number().over(w).cast("bigint")
-                           .alias("time_rank"))
-                  .orderBy("time_rank"))
+    numbered = bucketed_row_number(
+        events, F.date_trunc("hour", F.col("ts")), ["ts", "event_id"],
+        out="time_rank")
+    return (numbered.select("event_id", "ts", "time_rank")
+                    .orderBy("time_rank"))
 
 
 @register(
@@ -55,16 +60,24 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t3_min_by_cast",
+    "t3_t5_cast_order_sample",
     """
-    SELECT CAST(min(CAST(doc_id AS BIGINT)) AS BIGINT) AS first_key
+    SELECT CAST(doc_id AS BIGINT) AS key_num, source
     FROM documents
+    ORDER BY CAST(doc_id AS BIGINT)
+    LIMIT 20
     """,
-    doc="T3: numerically-first key (calculate.py:56 sorted(keys,key=int)[0])")
-def min_by_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="T3+T5: deterministic head sample under *numeric* key order — "
+        "the first row is the numerically-first key "
+        "(calculate.py:56 sorted(keys,key=int)[0]) and the 20-row "
+        "limit is the first-20-poses PnP init sample "
+        "(extrinsic_calibration.py:41-42); plans as "
+        "TakeOrderedAndProject, no global sort")
+def cast_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.agg(F.min(F.col("doc_id").cast("bigint")).cast("bigint")
-                     .alias("first_key"))
+    return (docs.select(F.col("doc_id").cast("bigint").alias("key_num"),
+                        "source")
+                .orderBy("key_num").limit(20))
 
 
 @register(
@@ -90,17 +103,3 @@ def argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("l_partkey", key).alias("priciest_part"))
 
 
-@register(
-    "t5_head_sample",
-    """
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_orderkey
-    LIMIT 20
-    """,
-    doc="T5: deterministic head sample — first-20-poses PnP init "
-        "(extrinsic_calibration.py:41-42)")
-def head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (orders.select("o_orderkey", "o_totalprice")
-                  .orderBy("o_orderkey").limit(20))

@@ -20,64 +20,53 @@ JACCARD_THRESHOLD = 0.35
 
 
 @register(
-    "tx1_token_stats",
-    """
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-             AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_len,
-           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
-    FROM documents
-    """,
-    doc="Text: token counting (whitespace tokenizer) + char stats — "
-        "the token-count operator of an LLM data pipeline")
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_len"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-         .cast("bigint").alias("n_nonspace"),
-    )
-
-
-@register(
-    "tx2_quality_score",
+    "tx1_tx2_tx4_token_quality",
     f"""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              string_split_regex(trim(text), '\\s+') AS toks
       FROM documents
     ), c AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(len(toks) AS BIGINT) AS n_tokens,
              CAST(len(list_filter(toks,
                   x -> x IN {STOPWORDS})) AS BIGINT) AS n_stop
       FROM t
     )
     SELECT doc_id, n_tokens, n_stop,
+           CAST(length(text) AS BIGINT) AS n_chars_len,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
-           CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 AS quality_pass
+           CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 AS quality_pass,
+           substr(md5(lower(text)), 1, 16) AS fingerprint
     FROM c
     """,
-    doc="Text: quality scoring — stopword-ratio feature + threshold "
-        "gate (LLM-pipeline quality filter)")
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="Text per-doc pass: token counting (whitespace tokenizer) + "
+        "char stats, quality scoring (stopword-ratio feature + "
+        "threshold gate), and document fingerprinting "
+        "(normalized-content digest prefix as a compact join/dedup "
+        "key) — the per-document feature extraction of an LLM data "
+        "pipeline in ONE scan; all counting integer-exact")
+def token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    t = docs.select("doc_id", toks.alias("toks"))
-    c = t.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_tokens"),
-        F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+    c = docs.select(
+        "doc_id", "text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
          .cast("bigint").alias("n_stop"),
     )
     ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    return c.select("doc_id", "n_tokens", "n_stop",
-                    ratio.alias("stopword_ratio"),
-                    (ratio >= 0.02).alias("quality_pass"))
+    return c.select(
+        "doc_id", "n_tokens", "n_stop",
+        F.length("text").cast("bigint").alias("n_chars_len"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+         .cast("bigint").alias("n_nonspace"),
+        ratio.alias("stopword_ratio"),
+        (ratio >= 0.02).alias("quality_pass"),
+        F.substring(F.md5(F.lower(F.col("text")).cast("binary")), 1, 16)
+         .alias("fingerprint"),
+    )
 
 
 @register(
@@ -98,23 +87,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .alias("content_hash"))
                 .agg(F.count("*").cast("bigint").alias("n_copies"),
                      F.min("doc_id").cast("bigint").alias("keep_doc_id")))
-
-
-@register(
-    "tx4_doc_fingerprint",
-    """
-    SELECT doc_id,
-           substr(md5(lower(text)), 1, 16) AS fingerprint
-    FROM documents
-    """,
-    doc="Text: document fingerprinting — normalized-content digest "
-        "prefix as a compact join/dedup key")
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.substring(F.md5(F.lower(F.col("text")).cast("binary")), 1, 16)
-         .alias("fingerprint"))
 
 
 @register(

@@ -192,12 +192,19 @@ register("w9_missing_pose_scalable", MISSING_POSE_ORACLE,
     FROM events
     """,
     doc="W1/W2+F7: enumerate by time, i//5 group, i%5 slot "
-        "(file_rename_sort.py:7-13)")
+        "(file_rename_sort.py:7-13). Scale-out form: the global "
+        "enumeration is per-hour-bucket row numbers + broadcast "
+        "prefix-sum offsets (operators/prefix_sum.py) — no "
+        "global-order window anywhere in the plan; same oracle as "
+        "the naive formulation")
 def rownumber_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix_sum import bucketed_row_number
+
     events = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    rn = F.row_number().over(w).cast("bigint")
-    return events.select(
+    numbered = bucketed_row_number(
+        events, F.date_trunc("hour", F.col("ts")), ["ts", "event_id"])
+    rn = F.col("rn")
+    return numbered.select(
         "event_id",
         rn.alias("rn"),
         F.floor((rn - 1) / F.lit(GROUP_SIZE)).cast("bigint").alias("gid"),
@@ -206,23 +213,33 @@ def rownumber_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w3_lead_lag_user_sessions",
+    "w3_w6_lag_rank",
     """
     SELECT event_id, user_id, ts,
            CAST(date_diff('microsecond',
                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                ts) AS DOUBLE) / 1000000.0 AS since_prev_s
+                ts) AS DOUBLE) / 1000000.0 AS since_prev_s,
+           CAST(rank() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_id) AS BIGINT)
+             AS value_rank
     FROM events
     """,
-    doc="W3/J5: per-user adjacent-event time delta via lag() "
-        "(point3d_transformation.py:37-43)")
-def lead_lag_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="W3/J5 + W6: per-user adjacent-event time delta via lag() "
+        "(point3d_transformation.py:37-43) and per-user desc ranking "
+        "(extrinsic_calibration.py:237 worst-pose rank) in one "
+        "partitioned-window pass; the unique event_id tie-break makes "
+        "ranks deterministic")
+def lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    delta_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                                  F.asc("event_id"))
+    delta_us = (F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w_lag)))
     return events.select(
         "event_id", "user_id", "ts",
         (delta_us.cast("double") / F.lit(1000000.0)).alias("since_prev_s"),
+        F.rank().over(w_rank).cast("bigint").alias("value_rank"),
     )
 
 
@@ -252,75 +269,54 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w7_tumbling_window",
+    "w7_w8_time_windows",
     """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Streaming-capability demo (batch form): tumbling event-time "
-        "window agg — window(ts, '1 hour') — the groupBy shape that "
-        "runs unchanged under readStream+withWatermark (SURVEY §2.10 "
-        "tumbling note). Decimal-exact sums for oracle parity")
-def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (events
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").cast("bigint").alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,6)"))
-                  .cast("double").alias("sum_value"))
-            .select(F.col("w.start").alias("window_start"), "event_type",
-                    "n_events", "sum_value"))
-
-
-@register(
-    "w8_sliding_window",
-    """
-    WITH assigned AS (
+    WITH tumbling AS (
+      SELECT 'tumbling' AS kind,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 2, 3
+    ), assigned AS (
       SELECT time_bucket(INTERVAL '30 minutes', ts) AS half_slot, value
       FROM events
-    ), expanded AS (
-      SELECT half_slot - INTERVAL '30 minutes' * off AS window_start,
-             value
+    ), sliding AS (
+      SELECT 'sliding' AS kind,
+             half_slot - INTERVAL '30 minutes' * off AS window_start,
+             CAST(NULL AS VARCHAR) AS event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM assigned, (SELECT unnest([0, 1]) AS off)
+      GROUP BY 2
     )
-    SELECT window_start,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM expanded
-    GROUP BY 1
+    SELECT * FROM tumbling UNION ALL SELECT * FROM sliding
     """,
-    doc="Streaming-capability demo (batch form): sliding window — "
-        "window(ts, '1 hour', '30 minutes'); each event lands in 2 "
-        "overlapping windows (the 1→k expansion Spark plans for "
-        "sliding windows). Oracle expands via explicit offset unnest")
-def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="Streaming-capability demo (batch form), tumbling + sliding in "
+        "one union-tagged result: window(ts, '1 hour') per event_type "
+        "and window(ts, '1 hour', '30 minutes') overall — the groupBy "
+        "shapes that run unchanged under readStream+withWatermark "
+        "(SURVEY §2.10). Sliding = the 1→k window expansion Spark "
+        "plans; the oracle expands via explicit offset unnest. "
+        "Decimal-exact sums for oracle parity")
+def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return (events
-            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-            .agg(F.count("*").cast("bigint").alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,6)"))
-                  .cast("double").alias("sum_value"))
-            .select(F.col("w.start").alias("window_start"),
-                    "n_events", "sum_value"))
-
-
-@register(
-    "w6_rank_desc",
-    """
-    SELECT c_nationkey, c_custkey, c_acctbal,
-           CAST(rank() OVER (PARTITION BY c_nationkey
-                             ORDER BY c_acctbal DESC) AS BIGINT) AS bal_rank
-    FROM customer
-    """,
-    doc="W6: ranking desc (extrinsic_calibration.py:237 worst-pose rank)")
-def rank_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
-    return customer.select(
-        "c_nationkey", "c_custkey", "c_acctbal",
-        F.rank().over(w).cast("bigint").alias("bal_rank"),
-    )
+    tumbling = (events
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").cast("bigint").alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,6)"))
+                      .cast("double").alias("sum_value"))
+                .select(F.lit("tumbling").alias("kind"),
+                        F.col("w.start").alias("window_start"),
+                        "event_type", "n_events", "sum_value"))
+    sliding = (events
+               .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+               .agg(F.count("*").cast("bigint").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("double").alias("sum_value"))
+               .select(F.lit("sliding").alias("kind"),
+                       F.col("w.start").alias("window_start"),
+                       F.lit(None).cast("string").alias("event_type"),
+                       "n_events", "sum_value"))
+    return tumbling.unionByName(sliding)
