@@ -32,6 +32,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     Returns left columns + payload columns (suffixed). Left rows with
     no prior right row keep nulls — the LEFT OUTER as-of semantics.
+
+    Deterministic under duplicate right timestamps: peers at the same
+    (key, ts) are tie-broken by the payload columns themselves (the
+    greatest payload tuple wins), so repeated runs pick the same match.
+    Payload columns must therefore be of orderable types (no maps).
     """
     lcols = left.columns
     tagged_r = right.select(
@@ -48,9 +53,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         *[F.col(c) for c in lcols if c not in (key, ts)])
 
     unioned = tagged_r.unionByName(tagged_l)
-    # right rows sort before left rows at equal ts → "<=" semantics
+    # right rows sort before left rows at equal ts → "<=" semantics;
+    # the payload columns break ties among right rows at the same
+    # instant so `last` picks a well-defined (max-payload) match.
     w = (Window.partitionBy(key)
-         .orderBy(F.col(ts), F.desc("_is_right"))
+         .orderBy(F.col(ts), F.desc("_is_right"),
+                  *[F.asc_nulls_first(f"{c}{suffix}") for c in payload])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned.select(
         "*", *[F.last(f"{c}{suffix}", ignorenulls=True).over(w)

@@ -105,6 +105,38 @@ def build_calibration_pipeline(root: str) -> Pipeline:
     return p
 
 
+def write_stats_artifact(spark: SparkSession, path: str,
+                         matrices: dict[str, np.ndarray],
+                         stats: dict[str, float]) -> None:
+    """S6: the ``np.savez`` sink (camera_calib.py:124-128,
+    extrinsic_calibration.py:381-387) as a single-row Parquet write —
+    each matrix a flattened ARRAY<DOUBLE> plus a shape column, each
+    stat a DOUBLE column. One row, one file: the calibration artifact
+    every downstream stage broadcasts."""
+    row = {}
+    for name, m in matrices.items():
+        arr = np.asarray(m, dtype=np.float64)
+        row[name] = [float(x) for x in arr.ravel()]
+        row[f"{name}_shape"] = [int(s) for s in arr.shape]
+    row.update({k: float(v) for k, v in stats.items()})
+    (spark.createDataFrame([row])
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def read_stats_artifact(spark: SparkSession, path: str
+                        ) -> tuple[dict[str, np.ndarray], dict[str, float]]:
+    """S6 read-back: reconstruct matrices (reshaped from the flat
+    arrays) and scalar stats from a stats artifact."""
+    row = spark.read.parquet(path).head().asDict()
+    shapes = {k.removesuffix("_shape"): v for k, v in row.items()
+              if k.endswith("_shape")}
+    matrices = {k: np.array(row[k], dtype=np.float64).reshape(shape)
+                for k, shape in shapes.items()}
+    stats = {k: v for k, v in row.items()
+             if k not in matrices and not k.endswith("_shape")}
+    return matrices, stats
+
+
 def synthetic_pixel_corners(spark: SparkSession, K: np.ndarray,
                             dist: np.ndarray, rvec: np.ndarray,
                             tvec: np.ndarray,
