@@ -1,0 +1,113 @@
+"""End-to-end training-corpus curation pipeline (SURVEY Phase 6).
+
+Composes the LLM-data-pipeline operators into ONE stage-checkpointed
+DAG — the document analog of the reference's 4-stage calibration
+pipeline (``src/core/data_pipeline.py:10-56``): each stage writes
+Parquet, stage-skip = output-exists, reruns are idempotent.
+
+    raw documents
+      → features      (tx1/tx2/tx4: tokens, quality, fingerprint)
+      → quality_gate  (lang allowlist + token/stopword thresholds)
+      → exact_dedup   (tx3: content-hash keep-first)
+      → near_dedup    (dx1: MinHash+LSH candidates → greedy keep-first)
+      → corpus        (surviving documents)
+
+Scale notes per stage:
+- features/quality_gate are pure maps — no shuffle, full codegen.
+- exact_dedup is one shuffle on a 128-bit hash.
+- near_dedup is the LSH bucket join (O(N·bands)), never all-pairs;
+  the greedy survivor rule (drop the larger doc_id of every
+  above-threshold pair) is one semi-join — at 100 TB the alternative
+  (true connected components) needs iterative joins; greedy
+  keep-first is what production corpus pipelines actually run.
+- The checkpoint between near_dedup and corpus doubles as the
+  re-partition barrier before downstream tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (lsh_candidate_pairs, minhash_jaccard_estimate,
+                               minhash_signatures, shingles)
+from .pipeline import Pipeline
+
+DEFAULT_LANGS = ("en", "de", "fr", "es", "zh")
+MIN_TOKENS = 5
+NEARDUP_EST_JACCARD = 0.5
+
+
+def document_features(docs: DataFrame) -> DataFrame:
+    """Per-document features in one scan (the tx1_tx2_tx4 pass as a
+    reusable stage): token count, stopword ratio, content fingerprint."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ratio = (F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+             .cast("double") / F.size(toks))
+    return docs.select(
+        "doc_id", "text", "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        ratio.alias("stopword_ratio"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"))
+
+
+def quality_gate(feats: DataFrame,
+                 langs: tuple[str, ...] = DEFAULT_LANGS,
+                 min_tokens: int = MIN_TOKENS) -> DataFrame:
+    """Keep documents passing the language allowlist and size gate —
+    a pure filter, pushed to the scan when reading from Parquet."""
+    return feats.filter(F.col("lang").isin(*langs)
+                        & (F.col("n_tokens") >= min_tokens))
+
+
+def exact_dedup(feats: DataFrame) -> DataFrame:
+    """Keep-first exact dedup: survivor = min doc_id per content hash.
+    One shuffle; the groupBy result is broadcast-joined back so the
+    text payload never shuffles."""
+    keep = (feats.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id")))
+    return feats.join(keep, ["content_hash", "doc_id"], "left_semi")
+
+
+def near_dedup(docs: DataFrame,
+               est_jaccard: float = NEARDUP_EST_JACCARD) -> DataFrame:
+    """Greedy keep-first near-dedup via MinHash+LSH: every candidate
+    pair with estimated jaccard ≥ threshold drops its larger doc_id.
+    Candidates come from the banded bucket join — never all-pairs."""
+    sig = minhash_signatures(shingles(docs))
+    pairs = lsh_candidate_pairs(sig)
+    drops = (minhash_jaccard_estimate(sig, pairs)
+             .filter(F.col("est_jaccard") >= est_jaccard)
+             .select(F.col("doc_b").alias("doc_id")).distinct())
+    return docs.join(drops, "doc_id", "left_anti")
+
+
+def build_corpus_pipeline(root: str, source: DataFrame,
+                          langs: tuple[str, ...] = DEFAULT_LANGS,
+                          min_tokens: int = MIN_TOKENS,
+                          est_jaccard: float = NEARDUP_EST_JACCARD
+                          ) -> Pipeline:
+    """Wire the curation DAG onto a Parquet-checkpointed Pipeline."""
+    p = Pipeline(root=root)
+    p.add("features", lambda s: document_features(source))
+    p.add("quality_gate",
+          lambda s: quality_gate(s.read.parquet(p.path("features")),
+                                 langs, min_tokens),
+          deps=("features",))
+    p.add("exact_dedup",
+          lambda s: exact_dedup(s.read.parquet(p.path("quality_gate"))),
+          deps=("quality_gate",))
+    p.add("corpus",
+          lambda s: near_dedup(s.read.parquet(p.path("exact_dedup")),
+                               est_jaccard),
+          deps=("exact_dedup",))
+    return p
+
+
+def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:
+    """Per-stage survivor counts — the pipeline's acceptance report
+    (the analog of the reference's stage-end counters,
+    ``src/core/act_img.py:313-314``)."""
+    return {name: spark.read.parquet(p.path(name)).count()
+            for name in ("features", "quality_gate", "exact_dedup",
+                         "corpus")}

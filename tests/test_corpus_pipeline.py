@@ -1,0 +1,87 @@
+"""End-to-end corpus-curation pipeline: stage semantics, checkpoint
+memoization, and survivor monotonicity on the documents fixture."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+
+    base = load_table(spark, SF_DIR, "documents")
+    # The fixture has no exact duplicates — inject copies of the first
+    # 10 docs under new ids so exact_dedup has real work to do, plus
+    # two sub-threshold docs for the size gate.
+    dups = (base.filter(F.col("doc_id") < 10)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    tiny = spark.createDataFrame(
+        [(200001, "too short", "en", "synthetic", 9),
+         (200002, "ein kurzer", "de", "synthetic", 10)],
+        base.schema)
+    return base.unionByName(dups).unionByName(tiny)
+
+
+def test_document_features(spark, docs):
+    feats = corpus.document_features(docs).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert len(feats) == 512
+    assert by_id[200001].n_tokens == 2
+    assert all(r.content_hash is not None and len(r.content_hash) == 32
+               for r in feats)
+
+
+def test_quality_gate_filters(spark, docs):
+    feats = corpus.document_features(docs)
+    kept = corpus.quality_gate(feats, min_tokens=5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 200001 not in ids and 200002 not in ids  # size gate
+    assert len(ids) == 510
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    feats = corpus.quality_gate(corpus.document_features(docs))
+    kept = corpus.exact_dedup(feats)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every injected copy (id+100000) loses to its original
+    assert len(ids) == 500
+    assert not {i for i in ids if i >= 100000}
+
+
+def test_near_dedup_drops_larger_id(spark, docs):
+    feats = corpus.exact_dedup(
+        corpus.quality_gate(corpus.document_features(docs)))
+    kept = corpus.near_dedup(feats, est_jaccard=0.5)
+    n_in, n_out = feats.count(), kept.count()
+    assert n_out < n_in  # the fixture contains near-duplicate docs
+    # survivors of every dropped pair are still present: rerunning the
+    # candidate scan on the output finds no >=threshold pair whose
+    # doc_b survived AND doc_a survived... i.e. idempotence:
+    again = corpus.near_dedup(kept, est_jaccard=0.5)
+    assert again.count() == n_out
+
+
+def test_pipeline_checkpoints_and_stats(spark, docs, tmp_path):
+    root = str(tmp_path / "corpus_run")
+    p = corpus.build_corpus_pipeline(root, docs)
+    out = p.run(spark, "corpus")
+    stats = corpus.corpus_stats(spark, p)
+    assert stats["features"] == 512
+    assert stats["quality_gate"] == 510
+    assert stats["exact_dedup"] == 500
+    assert stats["corpus"] == out.count() < 500
+    # monotone non-increasing survivor counts
+    order = ["features", "quality_gate", "exact_dedup", "corpus"]
+    assert all(stats[a] >= stats[b] for a, b in zip(order, order[1:]))
+    # memoization: stage outputs exist, rerun reads (not rebuilds)
+    for name in order:
+        assert os.path.exists(os.path.join(p.path(name), "_SUCCESS"))
+    assert p.run(spark, "corpus").count() == stats["corpus"]
