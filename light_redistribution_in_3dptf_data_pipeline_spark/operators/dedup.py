@@ -51,39 +51,44 @@ def shingles(docs: DataFrame, text_col: str = "text",
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(id, hash_idx, minhash) — k seeded murmur3 mins per document.
+    """(id, sig ARRAY<INT>[k]) — k seeded murmur3 mins per document.
 
-    Wide-aggregate form: all k per-bit mins are columns of ONE hash
+    Wide-aggregate form: all k per-seed mins are columns of ONE hash
     aggregate over the raw shingle rows (map-side partial mins, one
-    shuffle of N·1 rows), then unpivoted. The k-fold row expansion of
-    the naive seeds-crossJoin (N·k shuffled rows) never materializes.
+    shuffle of N·1 rows), packed into a single array column. The
+    k-fold row expansion of the naive seeds-crossJoin (N·k shuffled
+    rows) never materializes, and downstream stages consume the
+    signature as one value — no unpivot, no re-grouping.
     """
     mins = [F.min(F.pmod(F.hash("shingle", F.lit(i)), F.lit(HASH_PRIME)))
              .alias(f"h{i}") for i in range(num_hashes)]
     wide = sh.groupBy(id_col).agg(*mins)
-    stack_args = ", ".join(f"{i}, h{i}" for i in range(num_hashes))
     return wide.select(
         id_col,
-        F.expr(f"stack({num_hashes}, {stack_args}) AS (hash_idx, minhash)")
-    ).select(id_col, F.col("hash_idx").cast("int").alias("hash_idx"),
-             "minhash")
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
-                        bands: int = LSH_BANDS) -> DataFrame:
+                        bands: int = LSH_BANDS,
+                        num_hashes: int = NUM_HASHES) -> DataFrame:
     """Banded LSH: docs sharing any band signature become a candidate
-    pair. Returns (doc_a, doc_b, n_shared_bands)."""
-    rows_per_band = NUM_HASHES // bands
-    band_sigs = (sig
-                 .withColumn("band", (F.col("hash_idx") / rows_per_band)
-                             .cast("int"))
-                 .groupBy(id_col, "band")
-                 .agg(F.hash(F.concat_ws(
-                     ",", F.sort_array(F.collect_list(
-                         F.concat_ws(":", "hash_idx", "minhash")))))
-                      .alias("band_sig")))
-    a = band_sigs.alias("a")
-    b = band_sigs.alias("b")
+    pair. Returns (doc_a, doc_b, n_shared_bands).
+
+    Band signatures are per-row slices of the signature array hashed
+    with xxhash64 — a pure map (the old formulation re-grouped N·k
+    unpivoted rows: one whole extra shuffle). Only the N·bands band
+    rows reach the bucket equi-join."""
+    rpb = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.xxhash64(F.slice("sig", b * rpb + 1, rpb))
+                  .alias("band_sig"))
+        for b in range(bands)])
+    band_rows = (sig.select(id_col, F.explode(band_structs).alias("bs"))
+                 .select(id_col, F.col("bs.band").alias("band"),
+                         F.col("bs.band_sig").alias("band_sig")))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -94,18 +99,58 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
 
 def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame,
                              id_col: str = "doc_id") -> DataFrame:
-    """Estimated jaccard = fraction of agreeing minhashes, computed
-    only for candidate pairs (small set)."""
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    joined = (pairs
-              .join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
-              .join(sb, (F.col("doc_b") == F.col(f"sb.{id_col}"))
-                    & (F.col("sa.hash_idx") == F.col("sb.hash_idx"))))
-    return (joined.groupBy("doc_a", "doc_b", "n_shared_bands")
-            .agg((F.sum(F.when(F.col("sa.minhash") == F.col("sb.minhash"),
-                               1).otherwise(0))
-                  / F.count("*")).alias("est_jaccard")))
+    """Estimated jaccard = fraction of agreeing signature positions,
+    computed only for candidate pairs (small set): two N-row joins to
+    attach the signature arrays, one zip_with fold per pair — the k×
+    row blow-up of a positional join never happens."""
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("_sb"))
+    agree = F.size(F.filter(
+        F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared_bands",
+                    (agree.cast("double") / F.size("_sa"))
+                    .alias("est_jaccard")))
+
+
+def lsh_neardup_pairs(sh: DataFrame, id_col: str = "doc_id",
+                      bands: int = LSH_BANDS,
+                      num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Fused candidate generation + jaccard estimate — the hot path.
+
+    The signature arrays RIDE the band bucket join (each band row
+    carries its doc's full signature), so the estimate costs zero
+    extra joins and the expensive shingle→signature subtree appears
+    once per join side; both sides exchange on the same (band,
+    band_sig) key from an identical subtree, which Spark collapses
+    via ReusedExchange — the signatures are effectively computed ONCE.
+    Returns (doc_a, doc_b, n_shared_bands, est_jaccard)."""
+    rpb = num_hashes // bands
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.xxhash64(F.slice("sig", b * rpb + 1, rpb))
+                  .alias("band_sig"))
+        for b in range(bands)])
+    band_rows = (sig.select(id_col, "sig",
+                            F.explode(band_structs).alias("bs"))
+                 .select(id_col, "sig", F.col("bs.band").alias("band"),
+                         F.col("bs.band_sig").alias("band_sig")))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    grouped = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                      & (F.col("a.band_sig") == F.col("b.band_sig"))
+                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                        F.col(f"b.{id_col}").alias("doc_b"))
+               .agg(F.count("*").cast("bigint").alias("n_shared_bands"),
+                    F.first(F.col("a.sig")).alias("_sa"),
+                    F.first(F.col("b.sig")).alias("_sb")))
+    agree = F.size(F.filter(
+        F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
+    return grouped.select(
+        "doc_a", "doc_b", "n_shared_bands",
+        (agree.cast("double") / F.size("_sa")).alias("est_jaccard"))
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
@@ -143,11 +188,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
         "murmur3 seeds are engine-specific, not SQL-portable)")
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
-    sig = minhash_signatures(sh)
-    pairs = lsh_candidate_pairs(sig)
-    return (minhash_jaccard_estimate(sig, pairs)
-            .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard"))
+    return lsh_neardup_pairs(shingles(docs))
 
 
 @register(

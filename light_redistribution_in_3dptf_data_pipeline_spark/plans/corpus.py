@@ -29,8 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import (lsh_candidate_pairs, minhash_jaccard_estimate,
-                               minhash_signatures, shingles)
+from ..operators.dedup import lsh_neardup_pairs, shingles
 from .pipeline import Pipeline
 
 DEFAULT_LANGS = ("en", "de", "fr", "es", "zh")
@@ -74,9 +73,7 @@ def near_dedup(docs: DataFrame,
     """Greedy keep-first near-dedup via MinHash+LSH: every candidate
     pair with estimated jaccard ≥ threshold drops its larger doc_id.
     Candidates come from the banded bucket join — never all-pairs."""
-    sig = minhash_signatures(shingles(docs))
-    pairs = lsh_candidate_pairs(sig)
-    drops = (minhash_jaccard_estimate(sig, pairs)
+    drops = (lsh_neardup_pairs(shingles(docs))
              .filter(F.col("est_jaccard") >= est_jaccard)
              .select(F.col("doc_b").alias("doc_id")).distinct())
     return docs.join(drops, "doc_id", "left_anti")
