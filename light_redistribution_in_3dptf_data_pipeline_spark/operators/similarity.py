@@ -127,6 +127,62 @@ def ann_cosine_topk(emb: DataFrame, query_id: int = QUERY_VEC_ID,
             .limit(k))
 
 
+def ivf_search_topk(emb: DataFrame, query_id: int = QUERY_VEC_ID,
+                    k: int = TOP_K, nprobe: int = 2,
+                    cell_col: str = "label") -> DataFrame:
+    """IVF probe search — the other half of the sim3/sim4 IVF story:
+    coarse-quantize (per-cell centroids, one wide aggregate), rank the
+    query's ``nprobe`` nearest cells by centroid dot product, then
+    exact cosine re-rank ONLY inside those cells.
+
+    Scale shape: the centroid table is L rows (broadcast); the probe
+    set is ``nprobe`` cell ids (broadcast semi-join). With the corpus
+    stored partitioned by cell id, the semi-join becomes partition
+    pruning — a query touches nprobe/L of the data instead of a full
+    scan (the IVF index contract). Returns (vec_id, cosine, cell).
+    """
+    from ..functions import decimal_components, decimal_dot
+
+    dec = emb.select("vec_id", F.col(cell_col).alias("cell"),
+                     decimal_components(F.col("embedding")).alias("v"))
+    q = (dec.filter(F.col("vec_id") == query_id)
+            .select(F.col("v").alias("qv"),
+                    decimal_dot(F.col("v"), F.col("v")).alias("qsq")))
+
+    # train: per-cell centroid sums via one wide aggregate (decimal-
+    # exact); centroid·query uses the sum directly — dividing by the
+    # cell count rescales all scores identically, so ranking needs no
+    # mean.
+    csum = (dec.groupBy("cell")
+            .agg(F.array(*[
+                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                for i in range(64)]).alias("csum"),
+                F.count("*").alias("nv")))
+    probe = (csum.crossJoin(F.broadcast(q).select("qv"))
+             .select("cell", "nv",
+                     (F.aggregate(
+                         F.zip_with("csum", "qv", lambda s, x: s * x),
+                         F.lit(0).cast("decimal(38,9)"),
+                         lambda acc, p: (acc + p).cast("decimal(38,9)"))
+                      .cast("double") / F.col("nv")).alias("cdot"))
+             .orderBy(F.desc("cdot"), F.asc("cell"))
+             .limit(nprobe)
+             .select("cell"))
+
+    cands = dec.join(F.broadcast(probe), "cell", "left_semi") \
+               .filter(F.col("vec_id") != query_id)
+    scored = (cands.crossJoin(F.broadcast(q))
+              .select("vec_id", "cell",
+                      decimal_dot(F.col("v"), F.col("qv")).alias("dot"),
+                      decimal_dot(F.col("v"), F.col("v")).alias("nsq"),
+                      "qsq"))
+    cosine = F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq")))
+    return (scored.select("vec_id", F.round(cosine, 9).alias("cosine"),
+                          "cell")
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
 @register(
     "sx1_sx2_ann_lsh_topk", None,
     doc="Similarity scale path: random-hyperplane LSH bucketing "

@@ -36,6 +36,19 @@ class TestMinHashLSH:
                        .builder(spark, SF_DIR).collect()))
         assert a == b
 
+    def test_fused_plan_shape(self, spark):
+        """The fused LSH near-dup plan must keep its two-shuffle shape
+        (signature aggregate + final pair groupBy): no unpivot
+        re-grouping, no estimate re-joins creeping back in."""
+        import re
+
+        df = QUERIES["dx1_minhash_lsh_candidates"].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+        n_hashagg = len(re.findall(r"HashAggregate", plan))
+        assert n_exchange <= 3, f"unexpected shuffles: {n_exchange}"
+        assert n_hashagg <= 6, f"signature agg re-evaluated: {n_hashagg}"
+
     def test_estimate_tracks_exact(self, spark):
         docs = load_table(spark, SF_DIR, "documents")
         sh = dedup.shingles(docs)
@@ -108,6 +121,37 @@ class TestAnnLsh:
                 for r in similarity.bucket_histogram(emb).collect()}
         for r in similarity.ann_cosine_topk(emb).collect():
             assert r.bucket_occupancy == hist[r.bucket]
+
+
+class TestIvfSearch:
+    def test_all_cells_probe_equals_bruteforce(self, spark):
+        """With nprobe = every cell the probe search degenerates to
+        the exact scan: top-k ids must equal the brute-force oracle."""
+        emb = load_table(spark, SF_DIR, "embeddings")
+        n_cells = emb.select("label").distinct().count()
+        brute = [r.vec_id for r in QUERIES["sim1_sim2_cosine_topk"]
+                 .builder(spark, SF_DIR).collect()]
+        full = [r.vec_id for r in
+                similarity.ivf_search_topk(emb, nprobe=n_cells).collect()]
+        assert full == brute
+
+    def test_nprobe_prunes_and_recalls(self, spark):
+        """nprobe=2 must scan only 2 cells yet keep nonzero recall of
+        the true top-10; results ordered by cosine desc."""
+        emb = load_table(spark, SF_DIR, "embeddings")
+        got = similarity.ivf_search_topk(emb, nprobe=2).collect()
+        assert got and len({r.cell for r in got}) <= 2
+        cosines = [r.cosine for r in got]
+        assert cosines == sorted(cosines, reverse=True)
+        brute = {r.vec_id for r in QUERIES["sim1_sim2_cosine_topk"]
+                 .builder(spark, SF_DIR).collect()}
+        assert {r.vec_id for r in got} & brute
+
+    def test_deterministic(self, spark):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        a = sorted(map(tuple, similarity.ivf_search_topk(emb).collect()))
+        b = sorted(map(tuple, similarity.ivf_search_topk(emb).collect()))
+        assert a == b
 
 
 class TestBinaryCatalog:
