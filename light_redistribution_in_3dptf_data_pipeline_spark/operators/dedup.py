@@ -34,19 +34,35 @@ HASH_PRIME = 2147483647
 
 
 def shingles(docs: DataFrame, text_col: str = "text",
-             id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+             id_col: str = "doc_id", n: int = SHINGLE_N,
+             max_doc_freq: int | None = None) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Array-native: n-grams via an indexed transform and per-row
     array_distinct — a pure flat map with zero shuffles, unlike the
-    window-sort + global DISTINCT formulation it replaces."""
+    window-sort + global DISTINCT formulation it replaces.
+
+    ``max_doc_freq``: drop *stop-shingles* appearing in more than
+    this many documents — the standard skew guard for shingle-keyed
+    joins at scale. A boilerplate shingle shared by 1% of a 100 TB
+    corpus otherwise lands its entire posting list on one task (and
+    carries no near-dup signal anyway: ubiquitous ≠ similar). The hot
+    set is tiny by construction, so the filter is one aggregate plus
+    a broadcast anti-join."""
     from ..functions import ngram_shingles, whitespace_tokens
 
     toks = docs.select(id_col, whitespace_tokens(F.col(text_col))
                        .alias("_toks"))
-    return toks.select(
+    sh = toks.select(
         id_col, F.explode(ngram_shingles(F.col("_toks"), n))
         .alias("shingle"))
+    if max_doc_freq is not None:
+        hot = (sh.groupBy("shingle")
+               .agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_doc_freq)
+               .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",

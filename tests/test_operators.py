@@ -36,6 +36,24 @@ class TestMinHashLSH:
                        .builder(spark, SF_DIR).collect()))
         assert a == b
 
+    def test_stop_shingle_cap(self, spark):
+        """max_doc_freq drops ubiquitous boilerplate shingles (the
+        hot-key skew guard) while per-doc distinct shingles survive."""
+        boiler = "standard footer text"
+        df = spark.createDataFrame(
+            [(i, f"unique words number{i} alpha{i} beta{i} {boiler}")
+             for i in range(20)],
+            "doc_id INT, text STRING")
+        uncapped = dedup.shingles(df)
+        capped = dedup.shingles(df, max_doc_freq=10)
+        # the boilerplate 3-gram appears in all 20 docs → dropped
+        assert uncapped.filter(
+            F.col("shingle") == boiler).count() == 20
+        assert capped.filter(F.col("shingle") == boiler).count() == 0
+        # document-specific shingles are untouched
+        assert capped.filter(
+            F.col("shingle").startswith("unique words")).count() == 20
+
     def test_fused_plan_shape(self, spark):
         """The fused LSH near-dup plan must keep its two-shuffle shape
         (signature aggregate + final pair groupBy): no unpivot
