@@ -67,3 +67,27 @@ def test_decimal_dot_tracks_numpy(spark, pairs):
         # decimal(18,9) rounding of each component → ≤ 0.5e-9 per
         # element against the float64 reference
         assert abs(got[i] - want) < 1e-6, (i, got[i], want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=9999),
+                          st.integers(min_value=0, max_value=99)),
+                min_size=1, max_size=300))
+def test_bucketed_row_number_equals_global(spark, rows):
+    """The scale-out prefix-sum row number must equal the single-task
+    global row_number for ANY data, with a monotone bucket of the
+    leading sort key (value // 100 here, the hour-truncation analog)."""
+    from pyspark.sql import Window
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.prefix_sum import (
+        bucketed_row_number)
+
+    df = spark.createDataFrame(
+        [(v, t, i) for i, (v, t) in enumerate(rows)],
+        "v INT, tie INT, uid INT")
+    got = {r.uid: r.rn for r in bucketed_row_number(
+        df, F.floor(F.col("v") / 100), ["v", "tie", "uid"]).collect()}
+    want = {r.uid: r.rn for r in df.select(
+        "uid", F.row_number().over(
+            Window.orderBy("v", "tie", "uid")).alias("rn")).collect()}
+    assert got == want
