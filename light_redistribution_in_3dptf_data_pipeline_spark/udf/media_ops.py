@@ -1,0 +1,119 @@
+"""Audio/video UDF stages — the multimodal pattern of
+``udf/image_ops.py`` extended to time-series media: opaque ``binary``
+content + typed metadata in, typed feature/frame rows out, all via
+Arrow-batched ``mapInPandas``.
+
+The container ships no media codecs, so decoding is an injectable
+seam exactly like the image decoder: production passes an
+av/ffmpeg/librosa-backed function; tests use the deterministic fakes.
+Everything Spark-side — schemas, the 1→N frame fan-out, per-file
+windowing, batch shapes — is real and tested.
+
+Scale notes: frame sampling fans one video row out to N frame rows —
+keep the fan-out AFTER any per-video filtering so pruning happens on
+1× rows, and repartition by (path) before heavier per-frame stages so
+one task owns one video's frames (the pose_id pattern from the image
+pipeline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
+                               StringType, StructField, StructType)
+
+VideoDecoder = Callable[[bytes], np.ndarray]   # (frames, h, w)
+AudioDecoder = Callable[[bytes], np.ndarray]   # (samples,) float64
+
+
+def fake_video_decode(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for a video decoder: derives
+    (frames=12, 4, 4) grayscale frames from the byte payload."""
+    h = np.frombuffer(content[:192].ljust(192, b"\0"), dtype=np.uint8)
+    return h.reshape(12, 4, 4).astype(np.float64)
+
+
+def real_video_decode(content: bytes) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        "no video codec in this environment; inject an av/ffmpeg decoder")
+
+
+def fake_audio_decode(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: 256 samples in
+    [-1, 1) derived from the byte payload."""
+    h = np.frombuffer(content[:256].ljust(256, b"\0"), dtype=np.uint8)
+    return (h.astype(np.float64) - 128.0) / 128.0
+
+
+def real_audio_decode(content: bytes) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        "no audio codec in this environment; inject a librosa/ffmpeg "
+        "decoder")
+
+
+FRAME_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("content", BinaryType()),
+])
+
+
+def sample_frames(files: DataFrame, every_k: int = 4,
+                  decoder: VideoDecoder = fake_video_decode) -> DataFrame:
+    """Video frame sampling: one binary video row fans out to every
+    k-th frame as its own binary row (the UDTF-ish 1→N explode of the
+    multimodal pipeline). Output carries the source frame index and
+    total frame count so downstream stages can reconstruct timing."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frames = decoder(bytes(content))
+                n = frames.shape[0]
+                for i in range(0, n, every_k):
+                    rows.append({
+                        "path": path, "frame_idx": i, "n_frames": n,
+                        "content": frames[i].astype(np.uint8).tobytes()})
+            yield pd.DataFrame(rows, columns=["path", "frame_idx",
+                                              "n_frames", "content"])
+
+    return files.select("path", "content").mapInPandas(fn, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("win_idx", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossings", IntegerType()),
+])
+
+
+def audio_window_features(files: DataFrame, window: int = 64,
+                          decoder: AudioDecoder = fake_audio_decode
+                          ) -> DataFrame:
+    """Audio feature extraction: fixed-size windows per file, RMS +
+    zero-crossing count per window — the feature-extract stage of an
+    audio corpus pipeline (each file → samples/window feature rows)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                samples = decoder(bytes(content))
+                n_win = len(samples) // window
+                for w in range(n_win):
+                    seg = samples[w * window:(w + 1) * window]
+                    rows.append({
+                        "path": path, "win_idx": w,
+                        "rms": float(np.sqrt(np.mean(seg * seg))),
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(np.signbit(seg)))),
+                    })
+            yield pd.DataFrame(rows, columns=["path", "win_idx", "rms",
+                                              "zero_crossings"])
+
+    return files.select("path", "content").mapInPandas(fn, AUDIO_SCHEMA)
