@@ -29,7 +29,7 @@ HEADLINE = [
     "a1_a2_collect_having",
     "a4_a11_descriptive_stats",
     "a5_pricing_summary",
-    "t2_topk",
+    "t2_t3_t5_topk_order_sample",
     "t4_argmin_argmax",
     "s4_robot_program_parse",
     "f14_pose_grid_generator",
@@ -60,7 +60,7 @@ def main() -> None:
         TABLES, load_table)
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
-    QUERIES["t3_t5_cast_order_sample"].builder(spark, SF_DIR).collect()
+    QUERIES["t2_t3_t5_topk_order_sample"].builder(spark, SF_DIR).collect()
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -163,14 +163,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a6_a7_ranges_mean_of_means",
+    "a6_a7_a8_global_stats",
     """
     WITH ranges AS (
       SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
              CAST(max(l_quantity) AS DOUBLE) AS max_qty,
              CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
              CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
-             CAST(count(*) AS BIGINT) AS n_rows
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
       FROM lineitem
     ), per_order AS (
       SELECT l_orderkey,
@@ -185,7 +187,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM ranges, mm
     """,
-    doc="A6+A7: global per-column ranges (calculate.py:30-52) and the "
+    doc="A6+A7+A8: global per-column ranges (calculate.py:30-52), "
+        "distinct-key counts (act_img.py:313-314 — at 100 TB prefer "
+        "approx_count_distinct, demo'd rows-only in a12), and the "
         "two-level mean-of-means aggregation — overall reprojection "
         "error as mean of per-image means (camera_calib.py:104-113) — "
         "cross-joined into one single-row result (both sides are one "
@@ -199,6 +203,8 @@ def ranges_mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").cast("double").alias("min_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
         F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
     )
     per_order = li.groupBy("l_orderkey").agg(
         (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
@@ -208,25 +214,6 @@ def ranges_mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("order_mean").cast("decimal(18,6)")).cast("double")
          / F.count("*")).alias("mean_of_means"))
     return ranges.crossJoin(mm)
-
-
-@register(
-    "a8_count_distinct",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
-    FROM lineitem
-    """,
-    doc="A8: count + distinct-key count (act_img.py:313-314); at 100 TB "
-        "prefer approx_count_distinct — demo'd rows-only elsewhere")
-def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
-        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
-    )
 
 
 @register(

@@ -42,31 +42,14 @@ def filename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f5_f6_time_math",
-    """
-    SELECT event_id,
-           CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
-                ts) AS DOUBLE) / 1000000.0 AS s_since_epoch_start,
-           CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day
-    FROM events
-    """,
-    doc="F5/F6: epoch↔timestamp + second-resolution differences "
-        "(point3d_transformation.py:22,42-43)")
-def time_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-    return events.select(
-        "event_id",
-        ((F.unix_micros(F.col("ts")) - F.unix_micros(t0)).cast("double")
-         / F.lit(1000000.0)).alias("s_since_epoch_start"),
-        F.hour("ts").cast("bigint").alias("hour_of_day"),
-    )
-
-
-@register(
-    "f9_l2_distance",
+    "f5_f6_f9_event_deltas",
     """
     SELECT a.event_id,
+           CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                a.ts) AS DOUBLE) / 1000000.0 AS s_since_epoch_start,
+           CAST(extract(hour FROM a.ts) AS BIGINT) AS hour_of_day,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS DOUBLE)
+             / 1000000.0 AS dt_seconds,
            sqrt((a.value - b.value) * (a.value - b.value)
                 + (CAST(a.user_id AS DOUBLE) - CAST(b.user_id AS DOUBLE))
                   * (CAST(a.user_id AS DOUBLE) - CAST(b.user_id AS DOUBLE)))
@@ -74,18 +57,31 @@ def time_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events a
     JOIN events b ON b.event_id = a.event_id + 1
     """,
-    doc="F9: Euclidean distance between paired rows "
-        "(extrinsic_calibration.py:212 ||pix - proj||)")
-def l2_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="F5/F6+F9: epoch↔timestamp conversion, second-resolution "
+        "differences between consecutive events "
+        "(point3d_transformation.py:22,42-43), and the Euclidean "
+        "distance between the paired rows "
+        "(extrinsic_calibration.py:212 ||pix - proj||) — one "
+        "consecutive-row self-join carries all three scalar families")
+def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
     a = events.alias("a")
     b = events.alias("b")
     du = F.col("a.value") - F.col("b.value")
     dv = (F.col("a.user_id").cast("double")
           - F.col("b.user_id").cast("double"))
     return (a.join(b, F.col("b.event_id") == F.col("a.event_id") + 1)
-             .select(F.col("a.event_id").alias("event_id"),
-                     F.sqrt(du * du + dv * dv).alias("dist")))
+             .select(
+                 F.col("a.event_id").alias("event_id"),
+                 ((F.unix_micros(F.col("a.ts")) - F.unix_micros(t0))
+                  .cast("double") / F.lit(1000000.0))
+                 .alias("s_since_epoch_start"),
+                 F.hour(F.col("a.ts")).cast("bigint").alias("hour_of_day"),
+                 ((F.unix_micros(F.col("b.ts"))
+                   - F.unix_micros(F.col("a.ts"))).cast("double")
+                  / F.lit(1000000.0)).alias("dt_seconds"),
+                 F.sqrt(du * du + dv * dv).alias("dist")))
 
 
 # Fixed 4x4 homogeneous transform (row-major), the reference's pose

@@ -42,42 +42,49 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t2_topk",
+    "t2_t3_t5_topk_order_sample",
     """
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
+    SELECT 'topk' AS method, o_orderkey AS key_num,
+           CAST(o_totalprice AS DOUBLE) AS metric,
+           CAST(NULL AS VARCHAR) AS source
+    FROM (SELECT o_orderkey, o_totalprice
+          FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 10)
+    UNION ALL
+    SELECT 'head' AS method, key_num, CAST(NULL AS DOUBLE) AS metric,
+           source
+    FROM (SELECT CAST(doc_id AS BIGINT) AS key_num, source
+          FROM documents
+          ORDER BY CAST(doc_id AS BIGINT)
+          LIMIT 20)
     """,
-    doc="T2: top-k with full tie-break — 10 worst poses analog "
-        "(extrinsic_calibration.py:237-240); plans as "
-        "TakeOrderedAndProject")
-def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="T2+T3+T5 in one tagged union: top-k with full tie-break — 10 "
+        "worst poses analog (extrinsic_calibration.py:237-240) — plus "
+        "the deterministic head sample under *numeric* key order (the "
+        "first row is the numerically-first key, calculate.py:56 "
+        "sorted(keys,key=int)[0]; the 20-row limit is the first-20-"
+        "poses PnP init sample, extrinsic_calibration.py:41-42). Both "
+        "branches plan as TakeOrderedAndProject — per-partition local "
+        "top-k, k×partitions rows to the driver merge, no global sort")
+def topk_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return (orders.select("o_orderkey", "o_totalprice")
+    topk = (orders.select("o_orderkey", "o_totalprice")
                   .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-                  .limit(10))
-
-
-@register(
-    "t3_t5_cast_order_sample",
-    """
-    SELECT CAST(doc_id AS BIGINT) AS key_num, source
-    FROM documents
-    ORDER BY CAST(doc_id AS BIGINT)
-    LIMIT 20
-    """,
-    doc="T3+T5: deterministic head sample under *numeric* key order — "
-        "the first row is the numerically-first key "
-        "(calculate.py:56 sorted(keys,key=int)[0]) and the 20-row "
-        "limit is the first-20-poses PnP init sample "
-        "(extrinsic_calibration.py:41-42); plans as "
-        "TakeOrderedAndProject, no global sort")
-def cast_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+                  .limit(10)
+                  .select(F.lit("topk").alias("method"),
+                          F.col("o_orderkey").alias("key_num"),
+                          F.col("o_totalprice").cast("double")
+                           .alias("metric"),
+                          F.lit(None).cast("string").alias("source")))
     docs = load_table(spark, sf_dir, "documents")
-    return (docs.select(F.col("doc_id").cast("bigint").alias("key_num"),
+    head = (docs.select(F.col("doc_id").cast("bigint").alias("key_num"),
                         "source")
-                .orderBy("key_num").limit(20))
+                .orderBy("key_num").limit(20)
+                .select(F.lit("head").alias("method"), "key_num",
+                        F.lit(None).cast("double").alias("metric"),
+                        "source"))
+    return topk.unionByName(head)
 
 
 @register(
