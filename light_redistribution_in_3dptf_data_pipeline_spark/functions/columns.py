@@ -50,10 +50,13 @@ def whitespace_tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def ngram_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a token array, built entirely
-    inside the row: indexed transform + array_distinct. A pure flat
-    map — zero shuffles — unlike window-sort formulations.
+def ngram_shingles(toks: Column, n: int = 3,
+                   distinct: bool = True) -> Column:
+    """Word n-gram shingles of a token array, built entirely inside
+    the row: indexed transform (+ array_distinct when ``distinct``).
+    A pure flat map — zero shuffles — unlike window-sort formulations.
+    ``distinct=False`` keeps positional duplicates (needed by
+    repetition metrics, where the duplicate *count* is the signal).
 
     NOTE: pass a *materialized column reference* (select the token
     array first), not the ``split`` expression itself — a lambda over
@@ -62,9 +65,9 @@ def ngram_shingles(toks: Column, n: int = 3) -> Column:
     gram = F.transform(
         toks, lambda x, i: F.concat_ws(
             " ", *([x] + [F.get(toks, i + k) for k in range(1, n)])))
-    return F.array_distinct(
-        F.slice(gram, F.lit(1),
-                F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))))
+    sliced = F.slice(gram, F.lit(1),
+                     F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    return F.array_distinct(sliced) if distinct else sliced
 
 
 def decimal_components(vec: Column, precision: str = "decimal(18,9)"

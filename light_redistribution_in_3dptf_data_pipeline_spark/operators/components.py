@@ -1,0 +1,92 @@
+"""Distributed connected components — the dedup-clustering endgame.
+
+Near-duplicate detection (n-gram Jaccard, MinHash-LSH, embedding
+cosine) emits *pairs*; deduplication needs *clusters* (if A~B and B~C,
+all three are one duplicate group even when A~C was never scored) plus
+a canonical survivor per cluster. This operator closes that gap with
+the BSP "hash-min" label-propagation algorithm:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint. Each iteration is one join + one groupBy-min —
+pure DataFrame ops, shuffling only the (node, label) frame, never
+materializing anything per-pair beyond the input edge list.
+
+Scale notes (the 100 TB design):
+
+- Iterations are bounded by the graph *diameter*, and near-dup graphs
+  are shallow (duplicate families are cliques or short chains — single
+  digits even at corpus scale). ``max_iter`` is a safety bound, not a
+  tuning knob.
+- Every iteration ends in ``localCheckpoint`` — without it the lazy
+  plan doubles per iteration and the job dies on lineage, a classic
+  iterative-Spark failure. On a real cluster with HDFS/S3 available,
+  swap for ``df.checkpoint()`` (reliable checkpoint) so executor loss
+  doesn't replay the whole loop.
+- The convergence probe (one ``count`` per iteration) is a tiny
+  driver-side action on an N-node frame — the same reduction GraphX's
+  Pregel runs per superstep.
+- For graphs with huge components (adversarial, not near-dup-shaped),
+  the alternating large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond") converges in
+  O(log²) rounds; hash-min is the right default for dedup workloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """(node BIGINT, comp BIGINT) — comp is the minimum node id
+    reachable from ``node`` over the undirected pair graph; equal comp
+    ⇔ same duplicate cluster. Only nodes present in ``edges`` appear.
+    """
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
+           .distinct()
+           .localCheckpoint())  # materialize once; reused every round
+
+    labels = (und.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("comp"))
+              .localCheckpoint())
+
+    for _ in range(max_iter):
+        prop = (und.join(labels, und["u"] == labels["node"])
+                .select(F.col("v").alias("node"), F.col("comp")))
+        new_labels = (labels.union(prop)
+                      .groupBy("node")
+                      .agg(F.min("comp").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") < F.col("o.comp"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, left: str, right: str,
+                   max_iter: int = 25) -> DataFrame:
+    """Pairs → duplicate clusters with keep-first survivor policy:
+    (doc_id, cluster_id, cluster_size, is_canonical). cluster_id is
+    the minimum doc id in the component (= the survivor)."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, src=left, dst=right,
+                                 max_iter=max_iter)
+    # Size via a partitioned window — one shuffle on the cluster key,
+    # no broadcast of an O(n_clusters) frame (which wouldn't fit in
+    # driver memory at corpus scale).
+    size = F.count("*").over(Window.partitionBy("comp")).cast("bigint")
+    return comps.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+        size.alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"))

@@ -20,6 +20,8 @@ from .registry import QUERIES, Query, register  # noqa: F401
 from . import windows       # noqa: F401,E402  flagship + W*
 from . import generators    # noqa: F401,E402  F14/W5 + F13
 from . import text          # noqa: F401,E402  tx* (tokens/quality/dedup)
+from . import clusters      # noqa: F401,E402  dx4 (CC dedup clustering)
+from . import sampling      # noqa: F401,E402  smp1 (deterministic sampling)
 from . import similarity    # noqa: F401,E402  sim*/dx3 (ANN/IVF)
 from . import multimodal    # noqa: F401,E402  mm* (binary columns)
 

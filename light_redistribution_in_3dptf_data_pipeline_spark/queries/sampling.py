@@ -1,0 +1,87 @@
+"""Deterministic sampling operators (SURVEY Phase 6 — corpus
+rebalancing for training-data pipelines).
+
+Random sampling is useless for a reproducible pipeline (and untestable
+against an oracle); the production pattern is *hash sampling*: derive
+a uniform value from a stable content hash and threshold it. Identical
+input ⇒ identical sample, on any engine, any partitioning, any day.
+
+Portability trick: both engines agree bit-for-bit on ``md5(text)`` as
+a lowercase hex string, and hex strings compare lexicographically in
+digit order — so ``substr(md5(x),1,4) < '2000'`` is a portable
+Bernoulli(0x2000/0x10000 = 12.5%) gate with no integer parsing at all.
+
+Two samplers, one tagged result:
+
+- **bernoulli**: per-stratum *rate* sampling — downsample the dominant
+  language harder (the corpus-rebalancing move). Pure per-row filter:
+  zero shuffles, fully pushdown-friendly, trivially scale-safe.
+- **fixed_k**: per-stratum *count* sampling — exactly k docs per
+  stratum, selected by hash order (a deterministic reservoir). One
+  partitioned window keyed by stratum; at 100 TB the partition count
+  equals the stratum count, so pair it with a salted pre-top-k
+  (per-partition row_number ≤ k before the final window) if strata
+  are few and huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+# per-stratum Bernoulli thresholds on the first 4 hex chars of
+# md5(text): en is downsampled ~2x harder than the tail languages.
+EN_GATE = "1800"      # 0x1800/0x10000 ≈  9.4%
+OTHER_GATE = "3000"   # 0x3000/0x10000 ≈ 18.8%
+FIXED_K = 8
+
+
+@register(
+    "smp1_stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, substr(md5(text), 1, 4) AS hkey
+      FROM documents
+    )
+    SELECT 'bernoulli' AS method, lang, doc_id, hkey
+    FROM h
+    WHERE hkey < CASE WHEN lang = 'en' THEN '{EN_GATE}'
+                      ELSE '{OTHER_GATE}' END
+    UNION ALL
+    SELECT 'fixed_k' AS method, lang, doc_id, hkey
+    FROM (
+      SELECT lang, doc_id, hkey,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hkey, doc_id) AS rn
+      FROM h
+    ) WHERE rn <= {FIXED_K}
+    """,
+    doc="Sampling (deterministic/stratified): hash-Bernoulli per-"
+        "stratum rate sampling (en downsampled 2x harder — the corpus "
+        "language-rebalancing move) UNION a fixed-k-per-stratum "
+        "deterministic reservoir (row_number over hash order). The "
+        "Bernoulli branch is a pure per-row filter (zero shuffles, "
+        "predicate-pushdown friendly); the fixed-k branch is one "
+        "window partitioned by stratum. md5-hex thresholds compare "
+        "lexicographically identically on both engines — no integer "
+        "parsing, bit-exact parity")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "lang",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
+         .alias("hkey"))
+    gate = F.when(F.col("lang") == "en", F.lit(EN_GATE)) \
+            .otherwise(F.lit(OTHER_GATE))
+    bern = (h.filter(F.col("hkey") < gate)
+            .select(F.lit("bernoulli").alias("method"),
+                    "lang", "doc_id", "hkey"))
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    fixed = (h.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= FIXED_K)
+             .select(F.lit("fixed_k").alias("method"),
+                     "lang", "doc_id", "hkey"))
+    return bern.unionByName(fixed)

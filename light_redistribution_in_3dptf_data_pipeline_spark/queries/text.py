@@ -118,6 +118,101 @@ def lang_stopword_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("pm").cast("bigint").alias("permille_sum")))
 
 
+# Gates sit at ~p90 of each metric on the synthetic fixture so the
+# composite flag splits the corpus non-trivially (a constant-False
+# gate would make the parity check vacuous for this column).
+TOP_TOKEN_RATIO_GATE = 0.14
+DUP_2GRAM_GATE = 0.06
+
+
+@register(
+    "tx7_repetition_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t
+    ), cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_tok_count
+      FROM cnt GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS sh
+      FROM tok
+    ), g2 AS (
+      SELECT doc_id,
+             CAST(count(sh) AS BIGINT) AS n_2grams,
+             CAST(count(DISTINCT sh) AS BIGINT) AS n_2grams_distinct
+      FROM g WHERE sh IS NOT NULL GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_tokens, a.n_distinct, a.top_tok_count,
+           g2.n_2grams, g2.n_2grams_distinct,
+           CAST(a.n_distinct AS DOUBLE) / a.n_tokens AS type_token_ratio,
+           CAST(a.top_tok_count AS DOUBLE) / a.n_tokens AS top_tok_ratio,
+           CAST(g2.n_2grams - g2.n_2grams_distinct AS DOUBLE)
+             / g2.n_2grams AS dup_2gram_frac,
+           CAST(a.top_tok_count AS DOUBLE) / a.n_tokens
+               > {TOP_TOKEN_RATIO_GATE}
+             OR CAST(g2.n_2grams - g2.n_2grams_distinct AS DOUBLE)
+                  / g2.n_2grams > {DUP_2GRAM_GATE} AS repetitive
+    FROM agg a JOIN g2 ON g2.doc_id = a.doc_id
+    """,
+    doc="Text quality (repetition): Gopher-style repetition filters — "
+        "type-token ratio, most-frequent-token fraction, duplicate-"
+        "2-gram fraction, and the composite repetitive gate. Token "
+        "counts via ONE explode + (doc,tok) groupBy (integer-exact, "
+        "map-side combinable); 2-gram duplicate stats are ARRAY-NATIVE "
+        "per-row (size minus size(array_distinct) of the in-row "
+        "shingle array — no second explode, no window sort). At "
+        "100 TB both shuffles key on doc token frequencies, no "
+        "skew beyond document length")
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import ngram_shingles, whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       whitespace_tokens(F.col("text")).alias("toks"))
+    agg = (toks.select("doc_id", F.explode("toks").alias("tok"))
+           .groupBy("doc_id", "tok")
+           .agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                F.count("*").cast("bigint").alias("n_distinct"),
+                F.max("c").cast("bigint").alias("top_tok_count")))
+    sh2 = ngram_shingles(F.col("toks"), 2, distinct=False)
+    g2 = (toks.select(
+        "doc_id",
+        F.size(sh2).cast("bigint").alias("n_2grams"),
+        F.size(F.array_distinct(sh2)).cast("bigint")
+         .alias("n_2grams_distinct"))
+        # match the oracle's WHERE sh IS NOT NULL GROUP BY semantics:
+        # sub-2-token docs have no 2-grams and no g2 row
+        .filter(F.col("n_2grams") > 0))
+    j = agg.join(g2, "doc_id")
+    top_ratio = F.col("top_tok_count").cast("double") / F.col("n_tokens")
+    dup_frac = ((F.col("n_2grams") - F.col("n_2grams_distinct"))
+                .cast("double") / F.col("n_2grams"))
+    return j.select(
+        "doc_id", "n_tokens", "n_distinct", "top_tok_count",
+        "n_2grams", "n_2grams_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+        .alias("type_token_ratio"),
+        top_ratio.alias("top_tok_ratio"),
+        dup_frac.alias("dup_2gram_frac"),
+        ((top_ratio > TOP_TOKEN_RATIO_GATE)
+         | (dup_frac > DUP_2GRAM_GATE)).alias("repetitive"))
+
+
 NEARDUP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,

@@ -1,0 +1,110 @@
+"""Connected-components operator: equivalence to a reference
+union-find, transitivity, convergence on deep chains, and the
+deterministic-sampling invariants."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+from conftest import SF_DIR_MID
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_union_find_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["comp"]
+           for r in connected_components(df).collect()}
+    want = _union_find_components(edges)
+    # canonicalize the reference: component id = min node in component
+    groups = {}
+    for n, c in want.items():
+        groups.setdefault(c, []).append(n)
+    want_min = {n: min(g) for c, g in groups.items() for n in g}
+    assert got == want_min
+
+
+def test_cc_chain_deeper_than_one_iteration(spark):
+    # a 40-node path graph: diameter 39, so hash-min needs many
+    # propagation rounds — catches early-exit bugs
+    edges = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["comp"]
+           for r in connected_components(df, max_iter=50).collect()}
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_dedup_clusters_survivor_policy(spark):
+    edges = [(10, 20), (20, 30), (40, 50)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = {r["doc_id"]: r for r in
+            dedup_clusters(df, left="a", right="b").collect()}
+    assert rows[10]["cluster_id"] == 10 and rows[10]["is_canonical"]
+    assert rows[30]["cluster_id"] == 10 and not rows[30]["is_canonical"]
+    assert rows[30]["cluster_size"] == 3
+    assert rows[50]["cluster_id"] == 40 and rows[50]["cluster_size"] == 2
+    # exactly one canonical doc per cluster
+    assert sum(r["is_canonical"] for r in rows.values()) == 2
+
+
+def test_dx4_contains_transitive_cluster(spark):
+    # at sf0.01 the fixture has a 3-doc chain (A~B, B~C, no A~C edge);
+    # the cluster query must merge it — the thing pairwise queries
+    # can't express
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+
+    rows = (QUERIES["dx4_neardup_cluster_cc"]
+            .builder(spark, SF_DIR_MID).collect())
+    sizes = sorted((r["cluster_size"] for r in rows), reverse=True)
+    assert sizes and sizes[0] >= 3
+    canon = [r for r in rows if r["is_canonical"]]
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert len(canon) == len(by_cluster)
+    for r in canon:
+        assert r["doc_id"] == min(by_cluster[r["cluster_id"]])
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+
+    b = QUERIES["smp1_stratified_sample"].builder
+    r1 = sorted(map(tuple, b(spark, SF_DIR_MID).collect()))
+    r2 = sorted(map(tuple, b(spark, SF_DIR_MID).collect()))
+    assert r1 == r2  # hash sampling: bit-identical across runs
+
+    fixed = [r for r in r1 if r[0] == "fixed_k"]
+    per_lang = {}
+    for _, lang, doc_id, _h in fixed:
+        per_lang.setdefault(lang, set()).add(doc_id)
+    assert all(len(v) == 8 for v in per_lang.values())
+    assert len(per_lang) == 5  # every stratum represented
+
+    bern = [r for r in r1 if r[0] == "bernoulli"]
+    langs = {r[1] for r in bern}
+    assert "en" in langs and len(langs) >= 3
