@@ -35,6 +35,9 @@ HEADLINE = [
     "f14_pose_grid_generator",
     "tx1_tx2_tx4_token_quality",
     "tx6_ngram_jaccard_neardup",
+    "tx7_repetition_signals",
+    "dx4_neardup_cluster_cc",
+    "smp1_stratified_sample",
     "dx1_minhash_lsh_candidates",
     "dx3_embedding_cosine_neardup",
     "sim1_sim2_cosine_topk",

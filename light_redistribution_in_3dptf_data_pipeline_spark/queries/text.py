@@ -190,14 +190,20 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("bigint").alias("n_distinct"),
                 F.max("c").cast("bigint").alias("top_tok_count")))
     sh2 = ngram_shingles(F.col("toks"), 2, distinct=False)
-    g2 = (toks.select(
-        "doc_id",
-        F.size(sh2).cast("bigint").alias("n_2grams"),
-        F.size(F.array_distinct(sh2)).cast("bigint")
-         .alias("n_2grams_distinct"))
-        # match the oracle's WHERE sh IS NOT NULL GROUP BY semantics:
-        # sub-2-token docs have no 2-grams and no g2 row
-        .filter(F.col("n_2grams") > 0))
+    # Match the oracle's WHERE sh IS NOT NULL semantics (sub-2-token
+    # docs have no 2-grams and no row) with a filter on the CHEAP
+    # token count, applied BEFORE the shingle projection. Filtering on
+    # n_2grams>0 instead lets predicate pushdown rewrite the filter in
+    # terms of the unmaterialized split() expression — which then
+    # re-tokenizes the text per array element inside the shingle
+    # lambda, an O(L²) regex blowup per document (measured 4x on this
+    # query at sf0.1).
+    g2 = (toks.filter(F.size("toks") > 1)
+          .select(
+              "doc_id",
+              F.size(sh2).cast("bigint").alias("n_2grams"),
+              F.size(F.array_distinct(sh2)).cast("bigint")
+               .alias("n_2grams_distinct")))
     j = agg.join(g2, "doc_id")
     top_ratio = F.col("top_tok_count").cast("double") / F.col("n_tokens")
     dup_frac = ((F.col("n_2grams") - F.col("n_2grams_distinct"))
