@@ -15,11 +15,14 @@ Parquet, stage-skip = output-exists, reruns are idempotent.
 Scale notes per stage:
 - features/quality_gate are pure maps — no shuffle, full codegen.
 - exact_dedup is one shuffle on a 128-bit hash.
-- near_dedup is the LSH bucket join (O(N·bands)), never all-pairs;
-  the greedy survivor rule (drop the larger doc_id of every
-  above-threshold pair) is one semi-join — at 100 TB the alternative
-  (true connected components) needs iterative joins; greedy
-  keep-first is what production corpus pipelines actually run.
+- near_dedup is the LSH bucket join (O(N·bands)), never all-pairs.
+  Two survivor policies: greedy keep-first (drop the larger doc_id of
+  every above-threshold pair — one anti-join, the cheap default) and
+  transitive connected-components clustering (operators/components.py
+  — keeps exactly one canonical doc per duplicate *cluster*, the
+  correct-by-definition policy; costs O(diameter) iterative joins).
+  CC survivors are always a subset of greedy survivors, and both
+  always keep each cluster's minimum doc_id.
 - The checkpoint between near_dedup and corpus doubles as the
   re-partition barrier before downstream tokenization.
 """
@@ -79,12 +82,34 @@ def near_dedup(docs: DataFrame,
     return docs.join(drops, "doc_id", "left_anti")
 
 
+def near_dedup_cc(docs: DataFrame,
+                  est_jaccard: float = NEARDUP_EST_JACCARD) -> DataFrame:
+    """Cluster-based near-dedup: LSH candidate pairs → connected
+    components → keep exactly the canonical (minimum doc_id) document
+    of every duplicate cluster. Unlike the greedy rule this is
+    transitive — A~B, B~C collapses all three even when A~C was never
+    scored — and keeps exactly one survivor per cluster by
+    construction."""
+    from ..operators.components import dedup_clusters
+
+    pairs = (lsh_neardup_pairs(shingles(docs))
+             .filter(F.col("est_jaccard") >= est_jaccard))
+    losers = (dedup_clusters(pairs, left="doc_a", right="doc_b")
+              .filter(~F.col("is_canonical"))
+              .select("doc_id"))
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def build_corpus_pipeline(root: str, source: DataFrame,
                           langs: tuple[str, ...] = DEFAULT_LANGS,
                           min_tokens: int = MIN_TOKENS,
-                          est_jaccard: float = NEARDUP_EST_JACCARD
+                          est_jaccard: float = NEARDUP_EST_JACCARD,
+                          cluster_dedup: bool = False
                           ) -> Pipeline:
-    """Wire the curation DAG onto a Parquet-checkpointed Pipeline."""
+    """Wire the curation DAG onto a Parquet-checkpointed Pipeline.
+    ``cluster_dedup`` swaps the greedy near-dedup survivor policy for
+    the transitive connected-components one."""
+    dedup_fn = near_dedup_cc if cluster_dedup else near_dedup
     p = Pipeline(root=root)
     p.add("features", lambda s: document_features(source))
     p.add("quality_gate",
@@ -95,8 +120,8 @@ def build_corpus_pipeline(root: str, source: DataFrame,
           lambda s: exact_dedup(s.read.parquet(p.path("quality_gate"))),
           deps=("quality_gate",))
     p.add("corpus",
-          lambda s: near_dedup(s.read.parquet(p.path("exact_dedup")),
-                               est_jaccard),
+          lambda s: dedup_fn(s.read.parquet(p.path("exact_dedup")),
+                             est_jaccard),
           deps=("exact_dedup",))
     return p
 

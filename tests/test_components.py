@@ -90,6 +90,23 @@ def test_dx4_contains_transitive_cluster(spark):
         assert r["doc_id"] == min(by_cluster[r["cluster_id"]])
 
 
+def test_tx7_filter_not_rewritten_to_shingle_expression(spark):
+    # Regression guard: filtering on a shingle-derived count lets
+    # predicate pushdown rebuild the filter from the unmaterialized
+    # split() expression — O(L²) re-tokenization per row. The filter
+    # must stay on the cheap token count: no higher-order `transform`
+    # call may appear inside any Filter node.
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["tx7_repetition_signals"].builder(spark, SF_DIR_MID)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filter_lines = [ln for ln in plan.splitlines()
+                    if "Filter" in ln and "Scan" not in ln]
+    assert filter_lines, "expected at least one Filter node"
+    for ln in filter_lines:
+        assert "transform(" not in ln, f"shingle expr leaked into: {ln}"
+
+
 def test_stratified_sample_deterministic_and_stratified(spark):
     from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
 

@@ -69,6 +69,35 @@ def test_near_dedup_drops_larger_id(spark, docs):
     assert again.count() == n_out
 
 
+def test_near_dedup_cc_transitive_and_subset_of_greedy(spark, docs):
+    feats = corpus.exact_dedup(
+        corpus.quality_gate(corpus.document_features(docs)))
+    greedy = {r.doc_id for r in
+              corpus.near_dedup(feats, est_jaccard=0.5)
+              .select("doc_id").collect()}
+    cc = {r.doc_id for r in
+          corpus.near_dedup_cc(feats, est_jaccard=0.5)
+          .select("doc_id").collect()}
+    assert cc  # never empties the corpus
+    # CC collapses whole clusters, greedy only pairwise losers —
+    # so CC survivors are a subset, and both keep cluster minima
+    assert cc <= greedy
+    # idempotent: re-running on the survivors drops nothing
+    survivors = feats.join(
+        spark.createDataFrame([(i,) for i in cc], ["doc_id"]),
+        "doc_id", "left_semi")
+    assert corpus.near_dedup_cc(survivors, est_jaccard=0.5).count() \
+        == len(cc)
+
+
+def test_pipeline_cluster_dedup_variant(spark, docs, tmp_path):
+    root = str(tmp_path / "corpus_cc_run")
+    p = corpus.build_corpus_pipeline(root, docs, cluster_dedup=True)
+    out = p.run(spark, "corpus")
+    stats = corpus.corpus_stats(spark, p)
+    assert stats["corpus"] == out.count() < stats["exact_dedup"]
+
+
 def test_pipeline_checkpoints_and_stats(spark, docs, tmp_path):
     root = str(tmp_path / "corpus_run")
     p = corpus.build_corpus_pipeline(root, docs)
