@@ -196,6 +196,52 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
     return agg.select(id_col, fp.alias("simhash"))
 
 
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_band_candidates(fp: DataFrame, id_col: str = "doc_id",
+                            fp_col: str = "simhash",
+                            bands: int = SIMHASH_BANDS,
+                            max_hamming: int = SIMHASH_MAX_HAMMING
+                            ) -> DataFrame:
+    """SimHash near-dup pairs at scale: band the 64-bit fingerprint
+    into ``bands`` equal bit-slices and bucket-join on (band, slice),
+    then verify candidates exactly with the Hamming distance
+    (bit_count of XOR — one JVM intrinsic per pair).
+
+    Pigeonhole guarantee: a pair with Hamming distance d < ``bands``
+    differs in at most d bands, so it shares at least bands−d ≥ 1
+    exact band slice and MUST surface as a candidate — recall is 1.0
+    for d ≤ bands−1 (with the default 4 bands: all pairs within
+    Hamming 3). Shuffle cost is O(N·bands) band rows, never O(N²).
+    Returns (doc_a, doc_b, hamming) with hamming ≤ ``max_hamming``.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.shiftrightunsigned(F.col(fp_col), b * width)
+                  .bitwiseAND(F.lit(mask)).alias("slice"))
+        for b in range(bands)])
+    rows = (fp.select(id_col, fp_col,
+                      F.explode(band_structs).alias("bs"))
+            .select(id_col, fp_col, F.col("bs.band").alias("band"),
+                    F.col("bs.slice").alias("slice")))
+    a = rows.alias("a")
+    b = rows.alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.slice") == F.col("b.slice"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    hamming.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 @register(
     "dx1_minhash_lsh_candidates", None,
     doc="Dedup scale path: MinHash(32)+LSH(8 bands) candidate pairs "

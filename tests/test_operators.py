@@ -102,6 +102,40 @@ class TestSimHash:
         assert rows[1] == rows[2]
         assert rows[1] != rows[3]
 
+    def test_band_candidates_full_recall_within_hamming(self, spark):
+        # pigeonhole: with 4 bands every pair at Hamming distance <= 3
+        # MUST be a candidate. Build fingerprints with known distances.
+        import random
+        rng = random.Random(11)
+
+        def signed(u):  # uint64 bit pattern -> java long
+            return u - (1 << 64) if u >= 1 << 63 else u
+
+        base = rng.getrandbits(64)
+        rows = [(0, signed(base))]
+        # ids 1..6: distances 1,2,3 (recall-guaranteed) and 17,21,32
+        for i, d in enumerate([1, 2, 3, 17, 21, 32], start=1):
+            fp = base
+            for bit in rng.sample(range(64), d):
+                fp ^= 1 << bit
+            rows.append((i, signed(fp)))
+        df = spark.createDataFrame(rows, "doc_id LONG, simhash LONG")
+        cands = dedup.simhash_band_candidates(df, max_hamming=3)
+        got = {(r.doc_a, r.doc_b): r.hamming for r in cands.collect()}
+        for i, d in [(1, 1), (2, 2), (3, 3)]:
+            assert got.get((0, i)) == d, (i, d, got)
+        assert all(h <= 3 for h in got.values())
+
+    def test_band_candidates_on_fixture_duplicates(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        # inject an exact copy: hamming 0 must surface
+        dup = docs.limit(1).withColumn(
+            "doc_id", F.col("doc_id") + 1000000)
+        fp = dedup.simhash_fingerprints(docs.unionByName(dup))
+        cands = dedup.simhash_band_candidates(fp)
+        zero = [r for r in cands.collect() if r.hamming == 0]
+        assert any(r.doc_b - r.doc_a == 1000000 for r in zero)
+
 
 class TestAnnLsh:
     def test_recall_vs_bruteforce(self, spark):
