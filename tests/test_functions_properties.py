@@ -44,6 +44,24 @@ def test_ngram_shingles_match_python(spark, docs, n):
 
 
 @settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(TOKEN, min_size=0, max_size=12), min_size=1,
+                max_size=20), st.integers(min_value=2, max_value=4))
+def test_ngram_shingles_raw_keeps_positional_duplicates(spark, docs, n):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    toks_df = df.select("doc_id", whitespace_tokens(F.col("text"))
+                        .alias("toks"))
+    got = {r.doc_id: r.sh for r in toks_df.select(
+        "doc_id", ngram_shingles(F.col("toks"), n, distinct=False)
+        .alias("sh")).collect()}
+    for i, toks in enumerate(docs):
+        pytoks = " ".join(toks).strip().split() or [""]
+        want = [" ".join(pytoks[j:j + n])
+                for j in range(max(len(pytoks) - n + 1, 0))]
+        assert got[i] == want, (toks, n)
+
+
+@settings(max_examples=5, deadline=None)
 @given(st.lists(
     st.tuples(
         st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32),
