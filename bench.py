@@ -36,6 +36,8 @@ HEADLINE = [
     "tx1_tx2_tx4_token_quality",
     "tx6_ngram_jaccard_neardup",
     "tx7_repetition_signals",
+    "tx8_benchmark_decontam",
+    "tx9_tfidf_vocab",
     "dx4_neardup_cluster_cc",
     "smp1_stratified_sample",
     "dx1_minhash_lsh_candidates",

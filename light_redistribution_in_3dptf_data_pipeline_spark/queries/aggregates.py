@@ -52,26 +52,6 @@ def collect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a3_vector_mean",
-    """
-    SELECT c_nationkey,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-             / count(*) AS mean_bal
-    FROM customer
-    GROUP BY c_nationkey
-    """,
-    doc="A3/A5: per-group mean via exact decimal sum "
-        "(extrinsic_calibration.py:72-73 mean rvec/tvec)")
-def vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    return customer.groupBy("c_nationkey").agg(
-        F.count("*").cast("bigint").alias("n"),
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*"))
-        .alias("mean_bal"))
-
-
-@register(
     "a4_a11_descriptive_stats",
     """
     WITH s AS (
@@ -143,9 +123,12 @@ def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="A5/A6: TPC-H-Q1-style pricing summary — grouped exact-decimal "
-        "sums + derived means (per-pose mean error analog, "
-        "extrinsic_calibration.py:213-214)")
+    doc="A3+A5: TPC-H-Q1-style pricing summary — grouped exact-decimal "
+        "sums + derived means over several measure columns at once: "
+        "the column-wise vector mean (extrinsic_calibration.py:72-73 "
+        "mean rvec/tvec over components) and the per-group mean "
+        "(extrinsic_calibration.py:213-214 per-pose mean error) in "
+        "one grouped pass")
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(18,2)")

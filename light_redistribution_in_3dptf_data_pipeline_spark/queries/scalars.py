@@ -95,33 +95,6 @@ T4X4 = (
 
 
 @register(
-    "f12_homogeneous_transform",
-    f"""
-    SELECT l_orderkey, l_linenumber,
-           {T4X4[0][0]} * l_quantity + {T4X4[0][1]} * l_discount
-             + {T4X4[0][2]} * l_tax + {T4X4[0][3]} AS tx,
-           {T4X4[1][0]} * l_quantity + {T4X4[1][1]} * l_discount
-             + {T4X4[1][2]} * l_tax + {T4X4[1][3]} AS ty,
-           {T4X4[2][0]} * l_quantity + {T4X4[2][1]} * l_discount
-             + {T4X4[2][2]} * l_tax + {T4X4[2][3]} AS tz
-    FROM lineitem
-    WHERE l_orderkey <= 500
-    """,
-    doc="F12: 4x4 homogeneous transform of 3-vectors as closed-form "
-        "column expressions — no UDF "
-        "(point3d_transformation.py:109-120)")
-def homogeneous_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    x, y, z = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")
-    rows = []
-    for name, (r0, r1, r2, t) in zip(("tx", "ty", "tz"), T4X4):
-        rows.append((F.lit(r0) * x + F.lit(r1) * y + F.lit(r2) * z
-                     + F.lit(t)).alias(name))
-    return (li.filter(F.col("l_orderkey") <= 500)
-              .select("l_orderkey", "l_linenumber", *rows))
-
-
-@register(
     "f11_f15_array_ops",
     """
     WITH built AS (
@@ -177,12 +150,18 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_orderkey, l_linenumber,
            nums[1] AS x, nums[2] AS y, nums[3] AS z,
-           nums[4] AS a, nums[5] AS b, nums[6] AS c
+           nums[4] AS a, nums[5] AS b, nums[6] AS c,
+           0.5 * nums[1] + -0.25 * nums[2] + 0.0 * nums[3] + 10.0 AS tx,
+           0.25 * nums[1] + 0.5 * nums[2] + 0.0 * nums[3] + -5.0 AS ty,
+           0.0 * nums[1] + 0.0 * nums[2] + 1.0 * nums[3] + 2.5 AS tz
     FROM parsed
     """,
-    doc="S4+F2+P2: embedded-text source — render KUKA LIN lines, then "
+    doc="S4+F2+P2+F12: embedded-text source — render KUKA LIN lines, "
         "regexp_extract_all → cast → slice first 6 "
-        "(pose_filter.py:15-3143)")
+        "(pose_filter.py:15-3143), then push the parsed (x,y,z) "
+        "through the 4x4 homogeneous base-frame transform as "
+        "closed-form column expressions — no UDF "
+        "(point3d_transformation.py:109-120 T @ [x,y,z,1])")
 def robot_program_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rendered = (li.filter(F.col("l_orderkey") <= 300)
@@ -202,11 +181,17 @@ def robot_program_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         1, 6)
     parsed = rendered.select("l_orderkey", "l_linenumber",
                              nums.alias("nums"))
+    x, y, z = (F.col("nums")[i] for i in range(3))
+    transformed = [
+        (F.lit(r0) * x + F.lit(r1) * y + F.lit(r2) * z + F.lit(t))
+        .alias(name)
+        for name, (r0, r1, r2, t) in zip(("tx", "ty", "tz"), T4X4)]
     return parsed.select(
         "l_orderkey", "l_linenumber",
         F.col("nums")[0].alias("x"), F.col("nums")[1].alias("y"),
         F.col("nums")[2].alias("z"), F.col("nums")[3].alias("a"),
-        F.col("nums")[4].alias("b"), F.col("nums")[5].alias("c"))
+        F.col("nums")[4].alias("b"), F.col("nums")[5].alias("c"),
+        *transformed)
 
 
 @register(

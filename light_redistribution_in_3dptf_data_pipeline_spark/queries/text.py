@@ -219,6 +219,116 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
          | (dup_frac > DUP_2GRAM_GATE)).alias("repetitive"))
 
 
+# Eval-set membership: a deterministic hash-free predicate so both
+# engines pick the identical benchmark slice.
+EVAL_MOD = 97
+
+
+@register(
+    "tx8_benchmark_decontam",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+               AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' '
+                 || lead(tok, 2) OVER w AS shingle
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), sh2 AS (
+      SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    ), ev AS (
+      SELECT doc_id, shingle FROM sh2 WHERE doc_id % {EVAL_MOD} = 0
+    ), tr AS (
+      SELECT doc_id, shingle FROM sh2 WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared,
+           CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_hit
+    FROM tr JOIN ev ON ev.shingle = tr.shingle
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+        "any 3-gram shingle with the held-out eval slice "
+        "(doc_id % 97 == 0), reporting how many distinct shingles "
+        "leak and how many eval docs are hit. The eval side is tiny "
+        "by construction (benchmarks are MBs, corpora are TBs), so "
+        "the Spark plan BROADCASTS the eval shingle set — the 100 TB "
+        "side streams through a map-side hash join with zero shuffle "
+        "of the corpus; only the per-doc count-distinct aggregation "
+        "shuffles, keyed on contaminated docs only (a tiny fraction)")
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import ngram_shingles, whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       whitespace_tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id",
+                     F.explode(ngram_shingles(F.col("toks"), 3))
+                      .alias("shingle"))
+    ev = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+            .select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (tr.join(F.broadcast(ev), "shingle")
+              .groupBy("doc_id")
+              .agg(F.countDistinct("shingle").cast("bigint")
+                    .alias("n_shared"),
+                   F.countDistinct("eval_doc_id").cast("bigint")
+                    .alias("n_eval_hit")))
+
+
+@register(
+    "tx9_tfidf_vocab",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), agg AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT tok, tf, df,
+           round(ln(CAST(n_docs AS DOUBLE) / df), 12) + 0.0 AS idf
+    FROM agg, n
+    ORDER BY df DESC, tok
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary + TF-IDF weights: per-token corpus "
+        "frequency (tf), document frequency (df), and idf = "
+        "ln(N/df) for the top-100 tokens by df (tie-broken on the "
+        "token so the top-k SET is deterministic; idf rounded to "
+        "12 dp — JVM vs libm ln may differ in the last ulp). One "
+        "explode + one map-side-combinable groupBy; the corpus-size "
+        "scalar joins in as a broadcast single row; top-k plans as "
+        "TakeOrderedAndProject — no global sort at 100 TB")
+def tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(whitespace_tokens(F.col("text")))
+                       .alias("tok"))
+    agg = (tok.groupBy("tok")
+              .agg(F.count("*").cast("bigint").alias("tf"),
+                   F.countDistinct("doc_id").cast("bigint").alias("df")))
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    idf = (F.round(F.log(F.col("n_docs").cast("double") / F.col("df")),
+                   12) + F.lit(0.0))
+    return (agg.crossJoin(F.broadcast(n))
+               .select("tok", "tf", "df", idf.alias("idf"))
+               .orderBy(F.desc("df"), F.asc("tok"))
+               .limit(100))
+
+
 NEARDUP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
