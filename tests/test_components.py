@@ -107,6 +107,43 @@ def test_tx7_filter_not_rewritten_to_shingle_expression(spark):
         assert "transform(" not in ln, f"shingle expr leaked into: {ln}"
 
 
+def test_tx8_decontam_broadcasts_eval_and_excludes_eval_docs(spark):
+    # The eval side must be the broadcast build side (the corpus side
+    # streams — zero shuffle of the 100 TB side before the join), and
+    # no eval doc may appear as a contaminated *training* doc.
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries.text import EVAL_MOD
+
+    df = QUERIES["tx8_benchmark_decontam"].builder(spark, SF_DIR_MID)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert rows, "fixture corpus should have contaminated docs"
+    for r in rows:
+        assert r["doc_id"] % EVAL_MOD != 0
+        assert r["n_shared"] >= 1 and r["n_eval_hit"] >= 1
+
+
+def test_tx9_tfidf_topk_plan_and_idf_monotonicity(spark):
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["tx9_tfidf_vocab"].builder(spark, SF_DIR_MID)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # top-k must not plan a global sort
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert r["tf"] >= r["df"] >= 1
+    # idf strictly decreases as df increases
+    by_df = sorted({(r["df"], r["idf"]) for r in rows})
+    idfs = [i for _, i in by_df]
+    assert idfs == sorted(idfs, reverse=True)
+
+
 def test_stratified_sample_deterministic_and_stratified(spark):
     from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
 
