@@ -2,6 +2,8 @@
 
 from .columns import (  # noqa: F401
     DEG2RAD,
+    normalize_text,
+    redact_pii_cols,
     decimal_components,
     decimal_dot,
     euler_zyx_matrix_cols,

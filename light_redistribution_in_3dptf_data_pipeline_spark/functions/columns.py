@@ -89,3 +89,47 @@ def decimal_dot(u: Column, v: Column) -> Column:
         F.zip_with(u, v, lambda x, y: (x * y).cast("decimal(20,18)")),
         zero,
         lambda acc, x: (acc + x).cast("decimal(30,18)")).cast("double")
+
+
+# --- Curation-stage text scrubbing (LLM-pipeline extension) ---------
+# Redaction runs longest-pattern-first so an email inside a URL is
+# consumed by the URL rule, never double-counted. All pure JVM regex
+# (regexp_extract_all / regexp_replace) — codegen'd, no Python in the
+# hot path, safe to run over 100 TB of documents as a map-only stage.
+
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+_PII_RULES = (
+    ("url", URL_RE, "<URL>"),
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def redact_pii_cols(text: Column) -> dict[str, Column]:
+    """PII/URL scrubbing: returns ``clean_text`` with urls/emails/
+    ipv4s/phone-runs replaced by typed placeholder tokens, plus a
+    BIGINT match count per category (counted *before* its own
+    replacement, on the text already cleaned by earlier rules, so
+    categories never overlap)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, token in _PII_RULES:
+        out[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).cast("bigint")
+        cur = F.regexp_replace(cur, pat, token)
+    out["clean_text"] = cur
+    return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup/fingerprint keys: strip control
+    chars, collapse whitespace runs to single spaces, trim, lowercase.
+    Idempotent (normalize(normalize(x)) == normalize(x))."""
+    stripped = F.regexp_replace(text, r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    return F.lower(F.trim(collapsed))

@@ -109,3 +109,55 @@ def test_bucketed_row_number_equals_global(spark, rows):
         "uid", F.row_number().over(
             Window.orderBy("v", "tie", "uid")).alias("rn")).collect()}
     assert got == want
+
+
+def test_redact_pii_counts_and_cleans(spark):
+    from light_redistribution_in_3dptf_data_pipeline_spark.functions import (
+        redact_pii_cols)
+
+    rows = [
+        (0, "contact me at alice.smith+x@example.co.uk or visit "
+            "https://example.com/a?b=c#d now"),
+        (1, "server 192.168.0.1 answered; call +1 415-555-0199 today"),
+        (2, "no pii here at all"),
+        (3, "mail bob@host.org mail carol@host.org"),
+        # email inside a URL is consumed by the URL rule only
+        (4, "see https://x.io/path?mail=dave@host.org trailing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    cols = redact_pii_cols(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+
+    assert (got[0]["n_email"], got[0]["n_url"]) == (1, 1)
+    assert "<EMAIL>" in got[0]["clean_text"]
+    assert "<URL>" in got[0]["clean_text"]
+    assert (got[1]["n_ip"], got[1]["n_phone"]) == (1, 1)
+    assert got[2]["clean_text"] == "no pii here at all"
+    assert sum((got[2][f"n_{k}"] for k in ("url", "email", "ip",
+                                           "phone"))) == 0
+    assert got[3]["n_email"] == 2
+    assert (got[4]["n_url"], got[4]["n_email"]) == (1, 0)
+    # nothing redactable survives in any cleaned text
+    for r in got.values():
+        ct = r["clean_text"]
+        assert "@" not in ct.replace("<EMAIL>", "")
+        assert "http" not in ct.replace("<URL>", "")
+
+
+def test_normalize_text_idempotent_and_canonical(spark):
+    from light_redistribution_in_3dptf_data_pipeline_spark.functions import (
+        normalize_text)
+
+    rows = [(0, "  Mixed   CASE\tand\n\nodd \x01 spacing  "),
+            (1, "already normal"),
+            (2, "A\x00B")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    once = df.select("doc_id", normalize_text(F.col("text")).alias("t"))
+    twice = once.select("doc_id", normalize_text(F.col("t")).alias("t"))
+    g1 = {r["doc_id"]: r["t"] for r in once.collect()}
+    g2 = {r["doc_id"]: r["t"] for r in twice.collect()}
+    assert g1 == g2  # idempotent
+    assert g1[0] == "mixed case and odd spacing"
+    assert g1[1] == "already normal"
+    assert g1[2] == "a b"
