@@ -40,6 +40,21 @@ MIN_TOKENS = 5
 NEARDUP_EST_JACCARD = 0.5
 
 
+def scrub_documents(docs: DataFrame) -> DataFrame:
+    """PII/URL scrubbing stage: replace urls/emails/ipv4s/phone runs
+    with typed placeholder tokens and record per-category match counts
+    (functions.redact_pii_cols). A pure map — no shuffle, full
+    codegen — so at 100 TB it rides along with the feature scan."""
+    from ..functions import redact_pii_cols
+
+    cols = redact_pii_cols(F.col("text"))
+    passthrough = [c for c in docs.columns if c != "text"]
+    return docs.select(
+        *passthrough, cols["clean_text"].alias("text"),
+        *[cols[k].alias(k) for k in ("n_url", "n_email", "n_ip",
+                                     "n_phone")])
+
+
 def document_features(docs: DataFrame) -> DataFrame:
     """Per-document features in one scan (the tx1_tx2_tx4 pass as a
     reusable stage): token count, stopword ratio, content fingerprint."""
@@ -104,14 +119,24 @@ def build_corpus_pipeline(root: str, source: DataFrame,
                           langs: tuple[str, ...] = DEFAULT_LANGS,
                           min_tokens: int = MIN_TOKENS,
                           est_jaccard: float = NEARDUP_EST_JACCARD,
-                          cluster_dedup: bool = False
+                          cluster_dedup: bool = False,
+                          redact: bool = False
                           ) -> Pipeline:
     """Wire the curation DAG onto a Parquet-checkpointed Pipeline.
     ``cluster_dedup`` swaps the greedy near-dedup survivor policy for
-    the transitive connected-components one."""
+    the transitive connected-components one; ``redact`` inserts the
+    PII/URL scrubbing stage ahead of feature extraction (dedup then
+    keys off the *scrubbed* text, so two docs differing only in
+    redacted PII collapse together)."""
     dedup_fn = near_dedup_cc if cluster_dedup else near_dedup
     p = Pipeline(root=root)
-    p.add("features", lambda s: document_features(source))
+    if redact:
+        p.add("scrub", lambda s: scrub_documents(source))
+        p.add("features",
+              lambda s: document_features(s.read.parquet(p.path("scrub"))),
+              deps=("scrub",))
+    else:
+        p.add("features", lambda s: document_features(source))
     p.add("quality_gate",
           lambda s: quality_gate(s.read.parquet(p.path("features")),
                                  langs, min_tokens),
@@ -131,5 +156,4 @@ def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:
     (the analog of the reference's stage-end counters,
     ``src/core/act_img.py:313-314``)."""
     return {name: spark.read.parquet(p.path(name)).count()
-            for name in ("features", "quality_gate", "exact_dedup",
-                         "corpus")}
+            for name in p.stages}

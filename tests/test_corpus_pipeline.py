@@ -114,3 +114,31 @@ def test_pipeline_checkpoints_and_stats(spark, docs, tmp_path):
     for name in order:
         assert os.path.exists(os.path.join(p.path(name), "_SUCCESS"))
     assert p.run(spark, "corpus").count() == stats["corpus"]
+
+
+def test_pipeline_redact_variant(spark, docs, tmp_path):
+    # Two extra docs identical except for their (redactable) email —
+    # after scrubbing they are exact duplicates and must collapse.
+    extra = spark.createDataFrame(
+        [(300001, "the quick fox wrote to a@x.org about the a grant",
+          "en", "synthetic", 48),
+         (300002, "the quick fox wrote to b@y.org about the a grant",
+          "en", "synthetic", 48)],
+        docs.schema)
+    root = str(tmp_path / "corpus_redact_run")
+    p = corpus.build_corpus_pipeline(
+        root, docs.unionByName(extra), redact=True)
+    out = p.run(spark, "corpus")
+    stats = corpus.corpus_stats(spark, p)
+    assert stats["scrub"] == 514
+    # the email pair collapsed in exact_dedup (keep-first: 300001)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 300001 in ids and 300002 not in ids
+    # no raw email survives anywhere downstream of scrub
+    leaked = (spark.read.parquet(p.path("scrub"))
+              .filter(F.col("text").rlike("@[A-Za-z]")).count())
+    assert leaked == 0
+    # scrub stage recorded per-category counts
+    srow = (spark.read.parquet(p.path("scrub"))
+            .filter(F.col("doc_id") == 300001).head())
+    assert srow.n_email == 1 and "<EMAIL>" in srow.text
