@@ -162,3 +162,32 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     bern = [r for r in r1 if r[0] == "bernoulli"]
     langs = {r[1] for r in bern}
     assert "en" in langs and len(langs) >= 3
+
+
+def test_a12_sketches_within_documented_error(spark):
+    # Rows-only query: its local evidence is an accuracy bound vs the
+    # exact aggregates (a8/a11 are the oracle-checked counterparts).
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+
+    got = {r["event_type"]: r for r in
+           QUERIES["a12_approx_sketches"].builder(spark, SF_DIR_MID)
+           .collect()}
+    events = load_table(spark, SF_DIR_MID, "events")
+    exact = {r["event_type"]: r for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("users"),
+                  F.expr("percentile(value, 0.5)").alias("median"),
+                  F.min("value").alias("lo"),
+                  F.max("value").alias("hi")).collect()}
+    assert set(got) == set(exact)
+    for et, g in got.items():
+        e = exact[et]
+        # HLL++ with rsd=0.02: allow 5 sigma
+        assert abs(g["approx_users"] - e["users"]) <= max(
+            3, 0.10 * e["users"]), (et, g["approx_users"], e["users"])
+        # percentile_approx(accuracy=10000) on these group sizes is
+        # rank-exact or one neighbor off; bound loosely by the range
+        assert e["lo"] <= g["approx_median_value"] <= e["hi"]
+        assert abs(g["approx_median_value"] - e["median"]) <= (
+            0.05 * (e["hi"] - e["lo"]) + 1e-9)
