@@ -20,18 +20,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table. Column pruning + predicate pushdown
     happen at the parquet scan because we never materialize here.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos and convert to a
-    microsecond timestamp (the fixture has no sub-microsecond parts, so
-    this is lossless and matches DuckDB's value).
+    ``events.ts`` may be written as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; in that case we read it as raw nanos and
+    convert to a microsecond timestamp (the fixture has no
+    sub-microsecond parts, so this is lossless and matches DuckDB's
+    value). When the fixture is already TIMESTAMP(MICROS) the column
+    arrives as a timestamp and no conversion is needed.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
