@@ -1,0 +1,100 @@
+"""Fixture-schema canary: fail ONE named test, loudly, when the driver
+rewrites /root/testdata and a table's schema drifts.
+
+The ``events.ts`` physical type has drifted twice across rounds
+(TIMESTAMP(NANOS) -> nanos-as-long -> timezone-less timestamp[us] /
+TIMESTAMP_NTZ), and each drift surfaced as many cascading analysis
+errors deep inside queries. This test pins what ``catalog.load_table``
+must *return* — a plain ``TimestampType`` regardless of the fixture's
+physical encoding — plus the full expected schema of every table, so
+the next silent rewrite fails here with a readable message instead of
+nine downstream ``DATATYPE_MISMATCH`` stack traces.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from light_redistribution_in_3dptf_data_pipeline_spark.catalog import TABLES, load_table
+
+from conftest import SF_DIR, SF_DIR_MID
+
+# Logical schema contract: what load_table must hand to every query,
+# whatever the parquet files physically contain. A tuple means "any of
+# these is fine" — used for date-ish columns our queries treat
+# NTZ-tolerantly (comparisons / date_trunc work on all three).
+DATEISH = (T.TimestampType, T.TimestampNTZType, T.DateType)
+EXPECTED = {
+    "region": {"r_regionkey": T.IntegerType, "r_name": T.StringType},
+    "nation": {"n_nationkey": T.IntegerType, "n_name": T.StringType,
+               "n_regionkey": T.IntegerType},
+    "customer": {"c_custkey": T.LongType, "c_name": T.StringType,
+                 "c_nationkey": T.IntegerType, "c_acctbal": T.DoubleType,
+                 "c_mktsegment": T.StringType},
+    "supplier": {"s_suppkey": T.LongType, "s_name": T.StringType,
+                 "s_nationkey": T.IntegerType, "s_acctbal": T.DoubleType},
+    "part": {"p_partkey": T.LongType, "p_name": T.StringType,
+             "p_brand": T.StringType, "p_type": T.StringType,
+             "p_size": T.IntegerType, "p_retailprice": T.DoubleType},
+    "orders": {"o_orderkey": T.LongType, "o_custkey": T.LongType,
+               "o_orderstatus": T.StringType, "o_totalprice": T.DoubleType,
+               "o_orderdate": DATEISH, "o_orderpriority": T.StringType},
+    "lineitem": {"l_orderkey": T.LongType, "l_partkey": T.LongType,
+                 "l_suppkey": T.LongType, "l_linenumber": T.IntegerType,
+                 "l_quantity": T.DoubleType, "l_extendedprice": T.DoubleType,
+                 "l_discount": T.DoubleType, "l_tax": T.DoubleType,
+                 "l_returnflag": T.StringType, "l_linestatus": T.StringType,
+                 "l_shipdate": DATEISH},
+    # The drift-prone one: ts MUST come back as TimestampType (not NTZ,
+    # not long), or unix_micros / lead / window functions all break.
+    "events": {"event_id": T.LongType, "ts": T.TimestampType,
+               "user_id": T.LongType, "event_type": T.StringType,
+               "value": T.DoubleType, "props": T.StringType},
+    "documents": {"doc_id": T.LongType, "text": T.StringType,
+                  "lang": T.StringType, "source": T.StringType,
+                  "n_chars": T.LongType},
+    "embeddings": {"vec_id": T.LongType, "embedding": T.ArrayType,
+                   "label": T.IntegerType},
+}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID],
+                         ids=["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("table", TABLES)
+def test_fixture_schema_canary(spark, sf_dir, table):
+    if not os.path.exists(f"{sf_dir}/{table}.parquet"):
+        pytest.skip(f"fixture {sf_dir}/{table}.parquet not present")
+    df = load_table(spark, sf_dir, table)
+    actual = {f.name: type(f.dataType) for f in df.schema.fields}
+    missing = set(EXPECTED[table]) - set(actual)
+    assert not missing, (
+        f"FIXTURE DRIFT: {sf_dir}/{table}.parquet lost columns {sorted(missing)};"
+        f" present: {sorted(actual)}")
+    for col, want in EXPECTED[table].items():
+        got = actual[col]
+        allowed = want if isinstance(want, tuple) else (want,)
+        assert got in allowed, (
+            f"FIXTURE DRIFT: load_table({table!r}).{col} is {got.__name__},"
+            f" expected {'/'.join(w.__name__ for w in allowed)}. If the"
+            f" parquet encoding changed, normalize it in catalog.load_table"
+            f" (see events.ts history: nanos -> nanos-as-long ->"
+            f" TIMESTAMP_NTZ).")
+
+
+def test_events_ts_values_survive_normalization(spark, duck):
+    """Normalizing ts must not shift values: min/max epoch-micros agree
+    with DuckDB reading the same file (both under UTC)."""
+    df = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+        F.count("*").alias("n")).collect()[0]
+    lo, hi, n = duck.execute(
+        "SELECT epoch_us(min(ts)), epoch_us(max(ts)), count(*) FROM events"
+    ).fetchone()
+    assert (row["lo"], row["hi"], row["n"]) == (lo, hi, n)
