@@ -260,3 +260,76 @@ def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs).orderBy("doc_id")
+
+
+def lsh_verified_neardups(docs: DataFrame, threshold: float,
+                          id_col: str = "doc_id",
+                          bands: int = LSH_BANDS,
+                          num_hashes: int = NUM_HASHES) -> DataFrame:
+    """The full scale-path near-dup DECISION: LSH candidate generation
+    followed by exact-jaccard verification on the candidate set only.
+
+    This is the production two-phase shape: phase 1 is the O(N·bands)
+    bucket join (never all-pairs); phase 2 attaches the two shingle
+    sets of each *candidate* pair (joins sized by the candidate set,
+    tiny relative to the corpus) and computes exact jaccard with one
+    in-row ``array_intersect`` — so the final output is engine-hash-
+    independent and equals the exhaustive formulation whenever LSH
+    recall at ``threshold`` is 1 (the tested regime: above-threshold
+    fixture pairs sit at jaccard ≥ 0.9, where an 8×4 banding misses
+    with p ≈ 2e-4).
+
+    Returns (doc_a, doc_b, n_inter, jaccard) with jaccard ≥ threshold.
+    """
+    sh = shingles(docs, id_col=id_col)
+    cand = (lsh_candidate_pairs(minhash_signatures(sh, id_col,
+                                                   num_hashes),
+                                id_col, bands, num_hashes)
+            .select("doc_a", "doc_b"))
+    sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
+    a = sets_.select(F.col(id_col).alias("doc_a"),
+                     F.col("_set").alias("_sa"))
+    b = sets_.select(F.col(id_col).alias("doc_b"),
+                     F.col("_set").alias("_sb"))
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = (n_inter.cast("double")
+           / (F.size("_sa") + F.size("_sb") - n_inter))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    n_inter.cast("bigint").alias("n_inter"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _dx5_oracle() -> str:
+    from ..queries.text import NEARDUP_ORACLE
+    return NEARDUP_ORACLE
+
+
+@register(
+    "dx5_lsh_neardup_decision", None,  # oracle attached below
+    doc="Dedup scale path, ORACLE-CHECKED end to end: MinHash+LSH "
+        "candidates -> exact-jaccard verification on the candidate "
+        "subset -> threshold decision. Same SQL oracle as tx6 (the "
+        "exhaustive baseline): the two formulations agree exactly "
+        "because verified-LSH output = {pairs with exact jaccard >= "
+        "tau} whenever banding recall is 1 at tau (superset property "
+        "tested in tests/test_operators.py)")
+def lsh_neardup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.text import JACCARD_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_neardups(docs, JACCARD_THRESHOLD)
+
+
+# late-bind the oracle to avoid a circular import at module load
+def _attach_dx5_oracle() -> None:
+    from ..queries import text as _text
+    from ..queries.registry import QUERIES, Query
+
+    q = QUERIES["dx5_lsh_neardup_decision"]
+    QUERIES[q.name] = Query(name=q.name, builder=q.builder,
+                            oracle=_text.NEARDUP_ORACLE, doc=q.doc)
+
+
+_attach_dx5_oracle()

@@ -320,3 +320,51 @@ def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(None).cast("string").alias("event_type"),
                        "n_events", "sum_value"))
     return tumbling.unionByName(sliding)
+
+
+SESSION_GAP_S = 43200    # 12 h: ~median per-user cadence is ~7 h, so
+                         # sessions genuinely merge AND break
+
+
+@register(
+    "w10_session_window_batch",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w
+                         >= INTERVAL '{SESSION_GAP_S} seconds'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '{SESSION_GAP_S} seconds' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc="Batch form of the streaming gap-session operator "
+        "(streaming/sessionization.py, SURVEY §2.10): "
+        "session_window(ts, gap) per user — the flagship's capture-"
+        "burst semantics (point3d_transformation.py:11-62) as Spark's "
+        "native session windows, identical expression batch or "
+        "streamed. Oracle restates it as the classic lag-break + "
+        "running-sum session assignment. Sessions merge while "
+        "consecutive events are < gap apart (break at >= gap, "
+        "matching session_window's half-open extension); session_end "
+        "= last event + gap")
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessionization import gap_sessions
+
+    events = load_table(spark, sf_dir, "events")
+    return gap_sessions(events, gap_seconds=SESSION_GAP_S,
+                        key_col="user_id")
