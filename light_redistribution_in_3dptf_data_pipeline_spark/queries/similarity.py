@@ -19,8 +19,6 @@ The LSH-bucketed scale path (random-hyperplane signatures) lives in
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,18 +95,52 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_TOP_PAIRS = 20
 
+
+def _fixed_dot(x, y, split: int = 1 << 10):
+    """Exact integer dot product of two int64 component arrays, as a
+    DECIMAL(38,0) column.
+
+    The naive fold overflows int64 (nano-unit components reach 2^31,
+    so a single product reaches 2^62), and a BigDecimal fold is ~10×
+    slower in the interpreted higher-order path. Instead y is split at
+    ``split``: both partial folds stay in JVM longs, and the halves
+    recombine with ONE decimal multiply-add per row. Caller picks
+    ``split`` so both folds fit: with d ≤ 64 terms and |x| < 2^31,
+    needs split ≤ 2^25 and |y| < split·2^25. Defaults suit per-vector
+    nano-components (|y| < 2^31, split 2^10)."""
+    lo_sum = F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * F.pmod(b, F.lit(split))),
+        F.lit(0).cast("bigint"), lambda acc, p: acc + p)
+    hi_sum = F.aggregate(
+        F.zip_with(x, y,
+                   lambda a, b: a * ((b - F.pmod(b, F.lit(split)))
+                                     / F.lit(split)).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, p: acc + p)
+    return (hi_sum.cast("decimal(38,0)") * F.lit(split)
+            + lo_sum.cast("decimal(38,0)"))
+
+# Fixed-point trick (same discipline as SIM34_ORACLE below): components
+# become exact integer nano-units; every dot product is an exact integer
+# sum in both engines (DECIMAL(19,0) products in DuckDB, hi/lo-split
+# int64 partial sums in Spark — identical values); the only float ops
+# are the final /1e18, sqrt and divide — identical expressions both
+# sides, so the rounded cosine is bit-identical.
 DX3_ORACLE = f"""
 WITH comps AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS comp
+         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
+              * 1000000000 AS BIGINT) AS ci
   FROM embeddings
 ), nsq AS (
-  SELECT vec_id, CAST(sum(comp * comp) AS DOUBLE) AS n2
+  SELECT vec_id,
+         CAST(sum(CAST(ci AS DECIMAL(19,0)) * CAST(ci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS n2
   FROM comps GROUP BY vec_id
 ), dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-         CAST(sum(a.comp * b.comp) AS DOUBLE) AS dot
+         CAST(sum(CAST(a.ci AS DECIMAL(19,0))
+                  * CAST(b.ci AS DECIMAL(19,0))) AS DOUBLE) / 1e18 AS dot
   FROM comps a
   JOIN comps b ON b.label = a.label AND b.pos = a.pos
               AND a.vec_id < b.vec_id
@@ -134,28 +166,70 @@ LIMIT {NEARDUP_TOP_PAIRS}
         "bounded bucket, and buckets shuffle independently. Decimal-"
         "exact dot products → bit-identical to the DuckDB oracle")
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import decimal_components, decimal_dot as dot
-
     emb = load_table(spark, sf_dir, "embeddings")
     # Array-native plan: one self-join on the bucket key (no component
     # explode shuffle); the 64-term dot product runs inside zip_with/
-    # aggregate per pair-row, JVM-side, with exact DECIMAL accumulation.
-    # Norms are per-VECTOR quantities — computed once on the N rows
-    # before the join, not refolded on every one of the O(N²/buckets)
-    # pair rows (measured 3× on the pairwise stage).
-    dec = emb.select(
-        "vec_id", "label",
-        decimal_components(F.col("embedding")).alias("v"))
-    dec = dec.withColumn("nsq", dot(F.col("v"), F.col("v")))
-    a, b = dec.alias("a"), dec.alias("b")
-    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"),
-                     F.col("a.label").cast("bigint").alias("label"),
-                     dot(F.col("a.v"), F.col("b.v")).alias("dot"),
-                     F.col("a.nsq").alias("na2"),
-                     F.col("b.nsq").alias("nb2")))
+    # aggregate per pair-row with exact INT64 accumulation (hi/lo
+    # split, see _fixed_dot) — an order of magnitude cheaper per pair
+    # row than the BigDecimal fold it replaces, on the O(N²/buckets)
+    # hot path. Norms are per-VECTOR quantities — computed once on the
+    # N rows before the join, not refolded per pair row.
+    import numpy as np
+    import pandas as pd
+
+    ci = F.transform(
+        "embedding",
+        lambda x: (x.cast("double").cast("decimal(18,9)")
+                   * F.lit(1000000000)).cast("bigint"))
+    dec = emb.select("vec_id", "label", ci.alias("v"))
+    dec = dec.withColumn(
+        "n2", _fixed_dot("v", "v").cast("double") / F.lit(1e18))
+
+    # Per-bucket all-pairs dots as ONE vectorized int64 matmul per
+    # label group (applyInPandas): exact via the same hi/lo split
+    # (lo < 2^10 and hi < 2^21, so both Σ-products stay in int64 for
+    # d ≤ 64), returned as two int64 halves and recombined decimal-
+    # side so the value is identical to the oracle's DECIMAL sum.
+    # This replaces a pair-row self-join whose per-row interpreted
+    # zip/fold (2·d lambda evals × O(N²/buckets) rows) dominated the
+    # query — the numpy form is ~50M fused integer ops, milliseconds.
+    # Buckets are task-local: the group must fit one task, which is
+    # the same bounded-bucket premise the join form already required.
+    def pair_dots(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["vec_a", "vec_b", "label", "hi", "lo"])
+        A = np.array(pdf["v"].tolist(), dtype=np.int64)
+        lo = A & ((1 << 10) - 1)
+        hi = (A - lo) >> 10
+        lo_dots = A @ lo.T
+        hi_dots = A @ hi.T
+        ia, ib = np.triu_indices(n, k=1)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "vec_a": ids[ia], "vec_b": ids[ib],
+            "label": np.full(len(ia), int(pdf["label"].iloc[0]),
+                             dtype=np.int64),
+            "hi": hi_dots[ia, ib], "lo": lo_dots[ia, ib]})
+
+    dots = (dec.select("vec_id", "label", "v")
+            .groupBy("label")
+            .applyInPandas(pair_dots,
+                           "vec_a long, vec_b long, label long, "
+                           "hi long, lo long"))
+    dot = ((F.col("hi").cast("decimal(38,0)") * F.lit(1 << 10)
+            + F.col("lo").cast("decimal(38,0)"))
+           .cast("double") / F.lit(1e18))
+    n2 = dec.select("vec_id", "n2")
+    pairs = (dots
+             .join(n2.withColumnRenamed("vec_id", "vec_a")
+                     .withColumnRenamed("n2", "na2"), "vec_a")
+             .join(n2.withColumnRenamed("vec_id", "vec_b")
+                     .withColumnRenamed("n2", "nb2"), "vec_b")
+             .select("vec_a", "vec_b", "label", dot.alias("dot"),
+                     "na2", "nb2"))
     cosine = F.round(F.col("dot")
                      / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 12)
     return (pairs.select("vec_a", "vec_b", "label", cosine.alias("cosine"))
@@ -233,32 +307,38 @@ def ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", "label", ci.alias("ci"))
 
     # IVF train: one wide aggregate — d BIGINT sums + the count.
+    # (The d sum columns are unavoidable aggregate expressions, but
+    # everything DERIVED from them runs as interpreted array folds on
+    # the L centroid rows: at d=64 the chained-expression forms cost
+    # more in whole-stage-codegen COMPILE time than this query's
+    # entire steady-state runtime, and L is tiny by construction.)
     sums = [F.sum(F.element_at("ci", i + 1)).cast("bigint")
              .alias(f"c{i}") for i in range(DIMS)]
     wide = vecs.groupBy(F.col("label").alias("clabel")).agg(
         *sums, F.count("*").cast("bigint").alias("nv"))
-    sumsq = reduce(
-        lambda acc, i: acc + (F.col(f"c{i}").cast("decimal(19,0)")
-                              * F.col(f"c{i}").cast("decimal(19,0)")),
-        range(1, DIMS),
-        F.col("c0").cast("decimal(19,0)") * F.col("c0").cast("decimal(19,0)"))
-    cent = wide.select(
-        "clabel", "nv",
-        F.array(*[F.col(f"c{i}") for i in range(DIMS)]).alias("csum"),
-        F.round(F.sqrt(sumsq.cast("double"))
-                / (F.col("nv") * F.lit(1000000000.0)), 9)
-         .alias("centroid_norm"))
+    csum = F.array(*[F.col(f"c{i}") for i in range(DIMS)])
+    sumsq = F.aggregate(
+        "csum",
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, c: (acc + (c.cast("decimal(19,0)")
+                               * c.cast("decimal(19,0)"))
+                        .cast("decimal(38,0)")).cast("decimal(38,0)"))
+    cent = (wide.select("clabel", "nv", csum.alias("csum"))
+            .select("clabel", "nv", "csum",
+                    F.round(F.sqrt(sumsq.cast("double"))
+                            / (F.col("nv") * F.lit(1000000000.0)), 9)
+                     .alias("centroid_norm")))
 
     # IVF assign: broadcast the L-row centroid table; dot = exact
-    # decimal fold over zip_with(ci, csum); argmax via max_by with a
-    # (score, -clabel) struct so score ties break to the smaller label.
-    dot = F.aggregate(
-        F.zip_with("ci", "csum",
-                   lambda x, y: (x.cast("decimal(19,0)")
-                                 * y.cast("decimal(19,0)"))
-                   .cast("decimal(38,0)")),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, p: (acc + p).cast("decimal(38,0)"))
+    # int64 hi/lo fold (_fixed_dot) — bit-identical to the oracle's
+    # decimal sum, ~d× cheaper than a BigDecimal fold. split 2^20
+    # keeps both halves in-range while |csum| < 2^45, i.e. up to ~32k
+    # training vectors per centroid — beyond that (100 TB corpus),
+    # train the quantizer on a per-label sample, the standard IVF
+    # practice, and the bound is again by construction. Argmax via
+    # max_by with a (score, -clabel) struct so score ties break to
+    # the smaller label.
+    dot = _fixed_dot("ci", "csum", split=1 << 20)
     scored = (vecs.crossJoin(F.broadcast(cent))
               .select("vec_id", "clabel", "nv", "centroid_norm",
                       (dot.cast("double") / (F.col("nv") * F.lit(1e18)))
