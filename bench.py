@@ -46,6 +46,8 @@ HEADLINE = [
     "sim3_sim4_ivf_train_assign",
     "w7_w8_time_windows",
     "x1_x2_x3_setops",
+    "w10_session_window_batch",
+    "dx5_lsh_neardup_decision",
 ]
 
 
@@ -58,6 +60,17 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # Size shuffle parallelism to the actual input scale — the 100 TB
+    # knob (tune_for_scale): at bench scale it keeps the default, on a
+    # real corpus it raises static shuffle partitions so one partition
+    # stays executor-memory-sized and AQE coalesces the excess.
+    from light_redistribution_in_3dptf_data_pipeline_spark.session import (
+        tune_for_scale)
+    input_bytes = sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR) if f.endswith(".parquet"))
+    tune_for_scale(spark, input_bytes)
 
     # JVM/codegen/file-listing warm-up so t=0 effects don't pollute q1:
     # touch every fixture table once with a cheap count.
