@@ -48,6 +48,7 @@ HEADLINE = [
     "x1_x2_x3_setops",
     "w10_session_window_batch",
     "dx5_lsh_neardup_decision",
+    "sx3_ivf_probe_topk",
 ]
 
 

@@ -140,31 +140,37 @@ def ivf_search_topk(emb: DataFrame, query_id: int = QUERY_VEC_ID,
     stored partitioned by cell id, the semi-join becomes partition
     pruning — a query touches nprobe/L of the data instead of a full
     scan (the IVF index contract). Returns (vec_id, cosine, cell).
+
+    Arithmetic is the engine's fixed-point discipline (nano-unit
+    BIGINT components, int64 hi/lo dot folds, sim3/dx3 pattern), so
+    the whole search — cell ranking AND re-rank scores — is exactly
+    restatable in ANSI SQL; see IVF_PROBE_ORACLE.
     """
-    from ..functions import decimal_components, decimal_dot
+    from ..queries.similarity import _fixed_dot
 
     dec = emb.select("vec_id", F.col(cell_col).alias("cell"),
-                     decimal_components(F.col("embedding")).alias("v"))
+                     _fixed_point(F.col("embedding")).alias("ci"))
     q = (dec.filter(F.col("vec_id") == query_id)
-            .select(F.col("v").alias("qv"),
-                    decimal_dot(F.col("v"), F.col("v")).alias("qsq")))
+            .select(F.col("ci").alias("qci"),
+                    (_fixed_dot("ci", "ci").cast("double")
+                     / F.lit(1e18)).alias("qsq")))
 
-    # train: per-cell centroid sums via one wide aggregate (decimal-
-    # exact); centroid·query uses the sum directly — dividing by the
-    # cell count rescales all scores identically, so ranking needs no
-    # mean.
+    # train: per-cell centroid sums via one wide aggregate (exact
+    # int64: |Σci| ≤ nv·2^31); centroid·query divides by the cell
+    # count only to report a mean-scaled score — the /nv rescale is
+    # per-cell, so ranking mirrors the oracle exactly, not just up to
+    # scale. split 2^20 in the fold is valid while nv ≤ ~32k per cell
+    # (beyond that: sample per cell to train, standard IVF practice).
     csum = (dec.groupBy("cell")
             .agg(F.array(*[
-                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                F.sum(F.element_at("ci", i + 1)).alias(f"s{i}")
                 for i in range(64)]).alias("csum"),
-                F.count("*").alias("nv")))
-    probe = (csum.crossJoin(F.broadcast(q).select("qv"))
-             .select("cell", "nv",
-                     (F.aggregate(
-                         F.zip_with("csum", "qv", lambda s, x: s * x),
-                         F.lit(0).cast("decimal(38,9)"),
-                         lambda acc, p: (acc + p).cast("decimal(38,9)"))
-                      .cast("double") / F.col("nv")).alias("cdot"))
+                F.count("*").cast("bigint").alias("nv")))
+    probe = (csum.crossJoin(F.broadcast(q.select("qci")))
+             .select("cell",
+                     (_fixed_dot("qci", "csum", split=1 << 20)
+                      .cast("double") / (F.col("nv") * F.lit(1e18)))
+                     .alias("cdot"))
              .orderBy(F.desc("cdot"), F.asc("cell"))
              .limit(nprobe)
              .select("cell"))
@@ -173,14 +179,81 @@ def ivf_search_topk(emb: DataFrame, query_id: int = QUERY_VEC_ID,
                .filter(F.col("vec_id") != query_id)
     scored = (cands.crossJoin(F.broadcast(q))
               .select("vec_id", "cell",
-                      decimal_dot(F.col("v"), F.col("qv")).alias("dot"),
-                      decimal_dot(F.col("v"), F.col("v")).alias("nsq"),
+                      (_fixed_dot("ci", "qci").cast("double")
+                       / F.lit(1e18)).alias("dot"),
+                      (_fixed_dot("ci", "ci").cast("double")
+                       / F.lit(1e18)).alias("nsq"),
                       "qsq"))
-    cosine = F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq")))
-    return (scored.select("vec_id", F.round(cosine, 9).alias("cosine"),
-                          "cell")
+    cosine = F.round(F.col("dot")
+                     / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 9)
+    return (scored.select("vec_id", cosine.alias("cosine"),
+                          F.col("cell").cast("bigint").alias("cell"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
+
+
+# Exact SQL restatement of ivf_search_topk (defaults: query 0, k=10,
+# nprobe=2): fixed-point nano-unit components, exact integer dots
+# (DECIMAL(19,0) products — the engine's int64 hi/lo fold recombines
+# to the same value), identical final float expressions.
+IVF_PROBE_ORACLE = f"""
+WITH comps AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
+              * 1000000000 AS BIGINT) AS ci
+  FROM embeddings
+), q AS (
+  SELECT pos, ci AS qci FROM comps WHERE vec_id = {QUERY_VEC_ID}
+), qn AS (
+  SELECT CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS qsq
+  FROM q
+), cent AS (
+  SELECT label, pos, CAST(sum(ci) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM comps GROUP BY label, pos
+), cdot AS (
+  SELECT c.label,
+         CAST(sum(CAST(c.s AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0)))
+              AS DOUBLE) / (max(c.nv) * 1e18) AS cdot
+  FROM cent c JOIN q ON q.pos = c.pos
+  GROUP BY c.label
+), probe AS (
+  SELECT label FROM cdot ORDER BY cdot DESC, label LIMIT 2
+), dots AS (
+  SELECT ca.vec_id, ca.label,
+         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS dot,
+         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(ca.ci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS nsq
+  FROM comps ca
+  JOIN probe p ON p.label = ca.label
+  JOIN q ON q.pos = ca.pos
+  WHERE ca.vec_id <> {QUERY_VEC_ID}
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       round(dot / (sqrt(nsq) * sqrt(qn.qsq)), 9) AS cosine,
+       CAST(label AS BIGINT) AS cell
+FROM dots, qn
+ORDER BY round(dot / (sqrt(nsq) * sqrt(qn.qsq)), 9) DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "sx3_ivf_probe_topk", IVF_PROBE_ORACLE,
+    doc="Similarity scale path, ORACLE-CHECKED: the IVF probe search "
+        "(rank cells by centroid dot, exact cosine re-rank inside the "
+        "nprobe nearest cells only — the partition-pruning index "
+        "contract at 100 TB). Unlike the LSH rows this is fully "
+        "deterministic data-derived math (labels are data, centroids "
+        "are means), so the whole search is restated in SQL and the "
+        "driver hash-checks both the pruning decision and the scores")
+def ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_search_topk(emb)
 
 
 @register(

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "sim1_sim2_cosine_topk",         # one-row query vector
     "sim3_sim4_ivf_train_assign",    # one-row query vector / L centroids
     "sx1_sx2_ann_lsh_topk",          # one-row query vector
+    "sx3_ivf_probe_topk",            # one-row query vector / L centroids
     "a6_a7_a8_global_stats",         # one-row x one-row stats join
 }
 
