@@ -147,3 +147,64 @@ def test_tumbling_window_stream_batch_parity(spark, event_parquet):
 
     assert stream_out == batch_out
     assert sum(n for _, n in batch_out) == 18  # all replayed events
+
+
+KEYED_SCHEMA = "event_id INT, user_id INT, ts TIMESTAMP"
+
+
+@pytest.fixture(scope="module")
+def keyed_event_parquet(spark, tmp_path_factory):
+    """Two interleaved users with different session rhythms — the
+    registered w10_session_window_batch shape (per-key sessions)."""
+    rows, eid, t = [], 0, 1_700_000_000
+    for burst in range(4):
+        for i in range(4):
+            rows.append((eid, 1, t + i * 2))          # user 1: tight burst
+            eid += 1
+        rows.append((eid, 2, t + 5))                  # user 2: singletons
+        eid += 1
+        t += 40
+    d = tmp_path_factory.mktemp("keyed_stream_src")
+    df = spark.createDataFrame(
+        rows, "event_id INT, user_id INT, epoch BIGINT"
+    ).select("event_id", "user_id",
+             F.timestamp_seconds("epoch").alias("ts"))
+    df.write.mode("overwrite").parquet(str(d / "events"))
+    spark.createDataFrame(
+        [(999, 1, SENTINEL_EPOCH), (998, 2, SENTINEL_EPOCH)],
+        "event_id INT, user_id INT, epoch BIGINT"
+    ).select("event_id", "user_id",
+             F.timestamp_seconds("epoch").alias("ts")) \
+     .write.mode("append").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def test_keyed_session_window_stream_batch_parity(spark,
+                                                  keyed_event_parquet):
+    """Per-key gap sessions (the w10 query shape) emit identical rows
+    batch and streamed: keys session independently, and a key's
+    sessions never merge across another key's events."""
+    def clean(rows):
+        import datetime
+        cutoff = datetime.datetime.utcfromtimestamp(SENTINEL_EPOCH - 60)
+        return [r for r in rows if r[1] < cutoff]
+
+    batch = spark.read.parquet(keyed_event_parquet)
+    batch_out = clean(sorted(map(tuple, ss.gap_sessions(
+        batch, gap_seconds=12.0, key_col="user_id").collect())))
+
+    stream = (spark.readStream.schema(KEYED_SCHEMA)
+              .parquet(keyed_event_parquet))
+    q = ss.run_stream_to_memory(
+        ss.gap_sessions(stream, gap_seconds=12.0, key_col="user_id"),
+        "keyed_sessions_t")
+    q.awaitTermination(60)
+    stream_out = clean(sorted(map(tuple, spark.sql(
+        "SELECT * FROM keyed_sessions_t").collect())))
+
+    # user 1: four 4-event sessions; user 2: four 1-event sessions
+    per_user = {}
+    for r in batch_out:
+        per_user.setdefault(r[0], []).append(r[3])
+    assert per_user == {1: [4, 4, 4, 4], 2: [1, 1, 1, 1]}
+    assert stream_out == batch_out
