@@ -49,6 +49,7 @@ HEADLINE = [
     "w10_session_window_batch",
     "dx5_lsh_neardup_decision",
     "sx3_ivf_probe_topk",
+    "sim5_quantize_int8",
 ]
 
 

@@ -353,3 +353,77 @@ def ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b.score", 9).alias("score"),
         F.col("b.nv").alias("n_vecs"),
         F.col("b.centroid_norm"))
+
+
+QUANT_LEVELS = 127  # symmetric int8
+
+SIM5_ORACLE = f"""
+WITH ci AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                * 1000000000 AS BIGINT)) AS ci
+  FROM embeddings
+), m AS (
+  SELECT vec_id, ci,
+         list_max(list_transform(ci, x -> abs(x))) AS max_abs_nano
+  FROM ci
+), q AS (
+  SELECT vec_id, ci, max_abs_nano,
+         list_transform(ci, x -> CASE WHEN max_abs_nano = 0 THEN 0
+           ELSE CAST(floor((CAST({2 * QUANT_LEVELS} * x + max_abs_nano
+                                 AS DOUBLE))
+                           / CAST(2 * max_abs_nano AS DOUBLE)) AS BIGINT)
+           END) AS q_int8
+  FROM m
+)
+SELECT vec_id, max_abs_nano, q_int8,
+       CASE WHEN max_abs_nano = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(
+                   list_zip(ci, q_int8),
+                   p -> abs({QUANT_LEVELS} * p[1] - p[2] * max_abs_nano)))
+                 AS DOUBLE)
+                 / ({QUANT_LEVELS}e9 * len(ci))
+       END AS mean_abs_err
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register(
+    "sim5_quantize_int8", SIM5_ORACLE,
+    doc="Embedding int8 quantization — the vector-store storage prep "
+        "step (beyond the reference, LLM-pipeline extension): per-"
+        "vector symmetric scale = max|c|/127, round-half-up codes, "
+        "plus the exact reconstruction error. All integer arithmetic "
+        "(half-up = floor((2·127·c + m)/(2m)) on exact nano-units; "
+        "error = Σ|127·c − q·m| in int64) so Spark and DuckDB agree "
+        "bit-for-bit. Pure map stage — zero shuffles at any scale")
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    L = QUANT_LEVELS
+    ci = F.transform(
+        "embedding",
+        lambda x: (x.cast("double").cast("decimal(18,9)")
+                   * F.lit(1000000000)).cast("bigint"))
+    m = F.array_max(F.transform("ci", lambda x: F.abs(x)))
+    df = (emb.select("vec_id", ci.alias("ci"))
+          .withColumn("max_abs_nano", m))
+    q = F.transform(
+        "ci",
+        lambda x: F.when(F.col("max_abs_nano") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.floor(
+            (F.lit(2 * L) * x + F.col("max_abs_nano")).cast("double")
+            / (F.lit(2) * F.col("max_abs_nano")).cast("double"))))
+    df = df.withColumn("q_int8", q)
+    abs_err_int = F.aggregate(
+        F.zip_with("ci", "q_int8",
+                   lambda c, qq: F.abs(F.lit(L) * c
+                                       - qq * F.col("max_abs_nano"))),
+        F.lit(0).cast("bigint"), lambda acc, e: acc + e)
+    mae = F.when(F.col("max_abs_nano") == 0, F.lit(0.0)).otherwise(
+        abs_err_int.cast("double")
+        / (F.lit(float(L) * 1e9) * F.size("ci")))
+    return (df.select("vec_id", "max_abs_nano", "q_int8",
+                      mae.alias("mean_abs_err"))
+            .orderBy("vec_id"))
