@@ -50,3 +50,38 @@ def test_plan_hygiene(name, spark):
             f"{name}: unexpected BroadcastNestedLoopJoin — if the "
             "crossJoin is a deliberate tiny-side broadcast, add the "
             "query to BNLJ_OK with its scale justification")
+
+
+def _plan(name, spark):
+    return (QUERIES[name].builder(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def test_sim5_is_map_only(spark):
+    """int8 quantization must stay a pure map stage: the only allowed
+    'shuffle' is the final presentation sort — no aggregation or join
+    exchange may creep in (at 100 TB this query is a single pass)."""
+    plan = _plan("sim5_quantize_int8", spark)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    # exactly one Exchange: the rangepartitioning of the output sort
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_dx5_has_no_allpairs_join(spark):
+    """The verified-LSH decision must keep the O(N·bands) bucket-join
+    shape: every join is an equi-join (SortMerge/BroadcastHash), and
+    the shingle side never self-joins without the band/bucket key."""
+    plan = _plan("dx5_lsh_neardup_decision", spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sx3_probe_is_broadcast_pruned(spark):
+    """IVF probe: the nprobe cell filter must reach the candidate scan
+    as a broadcast join (the partition-pruning analog), never a
+    shuffle of the full corpus against 2 cell ids."""
+    plan = _plan("sx3_ivf_probe_topk", spark)
+    assert ("BroadcastHashJoin" in plan) or ("BroadcastExchange" in plan)
