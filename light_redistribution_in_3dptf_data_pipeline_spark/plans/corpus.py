@@ -32,12 +32,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import lsh_neardup_pairs, shingles
+from ..operators.dedup import (lsh_neardup_pairs, lsh_verified_neardups,
+                               shingles)
 from .pipeline import Pipeline
 
 DEFAULT_LANGS = ("en", "de", "fr", "es", "zh")
 MIN_TOKENS = 5
 NEARDUP_EST_JACCARD = 0.5
+
+
+def _neardup_pairs(docs: DataFrame, threshold: float,
+                   verify_exact: bool) -> DataFrame:
+    """Above-threshold near-dup pairs, by either decision rule:
+
+    - estimate (default): threshold on the MinHash signature agreement
+      — zero extra joins, the cheap production choice; false
+      positives/negatives bounded by the signature width.
+    - verified: exact jaccard computed on the candidate set only (the
+      dx5 decision) — two candidate-sized joins more, but the drop
+      decision is exact, so no document is ever discarded on a hash
+      coincidence.
+    Both start from the same O(N·bands) bucket join, never all-pairs.
+    """
+    if verify_exact:
+        return (lsh_verified_neardups(docs, threshold)
+                .select("doc_a", "doc_b"))
+    return (lsh_neardup_pairs(shingles(docs))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b"))
 
 
 def scrub_documents(docs: DataFrame) -> DataFrame:
@@ -87,18 +109,21 @@ def exact_dedup(feats: DataFrame) -> DataFrame:
 
 
 def near_dedup(docs: DataFrame,
-               est_jaccard: float = NEARDUP_EST_JACCARD) -> DataFrame:
-    """Greedy keep-first near-dedup via MinHash+LSH: every candidate
-    pair with estimated jaccard ≥ threshold drops its larger doc_id.
-    Candidates come from the banded bucket join — never all-pairs."""
-    drops = (lsh_neardup_pairs(shingles(docs))
-             .filter(F.col("est_jaccard") >= est_jaccard)
+               est_jaccard: float = NEARDUP_EST_JACCARD,
+               verify_exact: bool = False) -> DataFrame:
+    """Greedy keep-first near-dedup via MinHash+LSH: every above-
+    threshold pair drops its larger doc_id. Candidates come from the
+    banded bucket join — never all-pairs. ``verify_exact`` switches
+    the pair decision from the signature estimate to exact jaccard on
+    the candidate set (see _neardup_pairs)."""
+    drops = (_neardup_pairs(docs, est_jaccard, verify_exact)
              .select(F.col("doc_b").alias("doc_id")).distinct())
     return docs.join(drops, "doc_id", "left_anti")
 
 
 def near_dedup_cc(docs: DataFrame,
-                  est_jaccard: float = NEARDUP_EST_JACCARD) -> DataFrame:
+                  est_jaccard: float = NEARDUP_EST_JACCARD,
+                  verify_exact: bool = False) -> DataFrame:
     """Cluster-based near-dedup: LSH candidate pairs → connected
     components → keep exactly the canonical (minimum doc_id) document
     of every duplicate cluster. Unlike the greedy rule this is
@@ -107,8 +132,7 @@ def near_dedup_cc(docs: DataFrame,
     construction."""
     from ..operators.components import dedup_clusters
 
-    pairs = (lsh_neardup_pairs(shingles(docs))
-             .filter(F.col("est_jaccard") >= est_jaccard))
+    pairs = _neardup_pairs(docs, est_jaccard, verify_exact)
     losers = (dedup_clusters(pairs, left="doc_a", right="doc_b")
               .filter(~F.col("is_canonical"))
               .select("doc_id"))
@@ -120,15 +144,21 @@ def build_corpus_pipeline(root: str, source: DataFrame,
                           min_tokens: int = MIN_TOKENS,
                           est_jaccard: float = NEARDUP_EST_JACCARD,
                           cluster_dedup: bool = False,
-                          redact: bool = False
+                          redact: bool = False,
+                          verify_exact: bool = False
                           ) -> Pipeline:
     """Wire the curation DAG onto a Parquet-checkpointed Pipeline.
     ``cluster_dedup`` swaps the greedy near-dedup survivor policy for
     the transitive connected-components one; ``redact`` inserts the
     PII/URL scrubbing stage ahead of feature extraction (dedup then
     keys off the *scrubbed* text, so two docs differing only in
-    redacted PII collapse together)."""
-    dedup_fn = near_dedup_cc if cluster_dedup else near_dedup
+    redacted PII collapse together); ``verify_exact`` makes the
+    near-dedup drop decision exact-jaccard-verified (dx5 semantics)
+    instead of signature-estimated."""
+    base_fn = near_dedup_cc if cluster_dedup else near_dedup
+
+    def dedup_fn(docs, threshold):
+        return base_fn(docs, threshold, verify_exact=verify_exact)
     p = Pipeline(root=root)
     if redact:
         p.add("scrub", lambda s: scrub_documents(source))

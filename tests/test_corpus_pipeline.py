@@ -142,3 +142,62 @@ def test_pipeline_redact_variant(spark, docs, tmp_path):
     srow = (spark.read.parquet(p.path("scrub"))
             .filter(F.col("doc_id") == 300001).head())
     assert srow.n_email == 1 and "<EMAIL>" in srow.text
+
+
+def test_near_dedup_verified_decision_matches_exact_jaccard(spark, docs):
+    """With verify_exact=True the drop decision must equal applying
+    the greedy rule to the exhaustively-computed exact-jaccard pairs
+    (tx6 semantics) — no document dropped on a hash coincidence."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        shingles,
+    )
+
+    threshold = 0.5
+    survivors = {r.doc_id for r in corpus.near_dedup(
+        docs, est_jaccard=threshold, verify_exact=True)
+        .select("doc_id").collect()}
+
+    # independent exhaustive reference: exact jaccard over ALL pairs
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"),
+                      F.col("b.doc_id").alias("db"))
+             .agg(F.count("*").alias("ni")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = (F.col("ni").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("ni")))
+    exact_drops = {r.db for r in inter.join(sa, "da").join(sb, "db")
+                   .filter(jac >= threshold).select("db").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    # equality holds because banding recall is 1.0 at this threshold
+    # on the fixture (pairs sit far above it) — the dx5 premise
+    assert survivors == all_ids - exact_drops
+
+
+def test_pipeline_verify_exact_variant(spark, docs, tmp_path):
+    p = corpus.build_corpus_pipeline(str(tmp_path / "vx"), docs,
+                                     verify_exact=True)
+    out = p.run(spark, "corpus")
+    n = out.count()
+    assert 0 < n < docs.count()
+    # verified survivors must be a superset of estimate-based ones
+    # computed at the same threshold ONLY when the estimate over-drops;
+    # assert instead the invariant that holds by construction: every
+    # dropped doc has an exact near-duplicate that survived with a
+    # smaller id. (Greedy rule: drop doc_b of each above-threshold pair.)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    gated = corpus.exact_dedup(corpus.quality_gate(
+        corpus.document_features(docs)))
+    gated_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+    dropped = gated_ids - kept
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        lsh_verified_neardups,
+    )
+    pairs = [(r.doc_a, r.doc_b) for r in
+             lsh_verified_neardups(gated, 0.5).collect()]
+    droppable = {b for _, b in pairs}
+    assert dropped <= droppable
