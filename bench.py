@@ -50,6 +50,7 @@ HEADLINE = [
     "dx5_lsh_neardup_decision",
     "sx3_ivf_probe_topk",
     "sim5_quantize_int8",
+    "tx10_bpe_token_count",
 ]
 
 

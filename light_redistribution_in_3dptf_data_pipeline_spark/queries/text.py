@@ -411,3 +411,53 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("doc_b") == F.col("sb.doc_id"))
                  .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
                  .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset
+# both regex engines (Java in Spark, RE2 in DuckDB) treat identically:
+# contractions, space-prefixed letter runs, digit runs, punctuation
+# runs. Whitespace between tokens is not itself a token.
+BPE_TOKEN_PATTERN = (
+    "('s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+)"
+)
+
+
+@register(
+    "tx10_bpe_token_count",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '{BPE_TOKEN_PATTERN.replace("'", "''")}', 1)) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+           CASE WHEN n_bpe_tokens = 0 THEN 0.0
+                ELSE CAST(n_chars AS DOUBLE) / n_bpe_tokens END
+             AS chars_per_token
+    FROM t
+    """,
+    doc="Token counting, BPE-ish: a GPT-style pre-tokenizer regex "
+        "(contractions / letter runs / digit runs / punctuation runs, "
+        "restricted to the lookahead-free subset so Java regex and "
+        "RE2 agree) next to the whitespace count, plus chars-per-"
+        "token — the budget estimator every training-data pipeline "
+        "runs before tokenizing 100 TB for real. Pure map stage, "
+        "integer-exact counts")
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(1))).cast("bigint")
+    df = docs.select("doc_id", ws.alias("n_ws_tokens"),
+                     bpe.alias("n_bpe_tokens"),
+                     F.length("text").cast("bigint").alias("n_chars"))
+    cpt = F.when(F.col("n_bpe_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_chars").cast("double") / F.col("n_bpe_tokens"))
+    return df.select("doc_id", "n_ws_tokens", "n_bpe_tokens",
+                     cpt.alias("chars_per_token"))
