@@ -61,3 +61,30 @@ def decode_crop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("path", "n_vertices", "mean_u",
                     "width", "height", "n_bytes")
             .orderBy("path"))
+
+
+@register(
+    "mm3_media_framesample_audio", None,
+    doc="Multimodal audio/video pipeline: binary column → mapInPandas "
+        "video frame sampling (1→N fan-out with frame index/count) "
+        "and fixed-window audio features (RMS + zero crossings) on "
+        "the same corpus, joined per file — the frame-sample and "
+        "feature-extract stages of a media dataset build as one "
+        "declared result. Decoders are the injectable deterministic "
+        "fakes; batch shapes, schemas and the fan-out are the "
+        "production path (rows-only: UDF stages)")
+def media_framesample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..udf.media_ops import audio_window_features, sample_frames
+
+    files = _binary_corpus(spark, sf_dir)
+    frames = sample_frames(files).select(
+        "path", "frame_idx", "n_frames",
+        F.length("content").cast("bigint").alias("frame_bytes"))
+    audio = (audio_window_features(files)
+             .groupBy("path")
+             .agg(F.count("*").cast("bigint").alias("n_windows"),
+                  F.round(F.sum(F.round("rms", 9)), 6).alias("rms_sum"),
+                  F.sum("zero_crossings").cast("bigint")
+                   .alias("total_zero_crossings")))
+    return (frames.join(audio, "path")
+            .orderBy("path", "frame_idx"))
