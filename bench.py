@@ -27,7 +27,7 @@ HEADLINE = [
     "j1_fanout_broadcast_join",
     "j2_key_intersection_join",
     "a1_a2_collect_having",
-    "a4_a11_descriptive_stats",
+    "a4_a6_a7_a8_a9_a11_stats",
     "a5_pricing_summary",
     "t2_t3_t5_topk_order_sample",
     "t4_argmin_argmax",
@@ -40,7 +40,7 @@ HEADLINE = [
     "tx9_tfidf_vocab",
     "dx4_neardup_cluster_cc",
     "smp1_stratified_sample",
-    "dx1_minhash_lsh_candidates",
+    "f5_f6_f9_s7_event_deltas",
     "dx3_embedding_cosine_neardup",
     "sim1_sim2_cosine_topk",
     "sim3_sim4_ivf_train_assign",

@@ -242,13 +242,13 @@ def simhash_band_candidates(fp: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
-@register(
-    "dx1_minhash_lsh_candidates", None,
-    doc="Dedup scale path: MinHash(32)+LSH(8 bands) candidate pairs "
-        "with estimated jaccard — bucket-join instead of O(N²); "
-        "superset property vs tx6 verified in tests (rows-only check: "
-        "murmur3 seeds are engine-specific, not SQL-portable)")
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dx1 (unregistered): MinHash(32)+LSH(8 bands) candidate pairs
+    with estimated jaccard — bucket-join instead of O(N²). Superseded
+    in the registry by ``dx5_lsh_neardup_decision``, which exercises
+    the same candidate-generation path AND is oracle-checked end to
+    end; the superset-vs-tx6 and recall properties of this raw
+    candidate form stay covered by tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
     return lsh_neardup_pairs(shingles(docs))
 

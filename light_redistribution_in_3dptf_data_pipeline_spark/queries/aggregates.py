@@ -52,7 +52,7 @@ def collect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a4_a11_descriptive_stats",
+    "a4_a6_a7_a8_a9_a11_stats",
     """
     WITH s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
@@ -63,23 +63,52 @@ def collect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sumsq_price,
              CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
              CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
-             CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
+             CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+             CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
       FROM lineitem
+    ), per_order AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS order_mean
+      FROM lineitem GROUP BY l_orderkey
+    ), mm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(order_mean AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS mean_of_means
+      FROM per_order
+    ), resid AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_residuals,
+             CAST(sum(CAST(r AS DECIMAL(18,2))) AS DOUBLE) AS sum_residuals
+      FROM (SELECT unnest([l_quantity, l_discount, l_tax]) AS r
+            FROM lineitem)
     )
     SELECT n, sum_price, min_price, max_price,
            sum_price / n AS mean_price,
            sqrt(sumsq_price / n) AS rms_price,
            sqrt((sumsq_price - sum_price * sum_price / n) / n)
              AS std_price,
-           median_qty
-    FROM s
+           median_qty, min_qty, max_qty, n_parts, n_supps,
+           n_orders, mean_of_means, n_residuals, sum_residuals
+    FROM s, mm, resid
     """,
-    doc="A4+A11: descriptive stats — mean/std/min/max/RMS from exact "
-        "decimal sums (extrinsic_calibration.py:216-226) plus the "
-        "exact interpolated median (:222), the one engine-difference "
-        "risk (interpolation arithmetic), in the same single-row "
-        "aggregate")
-def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="A4+A6+A7+A8+A9+A11 composite (each side is a single-row "
+        "aggregate; the cross joins are free): descriptive stats — "
+        "mean/std/min/max/RMS from exact decimal sums "
+        "(extrinsic_calibration.py:216-226) plus the exact "
+        "interpolated median (:222), the one engine-difference risk "
+        "(interpolation arithmetic); global per-column ranges "
+        "(calculate.py:30-52) and distinct-key counts "
+        "(act_img.py:313-314 — at 100 TB prefer "
+        "approx_count_distinct, demo'd rows-only in a12); the "
+        "two-level mean-of-means — overall reprojection error as "
+        "mean of per-image means (camera_calib.py:104-113), inner "
+        "mean re-stabilized to DECIMAL(18,6) so the outer sum is "
+        "exact; and A9's explode-then-reaccumulate residual "
+        "collection (solvepnp_ba.py:31-45 error concat)")
+def descriptive_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = li.agg(
         F.count("*").cast("bigint").alias("n"),
@@ -90,16 +119,33 @@ def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").cast("double").alias("max_price"),
         F.expr("percentile(l_quantity, 0.5)").cast("double")
          .alias("median_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
     )
-    return s.select(
+    s = s.select(
         "n", "sum_price", "min_price", "max_price",
         (F.col("sum_price") / F.col("n")).alias("mean_price"),
         F.sqrt(F.col("sumsq_price") / F.col("n")).alias("rms_price"),
         F.sqrt((F.col("sumsq_price")
                 - F.col("sum_price") * F.col("sum_price") / F.col("n"))
                / F.col("n")).alias("std_price"),
-        "median_qty",
+        "median_qty", "min_qty", "max_qty", "n_parts", "n_supps",
     )
+    per_order = li.groupBy("l_orderkey").agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
+        .alias("order_mean"))
+    mm = per_order.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        (F.sum(F.col("order_mean").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("mean_of_means"))
+    resid = (li.select(F.explode(F.array("l_quantity", "l_discount",
+                                         "l_tax")).alias("r"))
+               .agg(F.count("*").cast("bigint").alias("n_residuals"),
+                    F.sum(F.col("r").cast("decimal(18,2)")).cast("double")
+                     .alias("sum_residuals")))
+    return s.crossJoin(mm).crossJoin(resid)
 
 
 @register(
@@ -143,80 +189,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_qty"),
         F.count("*").cast("bigint").alias("count_order"),
     )
-
-
-@register(
-    "a6_a7_a8_global_stats",
-    """
-    WITH ranges AS (
-      SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
-             CAST(max(l_quantity) AS DOUBLE) AS max_qty,
-             CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
-             CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
-      FROM lineitem
-    ), per_order AS (
-      SELECT l_orderkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / count(*) AS order_mean
-      FROM lineitem GROUP BY l_orderkey
-    ), mm AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CAST(order_mean AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*) AS mean_of_means
-      FROM per_order
-    )
-    SELECT * FROM ranges, mm
-    """,
-    doc="A6+A7+A8: global per-column ranges (calculate.py:30-52), "
-        "distinct-key counts (act_img.py:313-314 — at 100 TB prefer "
-        "approx_count_distinct, demo'd rows-only in a12), and the "
-        "two-level mean-of-means aggregation — overall reprojection "
-        "error as mean of per-image means (camera_calib.py:104-113) — "
-        "cross-joined into one single-row result (both sides are one "
-        "row; the join is free). Inner mean re-stabilized to "
-        "DECIMAL(18,6) so the outer sum is exact")
-def ranges_mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    ranges = li.agg(
-        F.min("l_quantity").cast("double").alias("min_qty"),
-        F.max("l_quantity").cast("double").alias("max_qty"),
-        F.min("l_extendedprice").cast("double").alias("min_price"),
-        F.max("l_extendedprice").cast("double").alias("max_price"),
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
-        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
-    )
-    per_order = li.groupBy("l_orderkey").agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
-        .alias("order_mean"))
-    mm = per_order.agg(
-        F.count("*").cast("bigint").alias("n_orders"),
-        (F.sum(F.col("order_mean").cast("decimal(18,6)")).cast("double")
-         / F.count("*")).alias("mean_of_means"))
-    return ranges.crossJoin(mm)
-
-
-@register(
-    "a9_explode_reaccumulate",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_residuals,
-           CAST(sum(CAST(r AS DECIMAL(18,2))) AS DOUBLE) AS sum_residuals
-    FROM (SELECT unnest([l_quantity, l_discount, l_tax]) AS r
-          FROM lineitem)
-    """,
-    doc="A9: explode per-row vectors into one residual collection, then "
-        "aggregate (solvepnp_ba.py:31-45 error concat)")
-def explode_reaccumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    exploded = li.select(
-        F.explode(F.array("l_quantity", "l_discount", "l_tax")).alias("r"))
-    return exploded.agg(
-        F.count("*").cast("bigint").alias("n_residuals"),
-        F.sum(F.col("r").cast("decimal(18,2)")).cast("double")
-         .alias("sum_residuals"))
 
 
 @register(

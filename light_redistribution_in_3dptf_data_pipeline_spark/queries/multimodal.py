@@ -36,16 +36,22 @@ def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm1_mm2_decode_crop_pipeline", None,
-    doc="Multimodal pipeline: binary column → mapInPandas decode + "
+    "mm1_mm2_mm3_media_pipeline", None,
+    doc="Multimodal pipeline over image/audio/video binary columns, "
+        "one declared result joined per file: mapInPandas decode + "
         "corner extraction (U3) → relational post-filter on "
-        "n_vertices (P6), joined with the binary-in/binary-out crop "
-        "UDF (U9, the 800→640 center crop) and its byte accounting — "
-        "decode, feature-extract and resize stages of a media "
-        "dataset build in one declared result. Decoder is the "
-        "injectable fake; batching/schema/partitioning are the "
-        "production path (rows-only: UDF stages)")
-def decode_crop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        "n_vertices (P6), the binary-in/binary-out crop UDF (U9, the "
+        "800→640 center crop) with its byte accounting, video frame "
+        "sampling (1→N fan-out with frame index/count) and "
+        "fixed-window audio features (RMS + zero crossings) — the "
+        "decode, feature-extract, resize, frame-sample and "
+        "audio-feature stages of a media dataset build. Decoders are "
+        "the injectable deterministic fakes; batch shapes, schemas, "
+        "partitioning and the fan-out are the production path "
+        "(rows-only: UDF stages)")
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..udf.media_ops import audio_window_features, sample_frames
+
     files = _binary_corpus(spark, sf_dir)
     corners = extract_corners(files)
     quad = (corners.filter(F.col("n_vertices") == 4)
@@ -57,26 +63,6 @@ def decode_crop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cropped = center_crop(files, out_frac=0.75).select(
         "path", "width", "height",
         F.length("content").cast("bigint").alias("n_bytes"))
-    return (quad.join(cropped, "path")
-            .select("path", "n_vertices", "mean_u",
-                    "width", "height", "n_bytes")
-            .orderBy("path"))
-
-
-@register(
-    "mm3_media_framesample_audio", None,
-    doc="Multimodal audio/video pipeline: binary column → mapInPandas "
-        "video frame sampling (1→N fan-out with frame index/count) "
-        "and fixed-window audio features (RMS + zero crossings) on "
-        "the same corpus, joined per file — the frame-sample and "
-        "feature-extract stages of a media dataset build as one "
-        "declared result. Decoders are the injectable deterministic "
-        "fakes; batch shapes, schemas and the fan-out are the "
-        "production path (rows-only: UDF stages)")
-def media_framesample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..udf.media_ops import audio_window_features, sample_frames
-
-    files = _binary_corpus(spark, sf_dir)
     frames = sample_frames(files).select(
         "path", "frame_idx", "n_frames",
         F.length("content").cast("bigint").alias("frame_bytes"))
@@ -86,5 +72,8 @@ def media_framesample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum(F.round("rms", 9)), 6).alias("rms_sum"),
                   F.sum("zero_crossings").cast("bigint")
                    .alias("total_zero_crossings")))
-    return (frames.join(audio, "path")
+    per_file = (quad.join(cropped, "path")
+                .select("path", "n_vertices", "mean_u",
+                        "width", "height", "n_bytes"))
+    return (frames.join(audio, "path").join(per_file, "path")
             .orderBy("path", "frame_idx"))

@@ -14,35 +14,7 @@ from .registry import register
 
 
 @register(
-    "f1_f3_filename_roundtrip",
-    """
-    WITH named AS (
-      SELECT l_orderkey, l_linenumber,
-             printf('%d_%d.JPG', l_orderkey, l_linenumber) AS fname
-      FROM lineitem
-      WHERE l_orderkey <= 200
-    )
-    SELECT l_orderkey, l_linenumber, fname,
-           CAST(split_part(fname, '_', 1) AS BIGINT) AS parsed_stem
-    FROM named
-    """,
-    doc="F3+F1+F4: filename formatting f'{group}_{num}.JPG' "
-        "(file_rename_sort.py:12) immediately re-parsed with "
-        "split+element_at+cast — the stem.split('_')[0] pose-id "
-        "derivation (act_img.py:169) — so the roundtrip is checked "
-        "end-to-end")
-def filename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    fname = F.format_string("%d_%d.JPG", "l_orderkey", "l_linenumber")
-    return (li.filter(F.col("l_orderkey") <= 200)
-              .select("l_orderkey", "l_linenumber", fname.alias("fname"))
-              .withColumn("parsed_stem",
-                          F.split_part("fname", F.lit("_"), F.lit(1))
-                           .cast("bigint")))
-
-
-@register(
-    "f5_f6_f9_event_deltas",
+    "f5_f6_f9_s7_event_deltas",
     """
     SELECT a.event_id,
            CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
@@ -53,16 +25,19 @@ def filename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt((a.value - b.value) * (a.value - b.value)
                 + (CAST(a.user_id AS DOUBLE) - CAST(b.user_id AS DOUBLE))
                   * (CAST(a.user_id AS DOUBLE) - CAST(b.user_id AS DOUBLE)))
-             AS dist
+             AS dist,
+           CAST(json_extract_string(a.props, '$.k') AS BIGINT) AS json_k
     FROM events a
     JOIN events b ON b.event_id = a.event_id + 1
     """,
-    doc="F5/F6+F9: epoch↔timestamp conversion, second-resolution "
+    doc="F5/F6+F9+S7: epoch↔timestamp conversion, second-resolution "
         "differences between consecutive events "
-        "(point3d_transformation.py:22,42-43), and the Euclidean "
+        "(point3d_transformation.py:22,42-43), the Euclidean "
         "distance between the paired rows "
-        "(extrinsic_calibration.py:212 ||pix - proj||) — one "
-        "consecutive-row self-join carries all three scalar families")
+        "(extrinsic_calibration.py:212 ||pix - proj||), and JSON "
+        "field extraction from the props column (pose_filter.py:9-13 "
+        "commented id→pose JSON map) — one consecutive-row self-join "
+        "carries all four scalar families")
 def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
@@ -81,7 +56,9 @@ def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ((F.unix_micros(F.col("b.ts"))
                    - F.unix_micros(F.col("a.ts"))).cast("double")
                   / F.lit(1000000.0)).alias("dt_seconds"),
-                 F.sqrt(du * du + dv * dv).alias("dist")))
+                 F.sqrt(du * du + dv * dv).alias("dist"),
+                 F.get_json_object(F.col("a.props"), "$.k")
+                  .cast("bigint").alias("json_k")))
 
 
 # Fixed 4x4 homogeneous transform (row-major), the reference's pose
@@ -95,29 +72,36 @@ T4X4 = (
 
 
 @register(
-    "f11_f15_array_ops",
+    "f1_f3_f11_f15_string_array_ops",
     """
     WITH built AS (
       SELECT l_orderkey, l_linenumber,
+             printf('%d_%d.JPG', l_orderkey, l_linenumber) AS fname,
              list_concat([l_quantity, l_discount, l_tax], [1.0]) AS homo
       FROM lineitem
       WHERE l_orderkey <= 400
     )
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, l_linenumber, fname,
+           CAST(split_part(fname, '_', 1) AS BIGINT) AS parsed_stem,
            CAST(len(homo) AS BIGINT) AS n_homo,
            homo[4] AS homo_last,
            homo[2] AS second_comp,
            (homo[1] * 0.5 + homo[2] * 0.5) + homo[3] * 0.5 AS scaled_sum
     FROM built
     """,
-    doc="F15+F11: array ops — hstack-ones (concat(arr, array(1.0)), "
-        "the homogeneous-coordinate pattern of "
+    doc="F1+F3+F11+F15 composite (one map over lineitem): filename "
+        "formatting f'{group}_{num}.JPG' (file_rename_sort.py:12) "
+        "re-parsed with split_part+cast — the stem.split('_')[0] "
+        "pose-id derivation (act_img.py:169) — checked end-to-end; "
+        "plus array ops — hstack-ones (concat(arr, array(1.0)), the "
+        "homogeneous-coordinate pattern of "
         "point3d_transformation.py:116), element slicing, and a "
         "constant-rescale fold (camera_calib.py:115-119 fx/=scale). "
         "The Spark side is a genuine array fold (transform + "
         "aggregate, left-to-right like the oracle's explicit sum)")
-def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def string_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    fname = F.format_string("%d_%d.JPG", "l_orderkey", "l_linenumber")
     arr = F.array("l_quantity", "l_discount", "l_tax")
     homo = F.concat(arr, F.array(F.lit(1.0)))
     scaled_sum = F.aggregate(
@@ -125,6 +109,9 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, x: acc + x)
     return (li.filter(F.col("l_orderkey") <= 400)
               .select("l_orderkey", "l_linenumber",
+                      fname.alias("fname"),
+                      F.split_part(fname, F.lit("_"), F.lit(1))
+                       .cast("bigint").alias("parsed_stem"),
                       F.size(homo).cast("bigint").alias("n_homo"),
                       F.element_at(homo, 4).alias("homo_last"),
                       F.element_at(homo, 2).alias("second_comp"),
@@ -194,19 +181,3 @@ def robot_program_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         *transformed)
 
 
-@register(
-    "s7_json_extract",
-    """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events
-    GROUP BY 1
-    """,
-    doc="S7: JSON source field extraction (pose_filter.py:9-13 "
-        "commented id→pose JSON map)")
-def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (events.select(F.get_json_object("props", "$.k").cast("bigint")
-                           .alias("k"))
-                  .groupBy("k")
-                  .agg(F.count("*").cast("bigint").alias("n")))

@@ -377,7 +377,8 @@ WITH ci AS (
            END) AS q_int8
   FROM m
 )
-SELECT vec_id, max_abs_nano, q_int8,
+SELECT vec_id, max_abs_nano,
+       array_to_string(q_int8, ',') AS q_codes,
        CASE WHEN max_abs_nano = 0 THEN 0.0
             ELSE CAST(list_sum(list_transform(
                    list_zip(ci, q_int8),
@@ -398,7 +399,10 @@ ORDER BY vec_id
         "plus the exact reconstruction error. All integer arithmetic "
         "(half-up = floor((2·127·c + m)/(2m)) on exact nano-units; "
         "error = Σ|127·c − q·m| in int64) so Spark and DuckDB agree "
-        "bit-for-bit. Pure map stage — zero shuffles at any scale")
+        "bit-for-bit. Codes are emitted as a comma-joined STRING "
+        "(scalar-output convention, registry.py #3 — the driver's "
+        "canonicalizer cannot sort array cells). Pure map stage — "
+        "zero shuffles at any scale")
 def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     L = QUANT_LEVELS
@@ -424,6 +428,9 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     mae = F.when(F.col("max_abs_nano") == 0, F.lit(0.0)).otherwise(
         abs_err_int.cast("double")
         / (F.lit(float(L) * 1e9) * F.size("ci")))
-    return (df.select("vec_id", "max_abs_nano", "q_int8",
+    q_codes = F.array_join(
+        F.transform("q_int8", lambda x: x.cast("string")), ",")
+    return (df.select("vec_id", "max_abs_nano",
+                      q_codes.alias("q_codes"),
                       mae.alias("mean_abs_err"))
             .orderBy("vec_id"))

@@ -330,7 +330,7 @@ SESSION_GAP_S = 43200    # 12 h: ~median per-user cadence is ~7 h, so
     "w10_session_window_batch",
     f"""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w
                          >= INTERVAL '{SESSION_GAP_S} seconds'
@@ -338,8 +338,11 @@ SESSION_GAP_S = 43200    # 12 h: ~median per-user cadence is ~7 h, so
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- event_id tie-break (registry convention #2): with ts-only
+      -- ordering a duplicated session-opening ts could sort the brk=1
+      -- row after tied brk=0 rows and relabel the session.
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )

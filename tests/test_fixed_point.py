@@ -80,9 +80,10 @@ def test_quantize_invariants(spark):
     for vid, emb in vecs:
         r = rows[vid]
         m = r["max_abs_nano"]
-        assert all(abs(q) <= QUANT_LEVELS for q in r["q_int8"])
+        codes = [int(t) for t in r["q_codes"].split(",")]
+        assert all(abs(q) <= QUANT_LEVELS for q in codes)
         if m == 0:
-            assert r["q_int8"] == [0] * len(emb)
+            assert codes == [0] * len(emb)
             assert r["mean_abs_err"] == 0.0
             continue
         # exact per-component check against Python integer half-up
@@ -92,7 +93,7 @@ def test_quantize_invariants(spark):
 
         import numpy as np
 
-        for x, q in zip(emb, r["q_int8"]):
+        for x, q in zip(emb, codes):
             xv = float(np.float32(x))
             ci = int(Decimal(xv).quantize(Decimal("1.000000000"),
                                           rounding=ROUND_HALF_UP)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
 from light_redistribution_in_3dptf_data_pipeline_spark.operators import dedup, similarity
+from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import minhash_lsh_query
 from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
 from light_redistribution_in_3dptf_data_pipeline_spark.sources import binary_catalog, robot_program
 
@@ -24,16 +25,13 @@ class TestMinHashLSH:
                  .builder(spark, SF_DIR).collect()
                  if r.jaccard >= 0.6}
         cands = {(r.doc_a, r.doc_b)
-                 for r in QUERIES["dx1_minhash_lsh_candidates"]
-                 .builder(spark, SF_DIR).collect()}
+                 for r in minhash_lsh_query(spark, SF_DIR).collect()}
         missed = exact - cands
         assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
     def test_deterministic(self, spark):
-        a = sorted(map(tuple, QUERIES["dx1_minhash_lsh_candidates"]
-                       .builder(spark, SF_DIR).collect()))
-        b = sorted(map(tuple, QUERIES["dx1_minhash_lsh_candidates"]
-                       .builder(spark, SF_DIR).collect()))
+        a = sorted(map(tuple, minhash_lsh_query(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, minhash_lsh_query(spark, SF_DIR).collect()))
         assert a == b
 
     def test_stop_shingle_cap(self, spark):
@@ -60,7 +58,7 @@ class TestMinHashLSH:
         re-grouping, no estimate re-joins creeping back in."""
         import re
 
-        df = QUERIES["dx1_minhash_lsh_candidates"].builder(spark, SF_DIR)
+        df = minhash_lsh_query(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
         n_hashagg = len(re.findall(r"HashAggregate", plan))
@@ -297,3 +295,37 @@ class TestRobotProgram:
         out = robot_program.parse_program(df).collect()
         assert len(out) == 1
         assert (out[0].x, out[0].y, out[0].c) == (1.5, -2.0, 90.0)
+
+
+class TestDx5RecallPremise:
+    def test_fixture_has_no_risky_jaccard_band_pairs(self):
+        """dx5's hash-equality with the exhaustive tx6 oracle rests on
+        LSH recall == 1 at the decision threshold. With 16x2 banding
+        the per-pair miss probability at jaccard j is (1-j^2)^16 —
+        negligible at j >= 0.8 (< 1e-7) but material in
+        [JACCARD_THRESHOLD, 0.8) (up to ~12% at 0.35). Canary: the
+        fixtures must place no document pair in that band, at either
+        the local-test or the driver-verification scale, so the
+        equality stays deterministic under fixture regeneration."""
+        import duckdb
+
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.text import (
+            JACCARD_THRESHOLD,
+            NEARDUP_ORACLE,
+        )
+
+        from conftest import SF_DIR_MID
+
+        for d in (SF_DIR, SF_DIR_MID):
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW documents AS "
+                f"SELECT * FROM '{d}/documents.parquet'")
+            risky = con.execute(
+                f"SELECT doc_a, doc_b, jaccard FROM ({NEARDUP_ORACLE}) q"
+                " WHERE jaccard < 0.8").fetchall()
+            con.close()
+            assert not risky, (
+                f"{d}: document pairs in the LSH-risky jaccard band "
+                f"[{JACCARD_THRESHOLD}, 0.8) — dx5's equality with the "
+                f"exhaustive oracle is no longer guaranteed: {risky}")

@@ -33,7 +33,7 @@ BNLJ_OK = {
     "sim3_sim4_ivf_train_assign",    # one-row query vector / L centroids
     "sx1_sx2_ann_lsh_topk",          # one-row query vector
     "sx3_ivf_probe_topk",            # one-row query vector / L centroids
-    "a6_a7_a8_global_stats",         # one-row x one-row stats join
+    "a4_a6_a7_a8_a9_a11_stats",      # one-row x one-row stats joins
 }
 
 BANNED_EVERYWHERE = ("CartesianProduct", "BatchEvalPython", "PythonUDF(")
