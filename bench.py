@@ -28,7 +28,7 @@ HEADLINE = [
     "j2_key_intersection_join",
     "a1_a2_collect_having",
     "a4_a6_a7_a8_a9_a11_stats",
-    "a5_pricing_summary",
+    "a5_a10_pricing_cube",
     "t2_t3_t5_topk_order_sample",
     "t4_argmin_argmax",
     "s4_robot_program_parse",
@@ -51,6 +51,7 @@ HEADLINE = [
     "sx3_ivf_probe_topk",
     "sim5_quantize_int8",
     "tx10_bpe_token_count",
+    "tx11_chunk_pack_split",
 ]
 
 

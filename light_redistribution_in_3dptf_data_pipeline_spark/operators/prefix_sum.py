@@ -52,3 +52,36 @@ def bucketed_row_number(df: DataFrame, bucket: Column,
             .withColumn(out, (F.col("__lrn") + F.col("__off"))
                         .cast("bigint"))
             .drop("__bk", "__lrn", "__off"))
+
+
+def bucketed_running_sum(df: DataFrame, bucket: Column, value: str | Column,
+                         order_cols: Sequence[str | Column],
+                         out: str = "running_sum") -> DataFrame:
+    """Append an inclusive global running sum of ``value`` ordered by
+    ``order_cols``, computed without any global-order window — the
+    running-sum twin of :func:`bucketed_row_number`, with the same
+    monotone-``bucket`` contract.
+
+    Decomposition: running(row) = bucket_offset + local_running(row),
+    where bucket_offset is the prefix sum of per-bucket value totals
+    (one row per bucket, single tiny partition, broadcast back).
+    Used by tx11's token-budget sequence packing: the global token
+    cumsum over (doc_id, chunk_idx) order at 100 TB must not funnel
+    every chunk through one task.
+    """
+    tagged = df.withColumn("__bk", bucket).withColumn(
+        "__v", value if isinstance(value, Column) else F.col(value))
+    w_local = (Window.partitionBy("__bk").orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = tagged.withColumn("__lrs", F.sum("__v").over(w_local))
+
+    w_bk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (local.groupBy("__bk").agg(F.sum("__v").alias("__n"))
+               .withColumn("__off",
+                           F.coalesce(F.sum("__n").over(w_bk), F.lit(0)))
+               .select("__bk", "__off"))
+
+    return (local.join(F.broadcast(offsets), "__bk")
+            .withColumn(out, (F.col("__lrs") + F.col("__off"))
+                        .cast("bigint"))
+            .drop("__bk", "__lrs", "__off", "__v"))

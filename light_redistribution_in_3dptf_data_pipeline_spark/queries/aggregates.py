@@ -158,7 +158,7 @@ def descriptive_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a5_pricing_summary",
+    "a5_a10_pricing_cube",
     """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -176,18 +176,23 @@ def descriptive_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              / count(*) AS avg_qty,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="A3+A5: TPC-H-Q1-style pricing summary — grouped exact-decimal "
-        "sums + derived means over several measure columns at once: "
-        "the column-wise vector mean (extrinsic_calibration.py:72-73 "
-        "mean rvec/tvec over components) and the per-group mean "
-        "(extrinsic_calibration.py:213-214 per-pose mean error) in "
-        "one grouped pass")
-def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc="A3+A5 + cube composite: TPC-H-Q1-style pricing summary — "
+        "grouped exact-decimal sums + derived means over several "
+        "measure columns at once: the column-wise vector mean "
+        "(extrinsic_calibration.py:72-73 mean rvec/tvec over "
+        "components) and the per-group mean "
+        "(extrinsic_calibration.py:213-214 per-pose mean error) — "
+        "computed under CUBE grouping sets (SURVEY §2.4 note), so "
+        "the non-null group rows ARE the former a5 result and the "
+        "subtotal/grand-total rows exercise the rollup capability in "
+        "the same oracle-checked pass. Group columns are non-null in "
+        "the fixtures, so grouping-set NULLs are unambiguous")
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(18,2)")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
         F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
@@ -198,23 +203,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_qty"),
         F.count("*").cast("bigint").alias("count_order"),
     )
-
-
-@register(
-    "a10_cube_demo",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    doc="Free-capability demo: CUBE grouping sets (SURVEY §2.4 note)")
-def cube_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
 
 
 @register(

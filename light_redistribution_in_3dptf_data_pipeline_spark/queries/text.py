@@ -461,3 +461,95 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double") / F.col("n_bpe_tokens"))
     return df.select("doc_id", "n_ws_tokens", "n_bpe_tokens",
                      cpt.alias("chars_per_token"))
+
+
+# tx11 sequence packing: chunk size in chars (fixtures average ~300
+# chars/doc, so 1-3 chunks per doc), token budget per training bin,
+# and the deterministic Knuth-multiplicative val-split (5% ≈
+# 214748365/2^32). All-integer arithmetic so both engines agree
+# bit-for-bit; doc_id*2654435761 stays in int64 up to ~3.5e9 docs.
+CHUNK_CHARS = 200
+BIN_TOKENS = 512
+VAL_HASH_MULT = 2654435761
+VAL_HASH_MOD = 4294967296
+VAL_THRESHOLD = 214748365  # floor(0.05 * 2^32)
+
+
+@register(
+    "tx11_chunk_pack_split",
+    f"""
+    WITH c AS (
+      SELECT doc_id, CAST(u.x AS BIGINT) AS chunk_idx,
+             CAST(u.x * {CHUNK_CHARS} + 1 AS BIGINT) AS chunk_start,
+             substr(text, CAST(u.x * {CHUNK_CHARS} + 1 AS INT),
+                    {CHUNK_CHARS}) AS chunk_text
+      FROM (SELECT doc_id, text,
+                   unnest(range(0,
+                     CAST(greatest(ceil(length(text) / {CHUNK_CHARS}.0),
+                                   1) AS BIGINT))) AS x
+            FROM documents) u(doc_id, text, x)
+    ), t AS (
+      SELECT doc_id, chunk_idx, chunk_start,
+             CAST(length(chunk_text) AS BIGINT) AS chunk_len,
+             CAST(len(regexp_extract_all(chunk_text,
+                  '{BPE_TOKEN_PATTERN.replace("'", "''")}', 1)) AS BIGINT)
+               AS n_tokens
+      FROM c
+    ), s AS (
+      SELECT *, sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, chunk_idx, chunk_start, chunk_len, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {BIN_TOKENS}.0) AS BIGINT)
+             AS bin_id,
+           (doc_id * {VAL_HASH_MULT}) % {VAL_HASH_MOD} < {VAL_THRESHOLD}
+             AS is_val
+    FROM s
+    """,
+    doc="Sequence packing + train/val split (beyond the reference, "
+        "LLM-pipeline extension): context-window chunking (fixed "
+        "char windows, 1→N explode per doc), per-chunk BPE-ish token "
+        "counts (same lookahead-free pre-tokenizer as tx10), greedy "
+        "token-budget bin packing — bin = the bin where the chunk's "
+        "token span starts, via an exact global token cumsum — and a "
+        "deterministic Knuth-multiplicative-hash 5% validation split "
+        "keyed on doc_id so every chunk of a doc lands on the same "
+        "side (no train/val leakage). The cumsum is the scale-out "
+        "bucketed prefix-sum (operators/prefix_sum.py "
+        "bucketed_running_sum): per-bucket window + broadcast "
+        "offsets, no global-order window task at 100 TB")
+def chunk_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix_sum import bucketed_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))),
+        F.lit(1)).cast("int")
+    chunks = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    chunk_text = F.expr(
+        f"substring(text, CAST(chunk_idx * {CHUNK_CHARS} + 1 AS INT), "
+        f"{CHUNK_CHARS})")
+    t = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("bigint") * CHUNK_CHARS + 1)
+        .alias("chunk_start"),
+        F.length(chunk_text).cast("bigint").alias("chunk_len"),
+        F.size(F.regexp_extract_all(chunk_text,
+                                    F.lit(BPE_TOKEN_PATTERN), F.lit(1)))
+         .cast("bigint").alias("n_tokens"))
+    s = bucketed_running_sum(
+        t, F.floor(F.col("doc_id") / 64), "n_tokens",
+        ["doc_id", "chunk_idx"], out="cum_tokens")
+    return s.select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_len", "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                / F.lit(float(BIN_TOKENS))).cast("bigint").alias("bin_id"),
+        ((F.col("doc_id") * VAL_HASH_MULT) % VAL_HASH_MOD
+         < VAL_THRESHOLD).alias("is_val"))

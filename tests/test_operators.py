@@ -329,3 +329,77 @@ class TestDx5RecallPremise:
                 f"{d}: document pairs in the LSH-risky jaccard band "
                 f"[{JACCARD_THRESHOLD}, 0.8) — dx5's equality with the "
                 f"exhaustive oracle is no longer guaranteed: {risky}")
+
+
+class TestChunkPackSplit:
+    def test_bucketed_running_sum_equals_global_window(self, spark):
+        """The scale-out prefix-sum must equal the single-window
+        cumsum exactly, including across bucket boundaries."""
+        from pyspark.sql import Window
+
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.prefix_sum import (
+            bucketed_running_sum,
+        )
+
+        df = spark.range(0, 997).select(
+            F.col("id").alias("k"),
+            (F.pmod(F.col("id") * 37, F.lit(101))).alias("v"))
+        got = {r.k: r.cs for r in bucketed_running_sum(
+            df, F.floor(F.col("k") / 50), "v", ["k"], out="cs")
+            .select("k", "cs").collect()}
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = {r.k: r.cs for r in df.select(
+            "k", F.sum("v").over(w).cast("bigint").alias("cs")).collect()}
+        assert got == want
+
+    def test_chunks_reconstruct_text(self, spark):
+        """Concatenating a doc's chunks in chunk_idx order must cover
+        the full text length exactly (no gap, no overlap)."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.text import (
+            CHUNK_CHARS,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        lens = {r.doc_id: r.n for r in docs.select(
+            "doc_id", F.length("text").alias("n")).collect()}
+        rows = QUERIES["tx11_chunk_pack_split"].builder(
+            spark, SF_DIR).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, chunks in per_doc.items():
+            chunks.sort(key=lambda r: r.chunk_idx)
+            assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+            assert all(c.chunk_start == c.chunk_idx * CHUNK_CHARS + 1
+                       for c in chunks)
+            assert sum(c.chunk_len for c in chunks) == lens[doc_id]
+            assert all(c.chunk_len == CHUNK_CHARS for c in chunks[:-1])
+
+    def test_split_is_doc_consistent_and_packing_monotone(self, spark):
+        """Every chunk of a doc lands on the same split side; bin ids
+        are non-decreasing in global order and bins respect the token
+        budget up to one chunk of overhang (greedy span-start rule)."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.text import (
+            BIN_TOKENS,
+        )
+
+        rows = sorted(QUERIES["tx11_chunk_pack_split"].builder(
+            spark, SF_DIR).collect(),
+            key=lambda r: (r.doc_id, r.chunk_idx))
+        sides = {}
+        prev_bin, cum = 0, 0
+        bin_tokens = {}
+        for r in rows:
+            sides.setdefault(r.doc_id, set()).add(r.is_val)
+            assert r.bin_id >= prev_bin
+            prev_bin = r.bin_id
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+            bin_tokens[r.bin_id] = bin_tokens.get(r.bin_id, 0) + r.n_tokens
+        assert all(len(s) == 1 for s in sides.values())
+        max_chunk = max(r.n_tokens for r in rows)
+        for b, tot in bin_tokens.items():
+            assert tot <= BIN_TOKENS + max_chunk
+        # the 5% split is present but minoritarian on the fixture
+        n_val_docs = sum(1 for s in sides.values() if True in s)
+        assert 0 <= n_val_docs < len(sides) * 0.2

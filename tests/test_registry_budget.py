@@ -43,8 +43,7 @@ SECTION2_COVERING = [
     "j8_range_join",                 # +J8
     "a1_a2_collect_having",          # A1/A2
     "a4_a6_a7_a8_a9_a11_stats",      # A4/A6/A7/A8/A9/A11
-    "a5_pricing_summary",            # A3/A5
-    "a10_cube_demo",                 # cube/rollup
+    "a5_a10_pricing_cube",           # A3/A5 + cube/rollup
     "t1_global_sort_rank",           # T1
     "t2_t3_t5_topk_order_sample",    # T2/T3/T5
     "t4_argmin_argmax",              # T4/F8
