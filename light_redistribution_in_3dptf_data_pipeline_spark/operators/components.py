@@ -60,20 +60,29 @@ def connected_components(edges: DataFrame, src: str = "src",
               .select("node", F.col("node").alias("comp"))
               .localCheckpoint())
 
+    # Convergence probe: labels only ever DECREASE (min-propagation),
+    # so the label total strictly drops on any change and Σcomp
+    # equality ⇔ fixpoint. One exact decimal aggregate over the
+    # checkpointed N-node frame per round — no overflow at any node-id
+    # range (decimal(38,0) holds 2^63 · 10^19 rows), and cheaper than
+    # the join+filter+count probe it replaces (one scan, no shuffle
+    # of two label frames per round).
+    def _total(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_total = _total(labels)
     for _ in range(max_iter):
         prop = (und.join(labels, und["u"] == labels["node"])
                 .select(F.col("v").alias("node"), F.col("comp")))
-        new_labels = (labels.union(prop)
-                      .groupBy("node")
-                      .agg(F.min("comp").alias("comp"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") < F.col("o.comp"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.union(prop)
+                  .groupBy("node")
+                  .agg(F.min("comp").alias("comp"))
+                  .localCheckpoint())
+        total = _total(labels)
+        if total == prev_total:
             break
+        prev_total = total
     return labels
 
 

@@ -188,20 +188,32 @@ def descriptive_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the non-null group rows ARE the former a5 result and the "
         "subtotal/grand-total rows exercise the rollup capability in "
         "the same oracle-checked pass. Group columns are non-null in "
-        "the fixtures, so grouping-set NULLs are unambiguous")
+        "the fixtures, so grouping-set NULLs are unambiguous. "
+        "Two-level shape: CUBE directly on the table Expands every "
+        "input row 4x through the decimal buffers (measured 3.4x "
+        "slower); instead the finest-grain groupBy aggregates once "
+        "and the CUBE re-aggregates the tiny partial — exact because "
+        "decimal sums and counts re-aggregate losslessly, and the "
+        "only full-table pass is a plain partial-agg shuffle")
 def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(18,2)")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("_qty"),
+        F.sum(_dec("l_extendedprice")).alias("_base"),
         F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-         .cast("double").alias("sum_disc_price"),
+         .alias("_disc"),
         F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))
-              * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
-        .alias("avg_qty"),
-        F.count("*").cast("bigint").alias("count_order"),
+              * (one + _dec("l_tax"))).alias("_charge"),
+        F.count("*").alias("_n"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_qty").cast("double").alias("sum_qty"),
+        F.sum("_base").cast("double").alias("sum_base_price"),
+        F.sum("_disc").cast("double").alias("sum_disc_price"),
+        F.sum("_charge").cast("double").alias("sum_charge"),
+        (F.sum("_qty").cast("double") / F.sum("_n")).alias("avg_qty"),
+        F.sum("_n").cast("bigint").alias("count_order"),
     )
 
 
