@@ -187,3 +187,32 @@ def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:
     ``src/core/act_img.py:313-314``)."""
     return {name: spark.read.parquet(p.path(name)).count()
             for name in p.stages}
+
+
+def write_partitioned_corpus(df: DataFrame, path: str,
+                             partition_col: str = "lang",
+                             max_records_per_file: int = 100_000,
+                             sort_col: str = "doc_id") -> None:
+    """The 100 TB corpus SINK: hive-partitioned Parquet layout.
+
+    - ``partitionBy(partition_col)`` gives directory-level partition
+      pruning to every downstream reader (a lang- or source-filtered
+      training run never lists, let alone reads, the other
+      partitions' files).
+    - ``repartition(partition_col)`` first, so each output partition
+      is written by the tasks that own its data — without it every
+      task appends a small file to EVERY partition directory and the
+      layout degenerates to tasks x partitions files (the classic
+      small-files failure).
+    - ``sortWithinPartitions(sort_col)`` makes per-file min/max
+      statistics tight on the sort key, so row-group skipping works
+      for key-ranged reads.
+    - ``maxRecordsPerFile`` bounds file size regardless of partition
+      skew — one hot language cannot produce a single huge file.
+    """
+    (df.repartition(F.col(partition_col))
+       .sortWithinPartitions(sort_col)
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .partitionBy(partition_col)
+       .parquet(path))

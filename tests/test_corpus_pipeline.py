@@ -201,3 +201,46 @@ def test_pipeline_verify_exact_variant(spark, docs, tmp_path):
              lsh_verified_neardups(gated, 0.5).collect()]
     droppable = {b for _, b in pairs}
     assert dropped <= droppable
+
+
+class TestPartitionedCorpusSink:
+    def test_layout_roundtrip_and_pruning(self, spark, tmp_path):
+        """Hive layout per lang, bounded file sizes, lossless
+        round-trip, and the reader's plan must show directory-level
+        partition pruning for a lang filter."""
+        import glob as pyglob
+
+        from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+            write_partitioned_corpus,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        out = str(tmp_path / "corpus")
+        write_partitioned_corpus(docs, out, max_records_per_file=40)
+
+        langs = {r.lang for r in docs.select("lang").distinct().collect()}
+        dirs = {p.rsplit("lang=", 1)[1]
+                for p in pyglob.glob(f"{out}/lang=*")}
+        assert dirs == langs
+
+        # maxRecordsPerFile bound holds in every partition directory
+        for d in pyglob.glob(f"{out}/lang=*"):
+            for f in pyglob.glob(f"{d}/*.parquet"):
+                import pyarrow.parquet as pq
+                assert pq.read_metadata(f).num_rows <= 40
+
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        a = sorted(map(tuple, docs.select("doc_id", "lang").collect()))
+        b = sorted(map(tuple, back.select("doc_id", "lang").collect()))
+        assert a == b
+
+        # partition pruning: the lang filter must land in
+        # PartitionFilters, not PushedFilters/post-scan
+        one = sorted(langs)[0]
+        plan = (back.filter(F.col("lang") == one)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters: [" in plan
+        assert f"(lang#" in plan.split("PartitionFilters")[1][:200] or \
+            "isnotnull(lang" in plan.split("PartitionFilters")[1][:200]
