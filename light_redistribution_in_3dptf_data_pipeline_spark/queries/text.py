@@ -466,13 +466,18 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tx11 sequence packing: chunk size in chars (fixtures average ~300
 # chars/doc, so 1-3 chunks per doc), token budget per training bin,
 # and the deterministic Knuth-multiplicative val-split (5% ≈
-# 214748365/2^32). All-integer arithmetic so both engines agree
-# bit-for-bit; doc_id*2654435761 stays in int64 up to ~3.5e9 docs.
+# 214748365/2^32). Packing runs in deterministic SHUFFLE order — a
+# second multiplicative hash permutes documents (chunks of a doc stay
+# contiguous), exactly how a training pipeline shuffles before
+# packing; a distinct multiplier keeps the shuffle order independent
+# of the split decision. All-integer arithmetic so both engines agree
+# bit-for-bit; doc_id*mult stays in int64 up to ~3.5e9 docs.
 CHUNK_CHARS = 200
 BIN_TOKENS = 512
 VAL_HASH_MULT = 2654435761
 VAL_HASH_MOD = 4294967296
-VAL_THRESHOLD = 214748365  # floor(0.05 * 2^32)
+VAL_THRESHOLD = 214748365   # floor(0.05 * 2^32)
+SHUFFLE_MULT = 2246822519   # xxhash prime2 — independent permutation
 
 
 @register(
@@ -495,13 +500,18 @@ VAL_THRESHOLD = 214748365  # floor(0.05 * 2^32)
                   '{BPE_TOKEN_PATTERN.replace("'", "''")}', 1)) AS BIGINT)
                AS n_tokens
       FROM c
+    ), h AS (
+      SELECT *, (doc_id * {SHUFFLE_MULT}) % {VAL_HASH_MOD} AS shuffle_key
+      FROM t
     ), s AS (
-      SELECT *, sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+      SELECT *, sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id,
+                                             chunk_idx
                                     ROWS UNBOUNDED PRECEDING)
                   AS cum_tokens
-      FROM t
+      FROM h
     )
     SELECT doc_id, chunk_idx, chunk_start, chunk_len, n_tokens,
+           CAST(shuffle_key AS BIGINT) AS shuffle_key,
            CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(floor((cum_tokens - n_tokens) / {BIN_TOKENS}.0) AS BIGINT)
              AS bin_id,
@@ -512,15 +522,19 @@ VAL_THRESHOLD = 214748365  # floor(0.05 * 2^32)
     doc="Sequence packing + train/val split (beyond the reference, "
         "LLM-pipeline extension): context-window chunking (fixed "
         "char windows, 1→N explode per doc), per-chunk BPE-ish token "
-        "counts (same lookahead-free pre-tokenizer as tx10), greedy "
-        "token-budget bin packing — bin = the bin where the chunk's "
-        "token span starts, via an exact global token cumsum — and a "
+        "counts (same lookahead-free pre-tokenizer as tx10), a "
+        "deterministic multiplicative-hash document shuffle (chunks "
+        "of a doc stay contiguous — the pack-after-shuffle order "
+        "every training pipeline uses), greedy token-budget bin "
+        "packing — bin = the bin where the chunk's token span starts "
+        "in shuffle order, via an exact global token cumsum — and a "
         "deterministic Knuth-multiplicative-hash 5% validation split "
-        "keyed on doc_id so every chunk of a doc lands on the same "
-        "side (no train/val leakage). The cumsum is the scale-out "
-        "bucketed prefix-sum (operators/prefix_sum.py "
-        "bucketed_running_sum): per-bucket window + broadcast "
-        "offsets, no global-order window task at 100 TB")
+        "keyed on doc_id (independent multiplier from the shuffle) "
+        "so every chunk of a doc lands on the same side (no "
+        "train/val leakage). The cumsum is the scale-out bucketed "
+        "prefix-sum (operators/prefix_sum.py bucketed_running_sum) "
+        "over high-order shuffle-key buckets: per-bucket window + "
+        "broadcast offsets, no global-order window task at 100 TB")
 def chunk_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix_sum import bucketed_running_sum
 
@@ -542,13 +556,18 @@ def chunk_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk_text).cast("bigint").alias("chunk_len"),
         F.size(F.regexp_extract_all(chunk_text,
                                     F.lit(BPE_TOKEN_PATTERN), F.lit(1)))
-         .cast("bigint").alias("n_tokens"))
+         .cast("bigint").alias("n_tokens"),
+        ((F.col("doc_id") * SHUFFLE_MULT) % VAL_HASH_MOD)
+        .alias("shuffle_key"))
+    # bucket = high-order bits of the shuffle key: monotone in the
+    # (shuffle_key, doc_id, chunk_idx) pack order, ~64 buckets.
     s = bucketed_running_sum(
-        t, F.floor(F.col("doc_id") / 64), "n_tokens",
-        ["doc_id", "chunk_idx"], out="cum_tokens")
+        t, F.floor(F.col("shuffle_key") / (VAL_HASH_MOD // 64)),
+        "n_tokens", ["shuffle_key", "doc_id", "chunk_idx"],
+        out="cum_tokens")
     return s.select(
         "doc_id", "chunk_idx", "chunk_start", "chunk_len", "n_tokens",
-        "cum_tokens",
+        "shuffle_key", "cum_tokens",
         F.floor((F.col("cum_tokens") - F.col("n_tokens"))
                 / F.lit(float(BIN_TOKENS))).cast("bigint").alias("bin_id"),
         ((F.col("doc_id") * VAL_HASH_MULT) % VAL_HASH_MOD

@@ -385,7 +385,7 @@ class TestChunkPackSplit:
 
         rows = sorted(QUERIES["tx11_chunk_pack_split"].builder(
             spark, SF_DIR).collect(),
-            key=lambda r: (r.doc_id, r.chunk_idx))
+            key=lambda r: (r.shuffle_key, r.doc_id, r.chunk_idx))
         sides = {}
         prev_bin, cum = 0, 0
         bin_tokens = {}
