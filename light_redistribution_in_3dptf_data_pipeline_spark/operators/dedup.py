@@ -170,30 +170,38 @@ def lsh_neardup_pairs(sh: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document from token xxhash64 bits.
+                         id_col: str = "doc_id",
+                         hash_fn=None, n_bits: int = 64,
+                         out: str = "simhash") -> DataFrame:
+    """SimHash per document from per-token hash bits.
 
-    Single explode + single groupBy; the 64 per-bit counters are one
-    wide aggregate row (JVM codegen), not 64 passes.
+    Single explode + single groupBy; the per-bit counters are one
+    wide aggregate row (JVM codegen), not ``n_bits`` passes.
+
+    ``hash_fn`` maps a token Column to a BIGINT hash Column. The
+    default is ``xxhash64`` (the fast JVM intrinsic — production
+    path); the registered dx2 query passes the md5-derived
+    engine-portable 60-bit hash instead so the whole pipeline is
+    oracle-checkable (see queries in this module).
     """
     toks = docs.select(
         id_col,
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
-    h = F.xxhash64("tok")
+    h = (hash_fn or F.xxhash64)(F.col("tok"))
     bit_sums = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
                .otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0,
                      F.lit(1).cast("bigint")).otherwise(F.lit(0)
                                                         .cast("bigint"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
-    return agg.select(id_col, fp.alias("simhash"))
+    return agg.select(id_col, fp.alias(out))
 
 
 SIMHASH_BANDS = 4
@@ -253,13 +261,58 @@ def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(shingles(docs))
 
 
+# Engine-portable 60-bit token hash: the first 15 hex chars of md5
+# parsed as an integer — Spark's conv(substr(md5,1,15),16,10) and
+# DuckDB's ('0x'||substr(md5,1,15))::BIGINT produce the same int64
+# (60 bits < 63, no sign issues). ~2x slower than the xxhash64
+# intrinsic, so production fingerprinting keeps xxhash64; this hash
+# exists so the registered query is oracle-checkable end to end.
+def _portable_hash60(tok):
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+DX2_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+  FROM tok
+), bits AS (
+  SELECT doc_id, b.i AS i,
+         sum(CASE WHEN (hv >> CAST(b.i AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM h, range(0, 60) AS b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                     ELSE 0 END) AS BIGINT) AS simhash60
+FROM bits GROUP BY doc_id
+"""
+
+
 @register(
-    "dx2_simhash_fingerprints", None,
-    doc="Dedup scale path: 64-bit SimHash fingerprints (rows-only: "
-        "xxhash64 is engine-specific)")
+    "dx2_simhash_fingerprints", DX2_ORACLE,
+    doc="Dedup scale path: SimHash fingerprints, ORACLE-CHECKED — the "
+        "full pipeline (whitespace tokenize → per-token hash → "
+        "per-bit ±1 counters → sign fingerprint) runs on an "
+        "md5-derived engine-portable 60-bit hash so DuckDB restates "
+        "it exactly (the oracle expands bits relationally; Spark "
+        "keeps the one-explode + one-wide-groupBy shape — 60 counter "
+        "columns in a single codegen'd aggregate, one shuffle). "
+        "Production fingerprinting uses the same code path with the "
+        "xxhash64 JVM intrinsic (operators/dedup.simhash_fingerprints "
+        "default), covered by determinism + banded-Hamming recall "
+        "tests")
 def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs).orderBy("doc_id")
+    return (simhash_fingerprints(docs, hash_fn=_portable_hash60,
+                                 n_bits=60, out="simhash60")
+            .orderBy("doc_id"))
 
 
 def lsh_verified_neardups(docs: DataFrame, threshold: float,

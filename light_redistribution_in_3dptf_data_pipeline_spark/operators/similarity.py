@@ -3,15 +3,18 @@
 The brute-force baseline (queries/similarity.py sim1_sim2) scans every
 vector per query — O(N·d). The scale path here:
 
-1. **Random-hyperplane LSH**: J pseudo-random ±1 hyperplanes (derived
-   deterministically from ``xxhash64(plane, dim)`` — no stored model,
-   identical on every executor). Bucket id = J-bit sign pattern of the
-   dot products. ARRAY-NATIVE: all J dots are per-row folds over the
-   embedding array (transform + aggregate, JVM codegen) — zero
-   explode, zero extra shuffle; the signature stage is a pure map.
-   Components are fixed-point BIGINT nano-units, so each dot is an
-   exact integer and the sign bit can never flip between runs or
-   engines (no order-dependent float summation).
+1. **Random-hyperplane LSH**: J pseudo-random ±1 hyperplanes, derived
+   deterministically from md5("plane{j}:dim{i}") at plan-build time —
+   no stored model, identical on every executor, and (because md5 is
+   engine-universal) reproducible by ANY engine, which is what makes
+   the registered query oracle-checkable. Bucket id = J-bit sign
+   pattern of the dot products. ARRAY-NATIVE: all J dots are per-row
+   zip_with folds over the embedding array against literal sign
+   arrays (JVM codegen) — zero explode, zero extra shuffle; the
+   signature stage is a pure map. Components are fixed-point BIGINT
+   nano-units, so each dot is an exact integer and the sign bit can
+   never flip between runs or engines (no order-dependent float
+   summation).
 2. Candidates = vectors in the query's bucket **plus all Hamming-1
    neighbor buckets** (flip each of the J bits) for recall; exact
    cosine re-ranking only within that small set.
@@ -32,14 +35,22 @@ from ..queries.registry import register
 NUM_PLANES = 8
 QUERY_VEC_ID = 0
 TOP_K = 10
+EMB_DIM = 64  # fixture embedding dimensionality
 
 
-def _sign_bit(plane: int, pos: Column) -> Column:
-    """Deterministic hyperplane sign selector for (plane, dim):
-    True → +1, False → -1. Same bit stream as round 1's
-    ``_sign_component`` (xxhash64 >> 3 & 1)."""
-    return (F.shiftright(F.xxhash64(F.lit(plane), pos), 3)
-            .bitwiseAND(F.lit(1)) == 1)
+def _plane_signs(num_planes: int = NUM_PLANES,
+                 dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5("plane{j}:dim{i}")
+    — computed driver-side at plan-build time and embedded as
+    literals, so the identical matrix appears in the Spark plan and
+    in the DuckDB oracle text. Bit 3 of the 60-bit hex prefix is the
+    sign selector (any fixed bit of md5 is an unbiased coin)."""
+    import hashlib
+
+    return [[1 if (int(hashlib.md5(f"plane{j}:dim{i}".encode())
+                       .hexdigest()[:15], 16) >> 3) & 1 else -1
+             for i in range(dim)]
+            for j in range(num_planes)]
 
 
 def _fixed_point(vec: Column) -> Column:
@@ -52,22 +63,21 @@ def _fixed_point(vec: Column) -> Column:
 
 def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                num_planes: int = NUM_PLANES) -> DataFrame:
+                num_planes: int = NUM_PLANES,
+                dim: int = EMB_DIM) -> DataFrame:
     """(id, bucket) — J-bit random-hyperplane signature per vector,
     computed entirely inside the row: for each plane j, the signed
-    fold  sum_i ±ci_i  (sign from xxhash64(j, i)), then the J sign
-    bits packed into one BIGINT. A pure map — no explode, no join,
-    no shuffle."""
+    fold  sum_i sign[j][i]·ci_i  (literal ±1 arrays zip_with'd
+    against the components), then the J sign bits packed into one
+    BIGINT. A pure map — no explode, no join, no shuffle."""
     ci = _fixed_point(F.col(vec_col))
-
-    def signed_term(j):
-        # factory so each plane's lambda closes over its own j
-        return lambda x, i: F.when(_sign_bit(j, i), x).otherwise(-x)
+    signs = _plane_signs(num_planes, dim)
 
     bucket = None
     for j in range(num_planes):
+        sarr = F.array(*[F.lit(s).cast("bigint") for s in signs[j]])
         dot_j = F.aggregate(
-            F.transform(ci, signed_term(j)),
+            F.zip_with(ci, sarr, lambda x, s: x * s),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x)
         bit = F.when(dot_j > 0, F.lit(1).cast("bigint")) \
@@ -91,8 +101,11 @@ def ann_cosine_topk(emb: DataFrame, query_id: int = QUERY_VEC_ID,
                     num_planes: int = NUM_PLANES) -> DataFrame:
     """Bucketed ANN: exact cosine re-ranking inside the query's LSH
     bucket and its Hamming-1 neighbors. Returns
-    (vec_id, cosine, bucket, bucket_occupancy)."""
-    from ..functions import decimal_components, decimal_dot
+    (vec_id, cosine, bucket, bucket_occupancy). Re-rank arithmetic is
+    the engine's fixed-point discipline (nano-unit BIGINT components,
+    int64 hi/lo dot folds — the sim3/dx3/sx3 pattern), so scores are
+    exactly restatable in SQL (ANN_LSH_ORACLE)."""
+    from ..queries.similarity import _fixed_dot
 
     buckets = lsh_buckets(emb, num_planes=num_planes)
     occupancy = (buckets.groupBy("bucket")
@@ -109,15 +122,18 @@ def ann_cosine_topk(emb: DataFrame, query_id: int = QUERY_VEC_ID,
                     .filter(F.col("vec_id") != query_id))
 
     dec = emb.select("vec_id",
-                     decimal_components(F.col("embedding")).alias("v"))
+                     _fixed_point(F.col("embedding")).alias("ci"))
     q = (dec.filter(F.col("vec_id") == query_id)
-            .select(F.col("v").alias("qv"),
-                    decimal_dot(F.col("v"), F.col("v")).alias("qsq")))
+            .select(F.col("ci").alias("qci"),
+                    (_fixed_dot("ci", "ci").cast("double")
+                     / F.lit(1e18)).alias("qsq")))
     scored = (dec.join(cands, "vec_id")
                  .crossJoin(F.broadcast(q))
                  .select("vec_id", "bucket",
-                         decimal_dot(F.col("v"), F.col("qv")).alias("dot"),
-                         decimal_dot(F.col("v"), F.col("v")).alias("nsq"),
+                         (_fixed_dot("ci", "qci").cast("double")
+                          / F.lit(1e18)).alias("dot"),
+                         (_fixed_dot("ci", "ci").cast("double")
+                          / F.lit(1e18)).alias("nsq"),
                          "qsq"))
     cosine = F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq")))
     return (scored.join(F.broadcast(occupancy), "bucket")
@@ -256,16 +272,90 @@ def ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_topk(emb)
 
 
+def _signs_sql_values() -> str:
+    """The hyperplane matrix as SQL VALUES rows: (j, [s0..s63])."""
+    rows = []
+    for j, row in enumerate(_plane_signs()):
+        rows.append(f"({j}, [{', '.join(str(s) for s in row)}])")
+    return ",\n         ".join(rows)
+
+
+# Exact SQL restatement of ann_cosine_topk (defaults: query 0, k=10,
+# 8 planes, Hamming-1 probing): the same literal ±1 hyperplane matrix
+# (md5-derived, engine-independent), integer bucket signatures, and
+# the fixed-point cosine re-rank of IVF_PROBE_ORACLE.
+ANN_LSH_ORACLE = f"""
+WITH comps AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
+              * 1000000000 AS BIGINT) AS ci
+  FROM embeddings
+), signs AS (
+  SELECT j, generate_subscripts(v, 1) AS pos, unnest(v) AS s
+  FROM (VALUES {_signs_sql_values()}) t(j, v)
+), plane_dots AS (
+  SELECT c.vec_id, s.j, CAST(sum(c.ci * s.s) AS BIGINT) AS dot
+  FROM comps c JOIN signs s ON s.pos = c.pos
+  GROUP BY c.vec_id, s.j
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM plane_dots GROUP BY vec_id
+), occ AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_occupancy
+  FROM buckets GROUP BY bucket
+), probes AS (
+  SELECT DISTINCT xor(b.bucket, CAST(f.m AS BIGINT)) AS bucket
+  FROM buckets b,
+       unnest([0{"".join(f", {1 << j}" for j in range(NUM_PLANES))}]) f(m)
+  WHERE b.vec_id = {QUERY_VEC_ID}
+), cands AS (
+  SELECT b.vec_id, b.bucket FROM buckets b
+  JOIN probes p ON p.bucket = b.bucket
+  WHERE b.vec_id <> {QUERY_VEC_ID}
+), q AS (
+  SELECT pos, ci AS qci FROM comps WHERE vec_id = {QUERY_VEC_ID}
+), qn AS (
+  SELECT CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS qsq
+  FROM q
+), dots AS (
+  SELECT ca.vec_id, cd.bucket,
+         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS dot,
+         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(ca.ci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS nsq
+  FROM comps ca
+  JOIN cands cd ON cd.vec_id = ca.vec_id
+  JOIN q ON q.pos = ca.pos
+  GROUP BY 1, 2
+)
+SELECT d.vec_id,
+       round(d.dot / (sqrt(d.nsq) * sqrt(qn.qsq)), 9) AS cosine,
+       d.bucket, o.bucket_occupancy
+FROM dots d JOIN occ o ON o.bucket = d.bucket, qn
+ORDER BY round(d.dot / (sqrt(d.nsq) * sqrt(qn.qsq)), 9) DESC, d.vec_id
+LIMIT {TOP_K}
+"""
+
+
 @register(
-    "sx1_sx2_ann_lsh_topk", None,
-    doc="Similarity scale path: random-hyperplane LSH bucketing "
-        "(array-native per-row folds — zero explode/shuffle before "
-        "the bucket join; fixed-point dots so bucket bits are "
-        "deterministic) + Hamming-1 neighbor probing + in-bucket "
-        "exact cosine re-rank, with each hit's bucket occupancy (the "
-        "sx2 histogram fold-in, the skew diagnostic for the partition "
-        "key). Rows-only: xxhash64-derived hyperplanes are engine-"
-        "specific. Recall vs sim1_sim2 brute force asserted in tests")
+    "sx1_sx2_ann_lsh_topk", ANN_LSH_ORACLE,
+    doc="Similarity scale path, ORACLE-CHECKED: random-hyperplane LSH "
+        "bucketing (array-native per-row zip_with folds against "
+        "literal md5-derived ±1 sign arrays — zero explode/shuffle "
+        "before the bucket join; fixed-point dots so bucket bits are "
+        "deterministic in ANY engine) + Hamming-1 neighbor probing + "
+        "in-bucket exact cosine re-rank, with each hit's bucket "
+        "occupancy (the sx2 histogram fold-in, the skew diagnostic "
+        "for the partition key). The oracle rebuilds the identical "
+        "hyperplane matrix from the same constants and restates "
+        "bucketing relationally, so the driver hash-checks the "
+        "bucket decisions AND the scores. Recall vs sim1_sim2 brute "
+        "force asserted in tests")
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_cosine_topk(emb)
