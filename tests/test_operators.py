@@ -403,3 +403,31 @@ class TestChunkPackSplit:
         # the 5% split is present but minoritarian on the fixture
         n_val_docs = sum(1 for s in sides.values() if True in s)
         assert 0 <= n_val_docs < len(sides) * 0.2
+
+
+class TestPortableHash:
+    def test_md5_hash60_matches_duckdb(self, spark):
+        """The engine-portable 60-bit hash (dx2 simhash, sx1
+        hyperplane derivation) must produce identical int64s in
+        Spark, DuckDB, and plain hashlib, for ASCII and multi-byte
+        tokens alike."""
+        import hashlib
+
+        import duckdb
+
+        toks = ["hello", "Wort", "统计", "a b", "", "🙂", "ANN-lsh_0"]
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+            _portable_hash60,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(t,) for t in toks], "tok STRING")
+        got = {r.tok: r.h for r in df.select(
+            "tok", _portable_hash60(F.col("tok")).alias("h")).collect()}
+        con = duckdb.connect()
+        for t in toks:
+            want_py = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            want_duck = con.execute(
+                "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT",
+                [t]).fetchone()[0]
+            assert got[t] == want_py == want_duck, t
