@@ -58,3 +58,21 @@ def test_result_invariant_under_shuffle_partitions(name, spark):
                 "non-deterministic under cluster re-sizing")
     finally:
         spark.conf.set(key, default)
+
+
+@pytest.mark.parametrize("name", ["w9_missing_pose_scalable",
+                                  "tx11_chunk_pack_split",
+                                  "dx5_lsh_neardup_decision"])
+def test_result_invariant_without_aqe(name, spark):
+    """AQE rewrites plans at runtime (coalescing, broadcast
+    conversion, skew splits); results must be identical with it off —
+    the engine may RELY on AQE for speed, never for correctness."""
+    key = "spark.sql.adaptive.enabled"
+    default = spark.conf.get(key)
+    baseline = _rows(spark, name)
+    try:
+        spark.conf.set(key, "false")
+        assert _rows(spark, name) == baseline, (
+            f"{name}: result depends on AQE")
+    finally:
+        spark.conf.set(key, default)
