@@ -19,6 +19,90 @@ STOPWORDS = ("a", "the")
 JACCARD_THRESHOLD = 0.35
 
 
+# Winnowing fingerprint (Schleimer/Wilkerson/Aiken MOSS scheme):
+# Rabin-Karp rolling hash over K-char grams (mod-Horner, BIGINT-safe),
+# per-window minima over W consecutive gram hashes, distinct minima =
+# the document's fingerprint set. All-integer and codepoint-based
+# (ascii() = unicode codepoint in BOTH engines), so Spark and DuckDB
+# agree bit-for-bit on any text.
+WINNOW_K = 8           # k-gram width (chars)
+WINNOW_W = 4           # winnowing window (grams)
+WINNOW_B = 257         # polynomial base
+WINNOW_M = 1_000_000_007  # modulus (Horner step stays < 2^40)
+
+
+def _winnow_horner_sql(pos: str, text: str = "text") -> str:
+    """Unrolled mod-Horner K-gram hash at 1-based position ``pos``."""
+    e = "CAST(0 AS BIGINT)"
+    for j in range(WINNOW_K):
+        e = (f"((({e}) * {WINNOW_B} "
+             f"+ ascii(substr({text}, {pos} + {j}, 1))) % {WINNOW_M})")
+    return e
+
+
+def with_winnow_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_winnow_fp`` / ``winnow_digest`` (set size + exact
+    sum of the distinct winnowed hashes). In-row arrays only
+    (transform/slice/array_min) — a pure map at any scale.
+
+    STAGING MATTERS: the rolling-hash array, the window minima and
+    the distinct set are bound as intermediate COLUMNS, not inlined
+    subtrees. Higher-order-function lambdas are interpreted (not
+    codegen'd), and an inlined ``rh`` subtree inside the window
+    lambda re-evaluates the whole O(len·K) hash scan once per window
+    — O(len²·K) per document, measured ~1 s/doc. As multi-use
+    non-cheap aliases, CollapseProject keeps them materialized:
+    each array computes once per row and the whole stage is
+    O(len·K + windows·W)."""
+    text = F.col(text_col)
+    empty = F.array().cast("array<bigint>")
+    ln = F.length(text)
+
+    # Codepoint array first, via one split pass: substring(text, i, 1)
+    # seeks codepoints from the string start (O(i) each), so hashing
+    # straight off the string is O(len²) per document. split('') is a
+    # single linear pass; everything after is pure integer-array work.
+    cps_expr = F.transform(
+        F.split(text, ""),
+        lambda c: F.ascii(c).cast("bigint"))
+
+    # Length conditions read size(_cps), not length(text): the alias
+    # must appear MORE than once in the consuming projection, or
+    # CollapseProject inlines it into the per-position lambda and the
+    # array is rebuilt for every gram — O(len³) per doc (measured:
+    # worse than the string-seek version it replaces).
+    n_cp = F.size(F.col("_cps"))
+    rh_expr = F.when(
+        n_cp >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n_cp - WINNOW_K + 1),
+            lambda i: F.aggregate(
+                F.slice(F.col("_cps"), i, WINNOW_K),
+                F.lit(0).cast("bigint"),
+                lambda h, c: (h * F.lit(WINNOW_B) + c)
+                % F.lit(WINNOW_M)))).otherwise(empty)
+
+    n = F.size(F.col("_rh"))
+    wins_expr = (
+        F.when(n == 0, empty)
+        .when(n < WINNOW_W, F.array(F.array_min(F.col("_rh"))))
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), n - WINNOW_W + 1),
+            lambda i: F.array_min(F.slice(F.col("_rh"), i, WINNOW_W)))))
+
+    fps = F.col("_fps")
+    return (df.withColumn("_cps", cps_expr)
+              .withColumn("_rh", rh_expr)
+              .withColumn("_fps", F.array_distinct(wins_expr))
+              .withColumn("n_winnow_fp", F.size(fps).cast("bigint"))
+              .withColumn("winnow_digest",
+                          F.coalesce(
+                              F.aggregate(fps, F.lit(0).cast("bigint"),
+                                          lambda a, x: a + x),
+                              F.lit(0).cast("bigint")))
+              .drop("_cps", "_rh", "_fps"))
+
+
 @register(
     "tx1_tx2_tx4_token_quality",
     f"""
@@ -32,21 +116,43 @@ JACCARD_THRESHOLD = 0.35
              CAST(len(list_filter(toks,
                   x -> x IN {STOPWORDS})) AS BIGINT) AS n_stop
       FROM t
+    ), r AS (
+      SELECT *, CASE WHEN length(text) < {WINNOW_K} THEN []
+                     ELSE list_transform(
+                       range(1, length(text) - {WINNOW_K} + 2),
+                       i -> {_winnow_horner_sql('i')})
+                END AS rh
+      FROM c
+    ), w AS (
+      SELECT *, list_distinct(
+               CASE WHEN len(rh) = 0 THEN []
+                    WHEN len(rh) < {WINNOW_W} THEN [list_min(rh)]
+                    ELSE list_transform(
+                      range(1, len(rh) - {WINNOW_W} + 2),
+                      i -> list_min(rh[i:i+{WINNOW_W}-1]))
+               END) AS fps
+      FROM r
     )
     SELECT doc_id, n_tokens, n_stop,
            CAST(length(text) AS BIGINT) AS n_chars_len,
            CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
            CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 AS quality_pass,
-           substr(md5(lower(text)), 1, 16) AS fingerprint
-    FROM c
+           substr(md5(lower(text)), 1, 16) AS fingerprint,
+           CAST(len(fps) AS BIGINT) AS n_winnow_fp,
+           CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS winnow_digest
+    FROM w
     """,
     doc="Text per-doc pass: token counting (whitespace tokenizer) + "
         "char stats, quality scoring (stopword-ratio feature + "
-        "threshold gate), and document fingerprinting "
-        "(normalized-content digest prefix as a compact join/dedup "
-        "key) — the per-document feature extraction of an LLM data "
-        "pipeline in ONE scan; all counting integer-exact")
+        "threshold gate), and document fingerprinting two ways — the "
+        "normalized-content digest prefix (compact join/dedup key) "
+        "AND a MOSS-style winnowing fingerprint (Rabin-Karp rolling "
+        "hash over 8-char grams, window-4 minima, distinct set; "
+        "reported as set size + exact sum digest so the output stays "
+        "scalar) — the per-document feature extraction of an LLM "
+        "data pipeline in ONE scan; all counting integer-exact and "
+        "codepoint-based so both engines agree on any script")
 def token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -57,7 +163,7 @@ def token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint").alias("n_stop"),
     )
     ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    return c.select(
+    return with_winnow_stats(c).select(
         "doc_id", "n_tokens", "n_stop",
         F.length("text").cast("bigint").alias("n_chars_len"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -66,6 +172,7 @@ def token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ratio >= 0.02).alias("quality_pass"),
         F.substring(F.md5(F.lower(F.col("text")).cast("binary")), 1, 16)
          .alias("fingerprint"),
+        "n_winnow_fp", "winnow_digest",
     )
 
 
