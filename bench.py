@@ -83,6 +83,12 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
     QUERIES["t2_t3_t5_topk_order_sample"].builder(spark, SF_DIR).collect()
+    # Python/Arrow worker warm-up (same one-time-cost class as JVM
+    # codegen): spin the daemon up on a 1-row frame so the first
+    # Arrow-stage query doesn't pay ~4 s of worker startup.
+    import pandas as _pd
+    spark.range(1).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long").collect()
 
     per_query: dict[str, float] = {}
     total = 0.0

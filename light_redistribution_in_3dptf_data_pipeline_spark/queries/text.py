@@ -162,8 +162,13 @@ def token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
          .cast("bigint").alias("n_stop"),
     )
+    from ..udf.winnow import with_winnow_stats_arrow
+
     ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    return with_winnow_stats(c).select(
+    # Arrow fast path for the per-char winnowing loop (~100x the
+    # interpreted HOF Column form); bit-equivalence with the Column
+    # algebra the oracle restates is pinned by tests/test_winnow.py.
+    return with_winnow_stats_arrow(c).select(
         "doc_id", "n_tokens", "n_stop",
         F.length("text").cast("bigint").alias("n_chars_len"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
