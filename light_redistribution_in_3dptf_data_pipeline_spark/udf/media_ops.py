@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
-                               StringType, StructField, StructType)
+                               LongType, StringType, StructField,
+                               StructType)
 
 VideoDecoder = Callable[[bytes], np.ndarray]   # (frames, h, w)
 AudioDecoder = Callable[[bytes], np.ndarray]   # (samples,) float64
@@ -89,6 +90,7 @@ AUDIO_SCHEMA = StructType([
     StructField("path", StringType()),
     StructField("win_idx", IntegerType()),
     StructField("rms", DoubleType()),
+    StructField("rms_q", LongType()),
     StructField("zero_crossings", IntegerType()),
 ])
 
@@ -98,7 +100,19 @@ def audio_window_features(files: DataFrame, window: int = 64,
                           ) -> DataFrame:
     """Audio feature extraction: fixed-size windows per file, RMS +
     zero-crossing count per window — the feature-extract stage of an
-    audio corpus pipeline (each file → samples/window feature rows)."""
+    audio corpus pipeline (each file → samples/window feature rows).
+
+    ``rms_q`` is the oracle-checkable form of the RMS: the exact
+    integer ``floor(rms * 1e9)``. With the fake decoder every
+    intermediate is an exact double (samples are multiples of 1/128,
+    squares multiples of 2^-14, partial sums bounded by the window
+    size — all well inside 53 mantissa bits), and sqrt / the 1e9
+    multiply are single correctly-rounded IEEE ops, so ANY engine
+    that computes ``floor(sqrt(sum((b-128)^2)/(128^2*window))*1e9)``
+    over the same bytes produces the identical integer — no
+    engine-specific decimal-rounding semantics anywhere (the trap
+    with ``round()``: Spark rounds the shortest decimal repr, DuckDB
+    rounds ``x*10^d``)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -107,13 +121,15 @@ def audio_window_features(files: DataFrame, window: int = 64,
                 n_win = len(samples) // window
                 for w in range(n_win):
                     seg = samples[w * window:(w + 1) * window]
+                    rms = float(np.sqrt(np.mean(seg * seg)))
                     rows.append({
                         "path": path, "win_idx": w,
-                        "rms": float(np.sqrt(np.mean(seg * seg))),
+                        "rms": rms,
+                        "rms_q": int(np.floor(rms * 1e9)),
                         "zero_crossings": int(
                             np.count_nonzero(np.diff(np.signbit(seg)))),
                     })
             yield pd.DataFrame(rows, columns=["path", "win_idx", "rms",
-                                              "zero_crossings"])
+                                              "rms_q", "zero_crossings"])
 
     return files.select("path", "content").mapInPandas(fn, AUDIO_SCHEMA)
