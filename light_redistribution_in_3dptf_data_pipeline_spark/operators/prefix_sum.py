@@ -36,6 +36,11 @@ def bucketed_row_number(df: DataFrame, bucket: Column,
     ``bucket`` MUST be monotone non-decreasing in the sort order
     (rows with equal sort keys land in the same bucket) — e.g.
     ``date_trunc('hour', ts)`` when ordering by (ts, id).
+
+    ``order_cols`` MUST uniquely key rows within a bucket (append a
+    unique id as the last column, the registry tie-break convention):
+    with ties, ``row_number`` assigns an arbitrary — run-dependent —
+    order among the tied rows.
     """
     tagged = df.withColumn("__bk", bucket)
     w_local = Window.partitionBy("__bk").orderBy(*order_cols)
@@ -68,6 +73,12 @@ def bucketed_running_sum(df: DataFrame, bucket: Column, value: str | Column,
     Used by tx11's token-budget sequence packing: the global token
     cumsum over (doc_id, chunk_idx) order at 100 TB must not funnel
     every chunk through one task.
+
+    Same contracts as :func:`bucketed_row_number`: ``bucket`` monotone
+    in the sort order, AND ``order_cols`` unique within a bucket —
+    with ties the ROWS-frame cumsum assigns nondeterministic per-row
+    running sums among the tied rows (the per-bucket total stays
+    right, the row attribution doesn't).
     """
     tagged = df.withColumn("__bk", bucket).withColumn(
         "__v", value if isinstance(value, Column) else F.col(value))

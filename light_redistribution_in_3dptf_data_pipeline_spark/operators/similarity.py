@@ -69,8 +69,18 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
     computed entirely inside the row: for each plane j, the signed
     fold  sum_i sign[j][i]·ci_i  (literal ±1 arrays zip_with'd
     against the components), then the J sign bits packed into one
-    BIGINT. A pure map — no explode, no join, no shuffle."""
-    ci = _fixed_point(F.col(vec_col))
+    BIGINT. A pure map — no explode, no join, no shuffle.
+
+    Dimensionality is VALIDATED per row: ``zip_with`` NULL-pads the
+    shorter side, so a vector of the wrong length would otherwise
+    fold its dots to NULL and silently zero every sign bit
+    (mis-bucketing instead of failing). A mismatched fixture/schema
+    now raises at execution."""
+    ci = F.when(
+        F.size(F.col(vec_col)) == dim, _fixed_point(F.col(vec_col))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"lsh_buckets: expected {dim}-dim embedding, got "),
+        F.size(F.col(vec_col)).cast("string"))))
     signs = _plane_signs(num_planes, dim)
 
     bucket = None

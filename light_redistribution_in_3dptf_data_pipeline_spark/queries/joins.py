@@ -131,7 +131,7 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j7_asof_join",
+    "j7_j8_temporal_joins",
     """
     WITH l AS (
       SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
@@ -139,53 +139,56 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, max(value) AS purchase_value
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, ts
+    ), asof_side AS (
+      SELECT l.user_id, l.ts, l.event_id, r.purchase_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND r.ts <= l.ts
+    ), intervals AS (
+      SELECT p_partkey, p_retailprice - 3.0 AS lo, p_retailprice + 3.0 AS hi
+      FROM part WHERE p_partkey <= 40
+    ), rng AS (
+      SELECT i.p_partkey, e.event_id, e.value
+      FROM events e JOIN intervals i
+        ON e.value * 10.0 BETWEEN i.lo AND i.hi
     )
-    SELECT l.user_id, l.ts, l.event_id, r.purchase_value
-    FROM l ASOF LEFT JOIN r
-      ON l.user_id = r.user_id AND r.ts <= l.ts
+    SELECT 'asof' AS side, event_id, CAST(user_id AS BIGINT) AS key,
+           ts, purchase_value AS val
+    FROM asof_side
+    UNION ALL
+    SELECT 'range' AS side, event_id, CAST(p_partkey AS BIGINT) AS key,
+           CAST(NULL AS TIMESTAMP) AS ts, value AS val
+    FROM rng
     """,
-    doc="J7 (custom operator — Spark has no native as-of join): every "
-        "click gains the user's most recent purchase value at or "
-        "before it. Union-tag + per-key window formulation: ONE "
-        "shuffle on the key, no range condition near a join operator, "
-        "so no nested-loop blowup at scale. Oracle is DuckDB's native "
-        "ASOF LEFT JOIN. Right side deduped per (key, ts) so the "
-        "match is well-defined in both engines")
-def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal_joins import asof_join
+    doc="J7+J8 composite (custom operators Spark lacks natively), "
+        "union-tagged like j4_j6. ASOF side: every click gains the "
+        "user's most recent purchase value at or before it — the "
+        "union-tag + per-key window formulation (ONE shuffle on the "
+        "key, no range condition near a join operator, so no "
+        "nested-loop blowup at scale; operators/temporal_joins.py); "
+        "oracle is DuckDB's native ASOF LEFT JOIN, right side deduped "
+        "per (key, ts) so the match is well-defined in both engines. "
+        "RANGE side: probes matched to overlapping intervals by "
+        "exploding intervals into fixed-width bins and equi-joining "
+        "on the bin key, then exact-filtering — hash join instead of "
+        "the nested loop Spark would otherwise plan for a pure range "
+        "predicate")
+def temporal_joins_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_joins import asof_join, binned_range_join
 
     events = load_table(spark, sf_dir, "events")
+    part = load_table(spark, sf_dir, "part")
+
     clicks = (events.filter(F.col("event_type") == "click")
               .select("user_id", "ts", "event_id"))
     purchases = (events.filter(F.col("event_type") == "purchase")
                  .groupBy("user_id", "ts")
                  .agg(F.max("value").alias("purchase_value")))
-    out = asof_join(clicks, purchases, key="user_id", ts="ts",
-                    payload=["purchase_value"], suffix="")
-    return out.select("user_id", "ts", "event_id", "purchase_value")
+    asof = (asof_join(clicks, purchases, key="user_id", ts="ts",
+                      payload=["purchase_value"], suffix="")
+            .select(F.lit("asof").alias("side"), "event_id",
+                    F.col("user_id").cast("bigint").alias("key"),
+                    "ts", F.col("purchase_value").alias("val")))
 
-
-@register(
-    "j8_range_join",
-    """
-    WITH intervals AS (
-      SELECT p_partkey, p_retailprice - 3.0 AS lo, p_retailprice + 3.0 AS hi
-      FROM part WHERE p_partkey <= 40
-    )
-    SELECT i.p_partkey, e.event_id, e.value
-    FROM events e JOIN intervals i
-      ON e.value * 10.0 BETWEEN i.lo AND i.hi
-    """,
-    doc="J8 (custom operator — interval/range join): probes matched to "
-        "overlapping intervals by exploding intervals into fixed-width "
-        "bins and equi-joining on the bin key, then exact-filtering. "
-        "Hash join instead of the nested loop Spark would otherwise "
-        "plan for a pure range predicate")
-def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal_joins import binned_range_join
-
-    events = load_table(spark, sf_dir, "events")
-    part = load_table(spark, sf_dir, "part")
     probes = events.select("event_id",
                            (F.col("value") * 10.0).alias("scaled"),
                            "value")
@@ -193,6 +196,10 @@ def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("p_partkey",
                          (F.col("p_retailprice") - 3.0).alias("lo"),
                          (F.col("p_retailprice") + 3.0).alias("hi")))
-    out = binned_range_join(probes, intervals, "scaled", "lo", "hi",
-                            bin_width=8.0)
-    return out.select("p_partkey", "event_id", "value")
+    rng = (binned_range_join(probes, intervals, "scaled", "lo", "hi",
+                             bin_width=8.0)
+           .select(F.lit("range").alias("side"), "event_id",
+                   F.col("p_partkey").cast("bigint").alias("key"),
+                   F.lit(None).cast("timestamp").alias("ts"),
+                   F.col("value").alias("val")))
+    return asof.unionByName(rng)

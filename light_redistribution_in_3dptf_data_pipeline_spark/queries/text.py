@@ -591,6 +591,14 @@ VAL_HASH_MOD = 4294967296
 VAL_THRESHOLD = 214748365   # floor(0.05 * 2^32)
 SHUFFLE_MULT = 2246822519   # xxhash prime2 — independent permutation
 
+# doc_id * mult must stay inside int64: Spark (ANSI off) would WRAP
+# silently past this bound while DuckDB raises, so the two engines
+# would diverge instead of failing. The builder therefore raises
+# loudly past the bound (tests/test_text_formats.py pins it). At
+# ~3.4e9 docs, re-key (e.g. pmod the id into 32 bits with a second
+# disambiguating hash) before the multiplicative shuffle.
+MAX_SAFE_DOC_ID = (2**63 - 1) // max(VAL_HASH_MULT, SHUFFLE_MULT)
+
 
 @register(
     "tx11_chunk_pack_split",
@@ -651,6 +659,16 @@ def chunk_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix_sum import bucketed_running_sum
 
     docs = load_table(spark, sf_dir, "documents")
+    # Overflow guard (see MAX_SAFE_DOC_ID): fail loudly where ANSI-off
+    # Spark would otherwise wrap int64 and silently diverge from any
+    # engine that raises.
+    docs = docs.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") > MAX_SAFE_DOC_ID, F.raise_error(F.concat(
+            F.lit("tx11: doc_id exceeds multiplicative-hash overflow "
+                  f"bound {MAX_SAFE_DOC_ID}: "),
+            F.col("doc_id").cast("string"))))
+        .otherwise(F.col("doc_id")))
     n_chunks = F.greatest(
         F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))),
         F.lit(1)).cast("int")

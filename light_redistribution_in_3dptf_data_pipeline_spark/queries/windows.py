@@ -136,10 +136,24 @@ def scalable_missing_pose(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.floor((F.col("lrn") + F.col("off") - 1)
                                 / F.lit(GROUP_SIZE)).alias("gid")))
 
+    # `groups` feeds BOTH sides of the k ⋈ k+1 self-join and `flagged`
+    # feeds both the goff offset branch and the final join. Without a
+    # persist each consumer re-plans the whole upstream chain (scan +
+    # window + broadcast joins — the r4 plan had 26 exchanges, zero
+    # reused, ~4x the events scan). Persisting the two NARROW
+    # intermediates (one 40-byte row per 5-event group — N/5 rows at
+    # any scale, memory-and-disk so executors never OOM on it) turns
+    # the repeated passes into InMemoryTableScan reuse; the full-width
+    # `local` frame is deliberately NOT persisted (its offsets branch
+    # re-scans as a cheap map-side partial agg instead of caching the
+    # whole table).
+    from pyspark import StorageLevel
+
     groups = numbered.groupBy("gid").agg(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.count("*").cast("bigint").alias("n_events"))
+        F.count("*").cast("bigint").alias("n_events"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # J5 join form: group k ⋈ group k+1
     nxt = groups.select((F.col("gid") - 1).alias("gid"),
@@ -157,7 +171,8 @@ def scalable_missing_pose(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running sum of gap_flag, again via bucket offsets over gids
     GBUCKET = 4096
     flagged = flagged.withColumn(
-        "gbk", F.floor(F.col("gid") / F.lit(GBUCKET)))
+        "gbk", F.floor(F.col("gid") / F.lit(GBUCKET))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w_g = Window.partitionBy("gbk").orderBy("gid")
     w_gbk = Window.orderBy("gbk").rowsBetween(Window.unboundedPreceding, -1)
     goff = (flagged.groupBy("gbk").agg(F.sum("gap_flag").alias("s"))
@@ -320,6 +335,76 @@ def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(None).cast("string").alias("event_type"),
                        "n_events", "sum_value"))
     return tumbling.unionByName(sliding)
+
+
+@register(
+    "w11_exposure_groups_batch",
+    f"""
+    WITH numbered AS (
+      SELECT event_id, ts,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ), named AS (
+      SELECT CAST(floor((rn - 1) / {GROUP_SIZE}) AS BIGINT) AS pose_id,
+             printf('%d_%d.JPG',
+                    CAST(floor((rn - 1) / {GROUP_SIZE}) AS BIGINT),
+                    CAST((rn - 1) % {GROUP_SIZE} AS BIGINT)) AS path,
+             ts
+      FROM numbered
+    )
+    SELECT pose_id,
+           CAST(count(*) AS BIGINT) AS n_exposures,
+           string_agg(path, ',' ORDER BY path) AS paths,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM named
+    GROUP BY pose_id
+    HAVING count(*) = {GROUP_SIZE}
+    """,
+    doc="The exactly-5 exposure-group assembly, batch form — the "
+        "reference's most distinctive grouping rule "
+        "(handlehdrgen.py:25-27 complete-group filter over the "
+        "file_rename_sort.py:7-19 rename chain): photos enumerated in "
+        "capture order, named {{pose}}_{{exposure}}.JPG via i//5 and "
+        "i%5, grouped per pose, ONLY groups with exactly 5 exposures "
+        "survive, each emitting its sorted path roster + time "
+        "envelope (the hdrgen work list). Enumeration is the "
+        "scale-out bucketed row_number (per-hour-bucket windows + "
+        "broadcast prefix-sum offsets — no global-order window task); "
+        "the grouping is operators-shared exposure_groups_batch, the "
+        "same function the applyInPandasWithState streaming assembler "
+        "is parity-tested against (streaming/sessionization.py)")
+def exposure_groups_batch_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..streaming.sessionization import exposure_groups_batch
+
+    events = load_table(spark, sf_dir, "events")
+    groups = exposure_groups_batch(exposure_catalog(events),
+                                   expected=GROUP_SIZE, ts_col="ts")
+    return groups.select(
+        "pose_id",
+        F.col("n_exposures").cast("bigint").alias("n_exposures"),
+        "paths", "first_ts", "last_ts")
+
+
+def exposure_catalog(events: DataFrame) -> DataFrame:
+    """The file_rename_sort.py:7-19 rename chain as a dataflow: events
+    enumerated in capture order (scale-out bucketed row_number), named
+    {pose}_{exposure}.JPG via i//5 / i%5 → (pose_id, path, ts) catalog
+    rows. Shared by the registered w11 batch query and the streaming
+    parity test (the same catalog replayed through the
+    applyInPandasWithState assembler must yield the same groups)."""
+    from ..operators.prefix_sum import bucketed_row_number
+
+    numbered = bucketed_row_number(
+        events, F.date_trunc("hour", F.col("ts")), ["ts", "event_id"])
+    pose = F.floor((F.col("rn") - 1) / F.lit(GROUP_SIZE)).cast("bigint")
+    return numbered.select(
+        pose.alias("pose_id"),
+        F.format_string("%d_%d.JPG", pose,
+                        F.pmod(F.col("rn") - 1, F.lit(GROUP_SIZE))
+                        .cast("bigint")).alias("path"),
+        "ts")
 
 
 SESSION_GAP_S = 43200    # 12 h: ~median per-user cadence is ~7 h, so

@@ -91,6 +91,20 @@ def assemble_exposure_groups(catalog: DataFrame, expected: int = 5,
     incomplete groups). Input needs (pose_id INT, path STRING,
     modificationTime TIMESTAMP).
     """
+    assemble = _make_assembler(expected, timeout_ms)
+    return (catalog
+            .groupBy("pose_id")
+            .applyInPandasWithState(
+                assemble, GROUP_SCHEMA, _STATE_SCHEMA,
+                "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def _make_assembler(expected: int, timeout_ms: int):
+    """The per-group stateful function behind
+    :func:`assemble_exposure_groups`, exposed so the timeout path
+    (state dropped, nothing emitted — the reference skipping an
+    incomplete group) is unit-testable with a stub GroupState instead
+    of a wall-clock processing-time trigger."""
     def assemble(key, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
         (pose_id,) = key
@@ -121,11 +135,26 @@ def assemble_exposure_groups(catalog: DataFrame, expected: int = 5,
             state.update((",".join(paths), first_us, last_us))
             state.setTimeoutDuration(timeout_ms)
 
-    return (catalog
-            .groupBy("pose_id")
-            .applyInPandasWithState(
-                assemble, GROUP_SCHEMA, _STATE_SCHEMA,
-                "append", GroupStateTimeout.ProcessingTimeTimeout))
+    return assemble
+
+
+def exposure_groups_batch(catalog: DataFrame, expected: int = 5,
+                          ts_col: str = "modificationTime") -> DataFrame:
+    """Batch restatement of :func:`assemble_exposure_groups` — the
+    exactly-N complete-group rule of ``handlehdrgen.py:25-27``: group
+    by pose, keep only groups with exactly ``expected`` members, emit
+    the sorted path roster + time envelope. Same output columns as the
+    streaming GROUP_SCHEMA, so stream↔batch parity is a direct frame
+    compare (tests/test_streaming.py). One grouped shuffle on pose_id;
+    incomplete groups are filtered after the partial agg, so nothing
+    beyond (count, roster, envelope) ever shuffles."""
+    return (catalog.groupBy("pose_id")
+            .agg(F.count("*").cast("int").alias("n_exposures"),
+                 F.array_join(F.sort_array(F.collect_list("path")), ",")
+                  .alias("paths"),
+                 F.min(ts_col).alias("first_ts"),
+                 F.max(ts_col).alias("last_ts"))
+            .filter(F.col("n_exposures") == expected))
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str):

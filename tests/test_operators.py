@@ -153,6 +153,17 @@ class TestAnnLsh:
         got = similarity.ann_cosine_topk(emb).collect()
         assert all(r.cosine <= 1.0001 for r in got)
 
+    def test_lsh_buckets_rejects_wrong_dimension(self, spark):
+        """zip_with NULL-pads a short vector, which would silently
+        zero sign bits (mis-bucketing); the operator must raise
+        instead."""
+        import pytest
+
+        bad = spark.createDataFrame(
+            [(1, [0.25] * 32)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+        with pytest.raises(Exception, match="64-dim"):
+            similarity.lsh_buckets(bad).collect()
+
     def test_buckets_deterministic_and_total(self, spark):
         emb = load_table(spark, SF_DIR, "embeddings")
         b1 = sorted(map(tuple, similarity.lsh_buckets(emb).collect()))
@@ -329,6 +340,49 @@ class TestDx5RecallPremise:
                 f"{d}: document pairs in the LSH-risky jaccard band "
                 f"[{JACCARD_THRESHOLD}, 0.8) — dx5's equality with the "
                 f"exhaustive oracle is no longer guaranteed: {risky}")
+
+    def test_banding_recall_covers_every_oracle_pair(self, spark):
+        """Direct recall assertion, not just the jaccard-band
+        heuristic above: the production 16-band candidate generator
+        must actually emit every pair the exhaustive oracle reports,
+        at both fixture scales. Guards the residual hole the
+        heuristic leaves open — a regenerated fixture pair at
+        jaccard >= 0.8 that deterministically misses all 16 bands
+        (~1e-7 per pair) would pass the band canary yet silently
+        break dx4/dx5 driver parity; this test catches it by running
+        the actual banding."""
+        import duckdb
+
+        from light_redistribution_in_3dptf_data_pipeline_spark.catalog import (
+            load_table)
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators import (
+            dedup)
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.text import (
+            NEARDUP_ORACLE)
+
+        from conftest import SF_DIR_MID
+
+        for d in (SF_DIR, SF_DIR_MID):
+            con = duckdb.connect()
+            con.execute("CREATE VIEW documents AS "
+                        f"SELECT * FROM '{d}/documents.parquet'")
+            oracle_pairs = {(a, b) for a, b in con.execute(
+                f"SELECT doc_a, doc_b FROM ({NEARDUP_ORACLE}) q"
+            ).fetchall()}
+            con.close()
+            assert oracle_pairs, f"{d}: oracle reports no near-dups"
+
+            docs = load_table(spark, d, "documents")
+            sig = dedup.minhash_signatures(dedup.shingles(docs))
+            cand = dedup.lsh_candidate_pairs(sig, bands=16)
+            cand_pairs = {(r.doc_a, r.doc_b)
+                          for r in cand.select("doc_a", "doc_b")
+                          .collect()}
+            missed = oracle_pairs - cand_pairs
+            assert not missed, (
+                f"{d}: oracle near-dup pairs missed by 16-band LSH "
+                f"candidates (banding recall < 1 — dx4/dx5 parity "
+                f"with the exhaustive oracle is broken): {missed}")
 
 
 class TestChunkPackSplit:

@@ -39,8 +39,10 @@ SECTION2_COVERING = [
     "j2_key_intersection_join",      # J2
     "j3_positional_index_join",      # J3
     "j4_j6_semi_anti_join",          # J4/J6
-    "j7_asof_join",                  # +J7
-    "j8_range_join",                 # +J8
+    "j7_j8_temporal_joins",          # +J7/+J8 (folded r5 to free the
+                                     # slot for w11)
+    "w11_exposure_groups_batch",     # exactly-5 exposure groups
+                                     # (handlehdrgen.py:25-27)
     "a1_a2_collect_having",          # A1/A2
     "a4_a6_a7_a8_a9_a11_stats",      # A4/A6/A7/A8/A9/A11
     "a5_a10_pricing_cube",           # A3/A5 + cube/rollup

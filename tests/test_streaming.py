@@ -126,6 +126,108 @@ def test_stateful_group_assembler(spark, catalog_parquet):
     assert rows[0].paths == ",".join(f"/img/0_{i}.JPG" for i in range(5))
 
 
+def test_exposure_groups_stream_batch_parity(spark, catalog_parquet):
+    """The batch exactly-N rule (exposure_groups_batch, the w11 query
+    core) and the stateful streaming assembler agree row-for-row on
+    the same replayed catalog: complete groups identical, the
+    incomplete pose dropped by both."""
+    batch = spark.read.parquet(catalog_parquet + "/*")
+    batch_out = sorted(map(tuple,
+                           ss.exposure_groups_batch(batch).collect()))
+
+    stream = (spark.readStream
+              .schema("pose_id INT, path STRING,"
+                      " modificationTime TIMESTAMP")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(catalog_parquet + "/*"))
+    q = ss.run_stream_to_memory(
+        ss.assemble_exposure_groups(stream), "groups_parity_t")
+    q.awaitTermination(90)
+    time.sleep(0.5)
+    stream_out = sorted(map(tuple, spark.sql(
+        "SELECT pose_id, n_exposures, paths, first_ts, last_ts"
+        " FROM groups_parity_t").collect()))
+
+    assert [r[0] for r in batch_out] == [0, 1]   # pose 2 incomplete
+    assert stream_out == batch_out
+
+
+def test_w11_query_matches_streaming_assembler(spark, tmp_path):
+    """The registered w11 batch query ≡ replaying its own derived
+    catalog through the applyInPandasWithState assembler — the
+    stream↔batch parity of the reference's exactly-5 grouping rule
+    end-to-end (enumeration → rename → assembly), plus an injected
+    incomplete pose that both sides must drop."""
+    from conftest import SF_DIR
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import (
+        load_table)
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import (
+        QUERIES)
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries.windows import (
+        exposure_catalog)
+
+    batch_out = sorted(map(tuple, QUERIES["w11_exposure_groups_batch"]
+                           .builder(spark, SF_DIR).collect()))
+
+    events = load_table(spark, SF_DIR, "events")
+    catalog = exposure_catalog(events).select(
+        F.col("pose_id").cast("int").alias("pose_id"), "path",
+        F.col("ts").alias("modificationTime"))
+    # Inject an incomplete group (3 of 5 exposures) past the real ids.
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    incomplete = spark.createDataFrame(
+        [(10_000_000, f"10000000_{i}.JPG", t0) for i in range(3)],
+        "pose_id INT, path STRING, modificationTime TIMESTAMP")
+    d = str(tmp_path / "w11_catalog")
+    catalog.unionByName(incomplete).write.mode("overwrite").parquet(d)
+
+    stream = (spark.readStream
+              .schema("pose_id INT, path STRING,"
+                      " modificationTime TIMESTAMP")
+              .parquet(d))
+    q = ss.run_stream_to_memory(
+        ss.assemble_exposure_groups(stream), "w11_stream_t")
+    q.awaitTermination(120)
+    time.sleep(0.5)
+    stream_out = sorted(map(tuple, spark.sql(
+        "SELECT CAST(pose_id AS BIGINT), CAST(n_exposures AS BIGINT),"
+        " paths, first_ts, last_ts FROM w11_stream_t").collect()))
+
+    assert len(batch_out) > 0
+    assert stream_out == batch_out   # incomplete pose absent from both
+
+
+def test_assembler_timeout_drops_incomplete_group():
+    """ProcessingTimeTimeout path: a timed-out partial group is
+    removed without emitting — handlehdrgen.py:25-27's skip rule under
+    the streaming state machine (unit-level, stub GroupState)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.streaming.sessionization import (
+        _make_assembler)
+
+    class StubState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.exists = True
+            self.get = ("a.JPG,b.JPG", 1, 2)
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):          # pragma: no cover - must not run
+            raise AssertionError("timed-out state must not update")
+
+        def setTimeoutDuration(self, ms):  # pragma: no cover
+            raise AssertionError("timed-out state must not re-arm")
+
+    assemble = _make_assembler(expected=5, timeout_ms=1000)
+    state = StubState()
+    emitted = list(assemble((7,), iter([]), state))
+    assert emitted == []
+    assert state.removed
+
+
 def test_tumbling_window_stream_batch_parity(spark, event_parquet):
     """The w7 tumbling groupBy runs unchanged under readStream: same
     windows, same counts (sentinel's unfinalized window excluded)."""

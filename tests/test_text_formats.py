@@ -65,3 +65,23 @@ def test_jsonl_feeds_pipeline_operators(spark, tmp_path):
     feats = corpus.document_features(clean)
     assert feats.filter(F.col("content_hash").isNull()).count() == 0
     assert feats.count() == docs.count()
+
+
+def test_tx11_doc_id_overflow_raises(spark, tmp_path):
+    """Past MAX_SAFE_DOC_ID the multiplicative shuffle hash would wrap
+    int64 silently under ANSI-off Spark while DuckDB raises — the
+    builder must fail loudly instead of diverging (ADVICE r4)."""
+    import pytest
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries.text import (
+        MAX_SAFE_DOC_ID)
+
+    spark.createDataFrame(
+        [(MAX_SAFE_DOC_ID + 1, "hello world overflow", "en", "t", 20)],
+        "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    df = QUERIES["tx11_chunk_pack_split"].builder(spark, str(tmp_path))
+    with pytest.raises(Exception, match="overflow bound"):
+        df.collect()
