@@ -26,10 +26,16 @@ Scale notes (the 100 TB design):
 - The convergence probe (one ``count`` per iteration) is a tiny
   driver-side action on an N-node frame — the same reduction GraphX's
   Pregel runs per superstep.
-- For graphs with huge components (adversarial, not near-dup-shaped),
-  the alternating large-star/small-star algorithm (Kiveris et al.,
-  "Connected Components in MapReduce and Beyond") converges in
-  O(log²) rounds; hash-min is the right default for dedup workloads.
+- For graphs with huge components or long chains (adversarial, not
+  near-dup-shaped), hash-min's round count grows with the component
+  DIAMETER. The alternating large-star/small-star algorithm (Kiveris
+  et al., "Connected Components in MapReduce and Beyond", 2014)
+  converges in O(log²) rounds regardless of diameter —
+  ``algorithm="star"`` selects it behind the same API, and a property
+  suite (tests/test_components.py) pins its output equal to hash-min
+  on random graphs, deep chains, cliques and self-loops. Hash-min
+  stays the default: dedup pair graphs are shallow, and per round it
+  shuffles one (node,label) frame vs star's two grouped passes.
 """
 
 from __future__ import annotations
@@ -40,11 +46,21 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         algorithm: str = "hashmin") -> DataFrame:
     """(node BIGINT, comp BIGINT) — comp is the minimum node id
     reachable from ``node`` over the undirected pair graph; equal comp
     ⇔ same duplicate cluster. Only nodes present in ``edges`` appear.
+
+    ``algorithm``: ``"hashmin"`` (default — diameter-bounded label
+    propagation, best for shallow dedup graphs) or ``"star"`` (the
+    O(log²)-round large-star/small-star alternation for
+    high-diameter graphs). Identical output either way.
     """
+    if algorithm == "star":
+        return _star_components(edges, src, dst, max_iter)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # Materialize the pair list BEFORE mirroring it: the two union
     # branches project the same frame twice, and without this the
     # (possibly very expensive) upstream pair-generation plan — an
@@ -84,6 +100,71 @@ def connected_components(edges: DataFrame, src: str = "src",
             break
         prev_total = total
     return labels
+
+
+def _star_components(edges: DataFrame, src: str, dst: str,
+                     max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al. 2014, re-derived from the published operations):
+
+    - **large-star** (per node u over the bidirected edge list):
+      connect every neighbor v > u to m = min(Γ(u) ∪ {u}).
+    - **small-star** (per node u over edges oriented max→min):
+      connect u and every smaller neighbor to m = min(Γ₋(u) ∪ {u}).
+
+    Both preserve connectivity; the alternation strictly shrinks a
+    potential function and converges in O(log²) rounds to a forest of
+    stars rooted at each component's minimum — independent of graph
+    diameter, which is what hash-min cannot offer on long chains.
+    Each round is two grouped aggregations + two joins over the edge
+    frame only (never per-pair state), localCheckpoint'd to truncate
+    lineage like the hash-min loop. Convergence probe: (edge count,
+    exact decimal sum of per-edge xxhash64) fingerprint — one tiny
+    aggregate per round; a fixpoint edge set ⇔ stable fingerprint
+    (the hash-sum makes a count-preserving edge swap detectable).
+    """
+    e0 = (edges.select(F.col(src).cast("bigint").alias("u"),
+                       F.col(dst).cast("bigint").alias("v"))
+          .localCheckpoint())
+    nodes = (e0.select(F.col("u").alias("node"))
+             .union(e0.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint())
+    e = e0.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def _fingerprint(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))
+                  .cast("decimal(38,0)")).alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        # large-star
+        bidir = e.union(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        mins = (bidir.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("mn")))
+        lg = (bidir.join(mins, "u")
+              .filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+              .filter(F.col("u") != F.col("v")).distinct())
+        # small-star (lg edges are already max→min: u > mn)
+        mins2 = lg.groupBy("u").agg(F.min("v").alias("mn"))
+        e = (lg.join(mins2, "u")
+             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+             .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint())
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+
+    roots = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (nodes.join(roots, "node", "left")
+            .select("node",
+                    F.coalesce("comp", F.col("node")).alias("comp")))
 
 
 def dedup_clusters(pairs: DataFrame, left: str, right: str,

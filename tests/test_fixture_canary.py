@@ -98,3 +98,26 @@ def test_events_ts_values_survive_normalization(spark, duck):
         "SELECT epoch_us(min(ts)), epoch_us(max(ts)), count(*) FROM events"
     ).fetchone()
     assert (row["lo"], row["hi"], row["n"]) == (lo, hi, n)
+
+
+def test_documents_text_is_pure_ascii():
+    """The mm media-pipeline oracle derives payload bytes as
+    ``ord(substr(text, i+1, 1))`` — valid only while the fixture text
+    is pure ASCII (byte i == code point of char i+1). A regenerated
+    fixture with multi-byte characters would surface as an opaque
+    driver hash mismatch; fail here with a readable message instead."""
+    import duckdb
+
+    for d in (SF_DIR, SF_DIR_MID):
+        con = duckdb.connect()
+        bad = con.execute(
+            "SELECT count(*) FROM "
+            f"read_parquet('{d}/documents.parquet') "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        con.close()
+        assert bad == 0, (
+            f"FIXTURE DRIFT: {d}/documents.parquet has {bad} non-ASCII"
+            " text rows — the mm oracle's char->byte identity no longer"
+            " holds; restate the byte derivation (or sanitize in"
+            " _binary_corpus) before trusting mm driver parity.")

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — the executed-plan audit of the headline
+queries: parquet scan shapes (ReadSchema pruning, PushedFilters),
+exchange/reuse counts, broadcast joins, cache scans, Arrow stages.
+
+Run from the repo root: ``python tools/gen_plans.py`` (reads
+$SPARK_GRAFT_SF_DIR, default sf0.1, like bench.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def audit(plan: str) -> list[str]:
+    out = []
+    seen = set()
+    for m in re.finditer(r"ReadSchema: (struct<[^\n]{0,100})", plan):
+        s = m.group(1)
+        if s not in seen:
+            seen.add(s)
+            out.append(f"- scan `ReadSchema: {s}`")
+    for m in re.finditer(r"PushedFilters: \[[^\]\n]+\]", plan):
+        s = m.group(0)
+        if s not in seen:
+            seen.add(s)
+            out.append(f"- `{s}`")
+    n_ex = len(re.findall(r"\bExchange\b", plan))
+    n_reuse = len(re.findall(r"ReusedExchange", plan))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    n_mem = len(re.findall(r"InMemoryTableScan", plan))
+    n_arrow = len(re.findall(
+        r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+    line = (f"- exchanges: {n_ex} (reused: {n_reuse});"
+            f" broadcast hash joins: {n_bhj}")
+    if n_mem:
+        line += f"; cached-intermediate scans: {n_mem}"
+    if n_arrow:
+        line += f"; Arrow Python stages: {n_arrow}"
+    if "BroadcastNestedLoopJoin" in plan:
+        line += "; broadcast nested-loop (tiny-side by design)"
+    out.append(line)
+    return out
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries import (
+        QUERIES)
+    from light_redistribution_in_3dptf_data_pipeline_spark.session import (
+        get_spark)
+
+    spark = get_spark(app_name="gen_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = [
+        "# PLANS — executed-plan audit of the headline queries",
+        "",
+        "Generated from `.explain`-level plan strings at sf0.1 "
+        "(local[32], AQE on). For each headline query: the parquet "
+        "scan shapes (column pruning via ReadSchema, predicate "
+        "pushdown via PushedFilters), shuffle count, and the "
+        "Python/Arrow stages if any. NOTE: `exchanges` counts every "
+        "Exchange node in the static plan INCLUDING those embedded "
+        "inside InMemoryRelation subtrees — a query with "
+        "cached-intermediate scans executes its cached subtree once, "
+        "so its runtime exchange count is far lower than the static "
+        "figure. Regenerate with `python tools/gen_plans.py`.",
+        "",
+    ]
+    for name in HEADLINE:
+        df = QUERIES[name].builder(spark, SF_DIR)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines.append(f"## {name}")
+        lines.extend(audit(plan))
+        lines.append("")
+        print(f"# {name} done", file=sys.stderr)
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
