@@ -17,6 +17,16 @@ approximate):
 4. **Matching aliases.** Every computed column is aliased identically in
    the Spark builder and the oracle SQL (driver sorts columns by name
    before hashing).
+5. **Quantize with shared IEEE ops, not decimal ``round()``, when a
+   compared double is rounding-boundary-prone.** Spark's ``round``
+   rounds the shortest-decimal string repr (BigDecimal.valueOf) while
+   DuckDB rounds ``x * 10^d`` — they can disagree within one ulp of a
+   half-way boundary. On bit-identical inputs the per-value risk is
+   ~1e-7 and the existing cosine/idf rounds rely on that; for NEW
+   aggregated-then-compared doubles prefer the exact pattern:
+   ``floor(x * 1e9)`` into a BIGINT (the ``rms_q`` mm-oracle pattern)
+   — pure IEEE multiply+floor, identical in any engine — or keep the
+   value an exact integer/decimal until the final cast.
 """
 
 from __future__ import annotations
