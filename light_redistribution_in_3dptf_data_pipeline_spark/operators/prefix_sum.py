@@ -79,6 +79,15 @@ def bucketed_running_sum(df: DataFrame, bucket: Column, value: str | Column,
     with ties the ROWS-frame cumsum assigns nondeterministic per-row
     running sums among the tied rows (the per-bucket total stays
     right, the row attribution doesn't).
+
+    Cost shape: the input is consumed TWICE — once under the window,
+    once (column-pruned to bucket+value) by the offsets aggregate. If
+    deriving ``value`` is expensive (tx11's per-chunk regex token
+    count), the derivation runs twice; at bench scale a
+    localCheckpoint of the input is a wash (measured r5: checkpoint
+    write ≈ recompute saved), but on a 100 TB corpus where the value
+    expression dominates scan cost, checkpoint/persist the input
+    frame before calling this.
     """
     tagged = df.withColumn("__bk", bucket).withColumn(
         "__v", value if isinstance(value, Column) else F.col(value))
