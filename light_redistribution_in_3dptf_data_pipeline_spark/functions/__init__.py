@@ -6,6 +6,7 @@ from .columns import (  # noqa: F401
     redact_pii_cols,
     decimal_components,
     decimal_dot,
+    nano_components,
     euler_zyx_matrix_cols,
     homogeneous_transform_cols,
     l2_distance,

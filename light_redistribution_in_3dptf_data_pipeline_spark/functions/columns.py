@@ -70,11 +70,28 @@ def ngram_shingles(toks: Column, n: int = 3,
     return F.array_distinct(sliced) if distinct else sliced
 
 
+def nano_components(vec: Column) -> Column:
+    """Float vector → exact BIGINT nano-unit components via
+    ``floor(x*1e9 + 0.5)`` — pure IEEE multiply/add/floor, so the
+    integers are bit-identical in ANY engine. This is the canonical
+    fixed-point conversion for cross-engine-compared queries (SQL
+    restatement: ``CAST(floor(CAST(x AS DOUBLE)*1000000000.0 + 0.5)
+    AS BIGINT)``)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(1000000000.0)
+                               + F.lit(0.5)).cast("bigint"))
+
+
 def decimal_components(vec: Column, precision: str = "decimal(18,9)"
                        ) -> Column:
-    """Cast a float vector to fixed-precision decimal components —
-    both engines round identically, making downstream sums exact and
-    order-independent (the registry's decimal-exact discipline)."""
+    """Cast a float vector to fixed-precision decimal components.
+
+    CAVEAT (why registered queries use :func:`nano_components`
+    instead): double→DECIMAL rounds the shortest decimal repr in
+    Spark (BigDecimal.valueOf) but the exact binary value in DuckDB —
+    within one ulp of a scale-9 half boundary the engines produce
+    components one unit apart (observed on the sf0.1 fixture).
+    Fine single-engine; not engine-portable."""
     return F.transform(vec, lambda x: x.cast("double").cast(precision))
 
 

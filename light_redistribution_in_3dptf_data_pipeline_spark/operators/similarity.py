@@ -57,8 +57,8 @@ def _fixed_point(vec: Column) -> Column:
     """float components → exact BIGINT nano-units (|c| ≤ ~10 ⇒ a
     64-term signed sum stays far below 2^63 — overflow-free)."""
     return F.transform(
-        vec, lambda x: (x.cast("double").cast("decimal(18,9)")
-                        * F.lit(1000000000)).cast("bigint"))
+        vec, lambda x: F.floor(x.cast("double") * F.lit(1000000000.0)
+                               + F.lit(0.5)).cast("bigint"))
 
 
 def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
@@ -226,8 +226,8 @@ IVF_PROBE_ORACLE = f"""
 WITH comps AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
-              * 1000000000 AS BIGINT) AS ci
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+              * 1000000000.0 + 0.5) AS BIGINT) AS ci
   FROM embeddings
 ), q AS (
   SELECT pos, ci AS qci FROM comps WHERE vec_id = {QUERY_VEC_ID}
@@ -298,8 +298,8 @@ ANN_LSH_ORACLE = f"""
 WITH comps AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
-              * 1000000000 AS BIGINT) AS ci
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+              * 1000000000.0 + 0.5) AS BIGINT) AS ci
   FROM embeddings
 ), signs AS (
   SELECT j, generate_subscripts(v, 1) AS pos, unnest(v) AS s

@@ -26,6 +26,18 @@ def _dec(col: str, scale: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
+def _dbl(col: F.Column) -> F.Column:
+    """Exact-decimal → DOUBLE via a string round-trip. A direct
+    ``CAST(decimal AS DOUBLE)`` stops being engine-portable once the
+    scaled value exceeds 2^53: Spark converts correctly rounded, but
+    DuckDB divides by 10^scale in floats and lands 1-2 ulp off
+    (observed at sf0.1 on sumsq/sum_charge). Decimal→string is exact
+    digits in both engines and string→double is correctly rounded in
+    both, so this route is bit-identical at ANY magnitude. Oracles
+    restate it as CAST(CAST(x AS VARCHAR) AS DOUBLE)."""
+    return col.cast("string").cast("double")
+
+
 @register(
     "a1_a2_collect_having",
     """
@@ -56,11 +68,11 @@ def collect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sumsq_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS sum_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS sumsq_price,
              CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
              CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
              CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
@@ -71,17 +83,20 @@ def collect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ), per_order AS (
       SELECT l_orderkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE)
                / count(*) AS order_mean
       FROM lineitem GROUP BY l_orderkey
     ), mm AS (
       SELECT CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CAST(order_mean AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(CAST(sum(CAST(order_mean AS DECIMAL(18,6)))
+                       AS VARCHAR) AS DOUBLE)
                / count(*) AS mean_of_means
       FROM per_order
     ), resid AS (
       SELECT CAST(count(*) AS BIGINT) AS n_residuals,
-             CAST(sum(CAST(r AS DECIMAL(18,2))) AS DOUBLE) AS sum_residuals
+             CAST(CAST(sum(CAST(r AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS sum_residuals
       FROM (SELECT unnest([l_quantity, l_discount, l_tax]) AS r
             FROM lineitem)
     )
@@ -119,9 +134,9 @@ def descriptive_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the one-row crossJoins are free.
     s = li.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
-        F.sum(_dec("l_extendedprice") * _dec("l_extendedprice"))
-         .cast("double").alias("sumsq_price"),
+        _dbl(F.sum(_dec("l_extendedprice"))).alias("sum_price"),
+        _dbl(F.sum(_dec("l_extendedprice") * _dec("l_extendedprice")))
+         .alias("sumsq_price"),
         F.min("l_extendedprice").cast("double").alias("min_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
         F.expr("percentile(l_quantity, 0.5)").cast("double")
@@ -143,16 +158,16 @@ def descriptive_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_qty", "min_qty", "max_qty", "n_parts", "n_supps",
     )
     per_order = li.groupBy("l_orderkey").agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
+        (_dbl(F.sum(_dec("l_extendedprice"))) / F.count("*"))
         .alias("order_mean"))
     mm = per_order.agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        (F.sum(F.col("order_mean").cast("decimal(18,6)")).cast("double")
+        (_dbl(F.sum(F.col("order_mean").cast("decimal(18,6)")))
          / F.count("*")).alias("mean_of_means"))
     resid = (li.select(F.explode(F.array("l_quantity", "l_discount",
                                          "l_tax")).alias("r"))
                .agg(F.count("*").cast("bigint").alias("n_residuals"),
-                    F.sum(F.col("r").cast("decimal(18,2)")).cast("double")
+                    _dbl(F.sum(F.col("r").cast("decimal(18,2)")))
                      .alias("sum_residuals")))
     return s.crossJoin(mm).crossJoin(resid)
 
@@ -161,18 +176,19 @@ def descriptive_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_a10_pricing_cube",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-             AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
-             AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                     AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                     AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE)
              / count(*) AS avg_qty,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -208,11 +224,11 @@ def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("_n"),
     )
     return base.cube("l_returnflag", "l_linestatus").agg(
-        F.sum("_qty").cast("double").alias("sum_qty"),
-        F.sum("_base").cast("double").alias("sum_base_price"),
-        F.sum("_disc").cast("double").alias("sum_disc_price"),
-        F.sum("_charge").cast("double").alias("sum_charge"),
-        (F.sum("_qty").cast("double") / F.sum("_n")).alias("avg_qty"),
+        _dbl(F.sum("_qty")).alias("sum_qty"),
+        _dbl(F.sum("_base")).alias("sum_base_price"),
+        _dbl(F.sum("_disc")).alias("sum_disc_price"),
+        _dbl(F.sum("_charge")).alias("sum_charge"),
+        (_dbl(F.sum("_qty")) / F.sum("_n")).alias("avg_qty"),
         F.sum("_n").cast("bigint").alias("count_order"),
     )
 

@@ -1,9 +1,13 @@
 """Similarity search over the `embeddings` fixture (SURVEY Phase 6).
 
 Brute-force cosine top-k is the oracle-checked baseline. Parity trick:
-float32 components are cast to DECIMAL(18,9) (identical lossy rounding
-in both engines), dot products and norms are then *exact* decimal sums
-— order-independent — and the final cosine is one identical double
+float components become exact BIGINT nano-units via
+``floor(x*1e9 + 0.5)`` — pure IEEE multiply/add/floor, bit-identical
+in ANY engine (r5 replaced the former double→DECIMAL(18,9) cast,
+which rounds the shortest decimal repr in Spark but the binary value
+in DuckDB and diverged by one nano-unit at a scale-9 half boundary at
+sf0.1). Dot products and norms are then *exact* integer sums —
+order-independent — and the final cosine is one identical double
 expression. No tolerance needed.
 
 Everything here is ARRAY-NATIVE: no posexplode anywhere. Per-vector
@@ -34,19 +38,24 @@ COSINE_TOPK_ORACLE = f"""
 WITH comps AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS comp
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+              * 1000000000.0 + 0.5) AS BIGINT) AS ci
   FROM embeddings
 ), q AS (
-  SELECT pos, comp AS qcomp FROM comps WHERE vec_id = {QUERY_VEC_ID}
+  SELECT pos, ci AS qci FROM comps WHERE vec_id = {QUERY_VEC_ID}
 ), dots AS (
   SELECT c.vec_id,
-         CAST(sum(c.comp * q.qcomp) AS DOUBLE) AS dot,
-         CAST(sum(c.comp * c.comp) AS DOUBLE) AS nsq
+         CAST(sum(CAST(c.ci AS DECIMAL(19,0))
+                  * CAST(q.qci AS DECIMAL(19,0))) AS DOUBLE) / 1e18 AS dot,
+         CAST(sum(CAST(c.ci AS DECIMAL(19,0))
+                  * CAST(c.ci AS DECIMAL(19,0))) AS DOUBLE) / 1e18 AS nsq
   FROM comps c JOIN q ON q.pos = c.pos
   WHERE c.vec_id <> {QUERY_VEC_ID}
   GROUP BY c.vec_id
 ), qn AS (
-  SELECT CAST(sum(qcomp * qcomp) AS DOUBLE) AS qsq FROM q
+  SELECT CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0)))
+              AS DOUBLE) / 1e18 AS qsq
+  FROM q
 )
 SELECT vec_id, round(dot / (sqrt(nsq) * sqrt(qsq)), 12) AS cosine,
        round(sqrt(nsq), 12) AS l2_norm
@@ -70,20 +79,29 @@ LIMIT {TOP_K}
         "explode, no groupBy — the plan a 100 TB brute-force pass "
         "wants")
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import decimal_components, decimal_dot
-
+    # Fixed-point nano-unit components + exact int64 hi/lo dot folds
+    # (the dx3/sim34/sx pattern; since r5 the nano conversion is
+    # floor(x*1e9 + 0.5) — pure IEEE ops, so the integer components
+    # are bit-identical in ANY engine, unlike double→DECIMAL casts
+    # which round the shortest repr in Spark but the binary value in
+    # DuckDB).
     emb = load_table(spark, sf_dir, "embeddings")
-    dec = emb.select("vec_id",
-                     decimal_components(F.col("embedding")).alias("v"))
+    ci = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000000.0)
+                          + F.lit(0.5)).cast("bigint"))
+    dec = emb.select("vec_id", ci.alias("v"))
+    dec = dec.withColumn(
+        "nsq", _fixed_dot("v", "v").cast("double") / F.lit(1e18))
     q = (dec.filter(F.col("vec_id") == QUERY_VEC_ID)
             .select(F.col("v").alias("qv"),
-                    decimal_dot(F.col("v"), F.col("v")).alias("qsq")))
+                    F.col("nsq").alias("qsq")))
     scored = (dec.filter(F.col("vec_id") != QUERY_VEC_ID)
                  .crossJoin(F.broadcast(q))
                  .select("vec_id",
-                         decimal_dot(F.col("v"), F.col("qv")).alias("dot"),
-                         decimal_dot(F.col("v"), F.col("v")).alias("nsq"),
-                         "qsq"))
+                         (_fixed_dot("v", "qv").cast("double")
+                          / F.lit(1e18)).alias("dot"),
+                         "nsq", "qsq"))
     cosine = F.round(F.col("dot")
                      / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 12)
     return (scored.select("vec_id", cosine.alias("cosine"),
@@ -129,8 +147,8 @@ DX3_ORACLE = f"""
 WITH comps AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
-              * 1000000000 AS BIGINT) AS ci
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+              * 1000000000.0 + 0.5) AS BIGINT) AS ci
   FROM embeddings
 ), nsq AS (
   SELECT vec_id,
@@ -179,8 +197,8 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ci = F.transform(
         "embedding",
-        lambda x: (x.cast("double").cast("decimal(18,9)")
-                   * F.lit(1000000000)).cast("bigint"))
+        lambda x: F.floor(x.cast("double") * F.lit(1000000000.0)
+                           + F.lit(0.5)).cast("bigint"))
     dec = emb.select("vec_id", "label", ci.alias("v"))
     dec = dec.withColumn(
         "n2", _fixed_dot("v", "v").cast("double") / F.lit(1e18))
@@ -247,8 +265,8 @@ SIM34_ORACLE = """
 WITH comps AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9))
-              * 1000000000 AS BIGINT) AS ci
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+              * 1000000000.0 + 0.5) AS BIGINT) AS ci
   FROM embeddings
 ), cent AS (
   SELECT label AS clabel, pos,
@@ -302,8 +320,8 @@ def ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-vector fixed-point component array (nano-units, exact BIGINT)
     ci = F.transform(
         "embedding",
-        lambda x: (x.cast("double").cast("decimal(18,9)")
-                   * F.lit(1000000000)).cast("bigint"))
+        lambda x: F.floor(x.cast("double") * F.lit(1000000000.0)
+                           + F.lit(0.5)).cast("bigint"))
     vecs = emb.select("vec_id", "label", ci.alias("ci"))
 
     # IVF train: one wide aggregate — d BIGINT sums + the count.
@@ -361,8 +379,8 @@ SIM5_ORACLE = f"""
 WITH ci AS (
   SELECT vec_id,
          list_transform(embedding, x ->
-           CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
-                * 1000000000 AS BIGINT)) AS ci
+           CAST(floor(CAST(x AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT)) AS ci
   FROM embeddings
 ), m AS (
   SELECT vec_id, ci,
@@ -408,8 +426,8 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = QUANT_LEVELS
     ci = F.transform(
         "embedding",
-        lambda x: (x.cast("double").cast("decimal(18,9)")
-                   * F.lit(1000000000)).cast("bigint"))
+        lambda x: F.floor(x.cast("double") * F.lit(1000000000.0)
+                           + F.lit(0.5)).cast("bigint"))
     m = F.array_max(F.transform("ci", lambda x: F.abs(x)))
     df = (emb.select("vec_id", ci.alias("ci"))
           .withColumn("max_abs_nano", m))

@@ -1,0 +1,107 @@
+"""Cross-engine numeric-conversion conventions (r5 regressions).
+
+Two engine-portability hazards were found by the sf0.1 oracle sweep —
+both invisible at the driver's sf0.01 scale:
+
+1. double→DECIMAL(18,9): Spark rounds the shortest decimal repr
+   (BigDecimal.valueOf), DuckDB rounds the exact binary value — one
+   nano-unit apart within an ulp of a scale-9 half boundary. Fix: the
+   canonical fixed-point conversion is ``floor(x*1e9 + 0.5)`` (pure
+   IEEE ops, identical in any engine).
+2. DECIMAL(p,s>0)→DOUBLE past 2^53 scaled units: Spark converts
+   correctly rounded, DuckDB divides by 10^s in floats (1-2 ulp off).
+   Fix: route through VARCHAR (exact digits both engines; string→
+   double is correctly rounded in both).
+
+These tests pin both conventions on adversarial values so a refactor
+that silently reintroduces the old casts fails here, not as an opaque
+driver hash mismatch three rounds later.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+# Doubles whose shortest repr sits on/near a scale-9 half boundary,
+# plus sign/magnitude edges — the class that split the engines under
+# the old double->DECIMAL cast (observed live on a component of
+# fixture vec 364 at sf0.1; the exact trigger rides the float32 bit
+# pattern, so the convention is pinned on the whole family).
+BOUNDARY_VALUES = [
+    0.0001234567895, -0.0001234567895,
+    0.1234567895, 1.0000000005, 0.9999999995,
+    2.5e-10, -2.5e-10, 5e-10, -5e-10,
+    0.3477773065, -0.3477773065,
+    0.0, 1.0, -1.0, 9.87654321,
+]
+
+
+def test_floor_nano_conversion_matches_duckdb_on_boundaries(spark):
+    from light_redistribution_in_3dptf_data_pipeline_spark.functions import (
+        nano_components)
+
+    df = spark.createDataFrame([(BOUNDARY_VALUES,)], "v ARRAY<DOUBLE>")
+    [spark_nano] = df.select(nano_components(F.col("v")).alias("n")) \
+                     .collect()[0]
+
+    con = duckdb.connect()
+    values_sql = "[" + ", ".join(repr(v) for v in BOUNDARY_VALUES) + "]"
+    [duck_nano] = con.execute(
+        "SELECT list_transform(" + values_sql + ", "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) "
+        "AS BIGINT))").fetchone()
+    con.close()
+    assert list(spark_nano) == list(duck_nano), (
+        "floor-nano conversion diverged between engines")
+
+
+# Exact decimals whose scaled units exceed 2^53 — conversion to
+# double requires rounding, where the engines' direct casts split.
+BIG_DECIMALS = [
+    "31390106146.597605",     # the live sf0.1 sum_charge divergence
+    "98765432109876.543215",
+    "9007199254740993.25",    # 2^53+1 territory
+    "-31390106146.597605",
+    "123456789012345678.99",
+]
+
+
+def test_varchar_route_decimal_to_double_is_correctly_rounded(spark):
+    con = duckdb.connect()
+    for s in BIG_DECIMALS:
+        want = float(Decimal(s))   # Python: correctly rounded
+        got_duck = con.execute(
+            f"SELECT CAST(CAST(CAST('{s}' AS DECIMAL(38,9)) AS VARCHAR)"
+            " AS DOUBLE)").fetchone()[0]
+        assert got_duck == want, (s, got_duck.hex(), want.hex())
+    con.close()
+    rows = spark.createDataFrame([(s,) for s in BIG_DECIMALS],
+                                 "s STRING")
+    got_spark = [r[0] for r in rows.select(
+        F.col("s").cast("decimal(38,9)").cast("string").cast("double")
+    ).collect()]
+    assert got_spark == [float(Decimal(s)) for s in BIG_DECIMALS]
+
+
+def test_duckdb_direct_decimal_cast_still_broken():
+    """The reason _dbl() exists (queries/aggregates.py): DuckDB's
+    direct DECIMAL(s>0)→DOUBLE cast is not correctly rounded past
+    2^53 scaled units. If DuckDB fixes this, the route can be
+    simplified — this test flags that moment."""
+    con = duckdb.connect()
+    diverged = False
+    for s in BIG_DECIMALS:
+        got = con.execute(
+            f"SELECT CAST(CAST('{s}' AS DECIMAL(38,9)) AS DOUBLE)"
+        ).fetchone()[0]
+        if got != float(Decimal(s)):
+            diverged = True
+    con.close()
+    assert diverged, (
+        "DuckDB's direct decimal->double cast is now correctly "
+        "rounded on every probe value — _dbl()'s VARCHAR route may "
+        "be simplifiable")
