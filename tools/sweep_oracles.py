@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Full-registry Spark↔DuckDB oracle sweep at arbitrary scale.
+
+The driver verifies at sf0.01; this sweep is how r5 found two
+conversion hazards that only manifest at sf0.1 (see
+tests/test_cross_engine_numerics.py). Run it at the largest local
+fixture every round:
+
+    python tools/sweep_oracles.py                 # sf0.01 + sf0.1
+    python tools/sweep_oracles.py /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def sweep(spark, sf_dir: str) -> list:
+    import duckdb
+
+    import __spark_entry__ as mod
+    from test_oracle_parity import _normalize
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+    fails = []
+    for name in qs:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            s_cols, s_rows = _normalize(
+                sdf.columns, [tuple(r) for r in sdf.collect()])
+            if name in oracles:
+                res = con.execute(oracles[name])
+                d_cols, d_rows = _normalize(
+                    [d[0] for d in res.description], res.fetchall())
+                if not (s_cols == d_cols and s_rows == d_rows):
+                    fails.append((name, len(s_rows), len(d_rows)))
+            print(f"# {name} ok", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001 - report, keep sweeping
+            fails.append((name, "EXC", str(ex)[:150]))
+    con.close()
+    return fails
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01",
+                            "/root/testdata/sf0.1"]
+    spark = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    rc = 0
+    for d in dirs:
+        fails = sweep(spark, d)
+        print(f"{d}: {'OK' if not fails else f'FAILS: {fails}'}")
+        rc |= bool(fails)
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
