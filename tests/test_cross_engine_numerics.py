@@ -105,3 +105,38 @@ def test_duckdb_direct_decimal_cast_still_broken():
         "DuckDB's direct decimal->double cast is now correctly "
         "rounded on every probe value — _dbl()'s VARCHAR route may "
         "be simplifiable")
+
+
+# Interpolated-percentile probe values: pairs where
+# lower + (upper-lower)*frac, (1-frac)*lower + frac*upper and
+# (lower+upper)/2 all differ in the last ulps, plus ulp-adjacent and
+# extreme-magnitude neighbors.
+PERCENTILE_CASES = [
+    [0.1, 0.3],
+    [1e-300, 1.0000000000000002],
+    [0.1234567890123456, 7.654321098765432],
+    [-1.1, 2.3],
+    [3.0000000000000004, 3.000000000000001],
+    [1 / 3, 2 / 3, 1.0, 4 / 3],
+    [1.0, 2.0, 4.0],
+]
+
+
+@pytest.mark.parametrize("p", [0.5, 0.45, 0.55])
+def test_percentile_interpolation_formula_matches_duckdb(spark, p):
+    """a4's exact median (and a12's quantile envelope) rely on Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolating
+    identically. Pinned on values where the candidate formulas
+    (lerp-from-lower vs weighted-average) differ in the last ulps, so
+    an engine switching formulation fails here instead of surfacing
+    as an a4 hash mismatch at some future scale."""
+    con = duckdb.connect()
+    for vals in PERCENTILE_CASES:
+        df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+        s = df.agg(F.expr(f"percentile(x, {p})")).collect()[0][0]
+        arr = "[" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + "]"
+        d = con.execute(
+            f"SELECT quantile_cont(u, CAST({p} AS DOUBLE)) "
+            f"FROM (SELECT unnest({arr}) u)").fetchone()[0]
+        assert s == d, (vals, p, repr(s), repr(d))
+    con.close()
