@@ -409,7 +409,7 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
     )
     SELECT tok, tf, df,
-           round(ln(CAST(n_docs AS DOUBLE) / df), 12) + 0.0 AS idf
+           round(ln(CAST(n_docs AS DOUBLE) / df), 6) + 0.0 AS idf
     FROM agg, n
     ORDER BY df DESC, tok
     LIMIT 100
@@ -433,8 +433,15 @@ def tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count("*").cast("bigint").alias("tf"),
                    F.countDistinct("doc_id").cast("bigint").alias("df")))
     n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    # idf rounds at 6 decimals, NOT finer: ln() is not correctly
+    # rounded (JVM and DuckDB differ by 1 ulp on ~1% of inputs), and
+    # the probability the true value sits within an ulp of a rounding
+    # boundary scales with 10^digits — ~4e-4 per value at 12 digits
+    # (a deterministic driver mismatch waiting on a fixture regen)
+    # vs ~4e-10 at 6. tests/test_cross_engine_numerics.py carries the
+    # fixture canary.
     idf = (F.round(F.log(F.col("n_docs").cast("double") / F.col("df")),
-                   12) + F.lit(0.0))
+                   6) + F.lit(0.0))
     return (agg.crossJoin(F.broadcast(n))
                .select("tok", "tf", "df", idf.alias("idf"))
                .orderBy(F.desc("df"), F.asc("tok"))

@@ -140,3 +140,43 @@ def test_percentile_interpolation_formula_matches_duckdb(spark, p):
             f"FROM (SELECT unnest({arr}) u)").fetchone()[0]
         assert s == d, (vals, p, repr(s), repr(d))
     con.close()
+
+
+def test_tx9_idf_values_clear_of_rounding_boundaries():
+    """ln() is within 1 ulp across engines but not bit-identical, so
+    tx9's idf = round(ln(N/df), 6) deterministically mismatches if a
+    true idf value sits within ~an ulp of a 0.5e-6 rounding boundary.
+    Canary over both fixture scales: every idf in the result must
+    clear the boundary by a wide margin (Python's ln is within 1 ulp
+    of both engines, so it is a valid proxy)."""
+    import math
+
+    import duckdb
+
+    from conftest import SF_DIR, SF_DIR_MID
+
+    for d in (SF_DIR, SF_DIR_MID):
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS "
+                    f"SELECT * FROM '{d}/documents.parquet'")
+        n_docs = con.execute("SELECT count(*) FROM documents"
+                             ).fetchone()[0]
+        dfs = [r[0] for r in con.execute(
+            """
+            SELECT count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\\s+'))
+                           AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY df DESC LIMIT 150
+            """).fetchall()]
+        con.close()
+        for df_count in dfs:
+            x = math.log(n_docs / df_count)
+            frac = abs((x * 1e6) % 1 - 0.5)
+            assert frac > 1e-6, (
+                f"{d}: idf for df={df_count} (n={n_docs}) is "
+                f"{x!r} — within {frac:.2e} of a 6-dp rounding "
+                "boundary; engines may disagree deterministically. "
+                "Coarsen the rounding or drop the value from the "
+                "compared output.")
