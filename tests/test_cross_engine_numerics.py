@@ -180,3 +180,36 @@ def test_tx9_idf_values_clear_of_rounding_boundaries():
                 "boundary; engines may disagree deterministically. "
                 "Coarsen the rounding or drop the value from the "
                 "compared output.")
+
+
+def test_f13_trig_constants_clear_of_rounding_boundaries():
+    """f13 rounds sin/cos products at 12 dp; trig is not correctly
+    rounded, so a constant within ~1 ulp of a boundary could split
+    the engines. The angle lattice is FIXED, so this is decidable
+    once: every one of the 1125 matrix entries must clear its
+    boundary by >10 ulps (measured: min 90). Fails loudly if the
+    lattice constants ever change into a boundary."""
+    import math
+
+    DEG2RAD = math.pi / 180.0
+    worst = math.inf
+    for oi in range(125):
+        ea = -20.0 + 10.0 * (oi // 25)
+        eb = -20.0 + 10.0 * ((oi // 5) % 5)
+        ec = -20.0 + 10.0 * (oi % 5)
+        sa, ca = math.sin(ea * DEG2RAD), math.cos(ea * DEG2RAD)
+        sb, cb = math.sin(eb * DEG2RAD), math.cos(eb * DEG2RAD)
+        sc, cc = math.sin(ec * DEG2RAD), math.cos(ec * DEG2RAD)
+        for v in (ca * cb, -(sa * cb), sb,
+                  sa * cc + ca * sb * sc, ca * cc - sa * sb * sc,
+                  -(cb * sc), sa * sc - ca * sb * cc,
+                  ca * sc + sa * sb * cc, cb * cc):
+            x = abs(v) * 1e12
+            if x == 0.0:
+                continue
+            dist_ulps = abs(x % 1.0 - 0.5) / math.ulp(x)
+            worst = min(worst, dist_ulps)
+    assert worst > 10, (
+        f"an f13 rotation-matrix entry is {worst:.1f} ulps from a "
+        "12-dp rounding boundary — cross-engine trig variation could "
+        "split the oracle; coarsen the rounding")
