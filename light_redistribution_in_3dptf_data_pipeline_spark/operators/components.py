@@ -139,6 +139,7 @@ def _star_components(edges: DataFrame, src: str, dst: str,
         return (row["n"], row["h"])
 
     prev = _fingerprint(e)
+    converged = False
     for _ in range(max_iter):
         # large-star
         bidir = e.union(e.select(F.col("v").alias("u"),
@@ -158,10 +159,19 @@ def _star_components(edges: DataFrame, src: str, dst: str,
              .localCheckpoint())
         fp = _fingerprint(e)
         if fp == prev:
+            converged = True
             break
         prev = fp
 
     roots = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    if not converged:
+        # max_iter exhausted before the fingerprint fixpoint: the edge
+        # set need not be a star forest yet, so a node may still carry
+        # TWO parents and the left-join below would emit duplicate
+        # (node, comp) rows — silently malformed output. Collapse to
+        # the minimum parent: one row per node, possibly under-merged
+        # (like hash-min at its cap), never structurally broken.
+        roots = roots.groupBy("node").agg(F.min("comp").alias("comp"))
     return (nodes.join(roots, "node", "left")
             .select("node",
                     F.coalesce("comp", F.col("node")).alias("comp")))

@@ -147,6 +147,14 @@ def scalable_missing_pose(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `local` frame is deliberately NOT persisted (its offsets branch
     # re-scans as a cheap map-side partial agg instead of caching the
     # whole table).
+    #
+    # Cache lifetime: the builder is lazy, so there is no clean point
+    # to unpersist — the entries live for the Spark session (narrow
+    # bounded frames as above). Tests that re-run this builder under
+    # varied configs must spark.catalog.clearCache() between legs
+    # (test_partitioning_invariance._rows does), because Spark's
+    # plan-based cache matching would otherwise serve the first leg's
+    # results under the second leg's config.
     from pyspark import StorageLevel
 
     groups = numbered.groupBy("gid").agg(

@@ -104,6 +104,30 @@ class TestStarVariant:
             df, max_iter=8, algorithm="star").collect()))
         assert capped == hm, "star did not converge within 8 rounds"
 
+    def test_star_capped_run_stays_well_formed(self, spark):
+        """max_iter exhausted before the star fixpoint: the edge set
+        need not be a star forest, so without the post-loop root
+        collapse a node with two surviving parents would emit
+        duplicate (node, comp) rows. A capped run must still produce
+        EXACTLY one row per node (possibly under-merged — same
+        degradation contract as hash-min at its cap).
+
+        Graph chosen by sweep: Random(0) over 40 nodes / 93 edges at
+        cap=1 verifiably leaves a node with TWO distinct parents in
+        the raw capped edge set — without the root collapse this
+        emits duplicate rows (red before the fix)."""
+        rng = random.Random(0)
+        edges = [(rng.randrange(40), rng.randrange(40))
+                 for _ in range(93)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        n_nodes = len({n for e in edges for n in e})
+        rows = connected_components(
+            df, max_iter=1, algorithm="star").collect()
+        nodes = [r["node"] for r in rows]
+        assert len(nodes) == len(set(nodes)) == n_nodes, (
+            f"capped star run malformed: {len(nodes)} rows over "
+            f"{len(set(nodes))} distinct nodes (want {n_nodes})")
+
     def test_star_cliques_and_isolated_selfloops(self, spark):
         edges = ([(i, j) for i in range(10, 15) for j in range(10, i)]
                  + [(100, 100), (200, 201)])

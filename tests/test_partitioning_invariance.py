@@ -41,6 +41,13 @@ PARTITION_COUNTS = (7, 64)
 
 
 def _rows(spark, name):
+    # w9/w11 persist narrow intermediates (session-lifetime cache
+    # entries — see scalable_missing_pose's persist note), and Spark's
+    # plan-based cache matching would let the second shuffle-partitions
+    # leg serve the FIRST leg's cached results instead of re-exercising
+    # the shuffle path this suite exists to vary. Clear so every leg
+    # recomputes under its own config.
+    spark.catalog.clearCache()
     return sorted(map(tuple,
                       QUERIES[name].builder(spark, SF_DIR).collect()))
 

@@ -41,13 +41,16 @@ def sweep(spark, sf_dir: str) -> list:
             sdf = qs[name](spark, sf_dir)
             s_cols, s_rows = _normalize(
                 sdf.columns, [tuple(r) for r in sdf.collect()])
+            ok = True
             if name in oracles:
                 res = con.execute(oracles[name])
                 d_cols, d_rows = _normalize(
                     [d[0] for d in res.description], res.fetchall())
                 if not (s_cols == d_cols and s_rows == d_rows):
                     fails.append((name, len(s_rows), len(d_rows)))
-            print(f"# {name} ok", file=sys.stderr)
+                    ok = False
+            print(f"# {name} {'ok' if ok else 'MISMATCH'}",
+                  file=sys.stderr)
         except Exception as ex:  # noqa: BLE001 - report, keep sweeping
             fails.append((name, "EXC", str(ex)[:150]))
     con.close()
