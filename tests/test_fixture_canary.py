@@ -100,6 +100,50 @@ def test_events_ts_values_survive_normalization(spark, duck):
     assert (row["lo"], row["hi"], row["n"]) == (lo, hi, n)
 
 
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID],
+                         ids=["sf0.001", "sf0.01"])
+def test_lsh_banding_recall_canary(spark, sf_dir):
+    """dx5's green driver row rests on an analytic recall argument:
+    verified-LSH output equals the exhaustive tx6 formulation
+    *whenever banding recall is 1 at the threshold*. That premise is
+    about THIS fixture's pair distribution — a regenerated fixture
+    could, with small probability, contain a high-jaccard pair the
+    banding misses, flipping the driver row with an opaque hash
+    mismatch. Assert recall DIRECTLY: on both fixture scales,
+    ``lsh_candidate_pairs`` must cover every pair the exhaustive
+    oracle emits at jaccard >= 0.8, for BOTH the 8x4 (dx1 default)
+    and 16x2 (dx5 production) bandings."""
+    import duckdb
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, shingles)
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries.text import NEARDUP_ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    exact = {(a, b) for a, b, _, jac in con.execute(NEARDUP_ORACLE)
+             .fetchall() if jac >= 0.8}
+    con.close()
+    assert exact, (
+        f"FIXTURE DRIFT: {sf_dir} has no jaccard>=0.8 pairs — the "
+        "canary lost its subject; regenerate expectations")
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(docs))
+    for bands in (8, 16):
+        cands = {(r.doc_a, r.doc_b)
+                 for r in lsh_candidate_pairs(sig, bands=bands)
+                 .collect()}
+        missed = exact - cands
+        assert not missed, (
+            f"BANDING RECALL BROKEN ({bands} bands, {sf_dir}): LSH "
+            f"missed high-jaccard pairs {sorted(missed)} — dx5's "
+            "equality-with-exhaustive-oracle premise no longer holds "
+            "on this fixture")
+
+
 def test_documents_text_is_pure_ascii():
     """The mm media-pipeline oracle derives payload bytes as
     ``ord(substr(text, i+1, 1))`` — valid only while the fixture text

@@ -406,6 +406,60 @@ class TestChunkPackSplit:
             "k", F.sum("v").over(w).cast("bigint").alias("cs")).collect()}
         assert got == want
 
+    def test_prefix_sum_tied_order_cols_documented_degradation(
+            self, spark):
+        """The documented unique-key contract (operators/prefix_sum
+        docstrings): with TIED order_cols, per-row attribution among
+        the tied rows is arbitrary, but the outputs must still be
+        structurally sound — row_number emits a permutation of 1..N
+        (each tie group gets exactly its contiguous rank range), and
+        the running sum is EXACT at every tie-group boundary (the
+        per-bucket totals never drift). This pins the degradation
+        mode so a future rewrite can't silently make ties corrupting
+        instead of merely unordered."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.prefix_sum import (
+            bucketed_row_number,
+            bucketed_running_sum,
+        )
+
+        # 300 rows, order key k = id // 3 → every k tied 3 ways,
+        # spanning bucket boundaries (bucket = k // 10).
+        df = spark.range(0, 300).select(
+            F.col("id").alias("uid"),
+            (F.col("id") / 3).cast("bigint").alias("k"),
+            (F.pmod(F.col("id") * 7, F.lit(13)) + 1).alias("v"))
+        bucket = F.floor(F.col("k") / 10)
+
+        rn = bucketed_row_number(df, bucket, ["k"], out="rn").collect()
+        assert sorted(r.rn for r in rn) == list(range(1, 301))
+        by_k = {}
+        for r in rn:
+            by_k.setdefault(r.k, []).append(r.rn)
+        for k, rns in by_k.items():
+            assert sorted(rns) == [3 * k + 1, 3 * k + 2, 3 * k + 3], (
+                f"tie group k={k} got ranks {sorted(rns)} — ties must "
+                "stay within their contiguous rank range")
+
+        cs = bucketed_running_sum(df, bucket, "v", ["k"],
+                                  out="cs").collect()
+        group_v = {}
+        for r in cs:
+            group_v.setdefault(r.k, []).append(r.v)
+        # exact boundary: max cs within tie group k == deterministic
+        # prefix total through group k
+        totals, run = {}, 0
+        for k in sorted(group_v):
+            run += sum(group_v[k])
+            totals[k] = run
+        by_k_cs = {}
+        for r in cs:
+            by_k_cs.setdefault(r.k, []).append(r.cs)
+        for k, vals in by_k_cs.items():
+            assert max(vals) == totals[k], (
+                f"tie group k={k}: boundary cumsum {max(vals)} != "
+                f"exact prefix total {totals[k]} — ties corrupted "
+                "the bucket totals")
+
     def test_chunks_reconstruct_text(self, spark):
         """Concatenating a doc's chunks in chunk_idx order must cover
         the full text length exactly (no gap, no overlap)."""
