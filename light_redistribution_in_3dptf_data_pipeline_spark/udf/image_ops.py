@@ -32,11 +32,20 @@ def fake_decode(content: bytes) -> np.ndarray:
     return h.reshape(8, 8).astype(np.float64)
 
 
-def real_decode(content: bytes) -> np.ndarray:  # pragma: no cover
-    """Production decoder — requires an image library the test
-    container doesn't ship (cv2/PIL)."""
+def real_decode(content: bytes) -> np.ndarray:
+    """Production decoder. Binary netpbm payloads (PGM ``P5`` / PPM
+    ``P6``) decode via the zero-dependency spec parser in
+    ``udf/codecs.py`` — a REAL on-disk format exercising the same
+    seam as the fakes (tests/test_image_ops.py drives the mm stages
+    over encoded PGM bytes). Anything else (JPEG/PNG/...) still needs
+    an injected cv2/PIL decoder."""
+    if content[:2] in (b"P5", b"P6"):
+        from .codecs import pnm_decode
+
+        return pnm_decode(content)
     raise NotImplementedError(
-        "no image codec in this environment; inject a cv2/PIL decoder")
+        "no JPEG/PNG codec in this environment; inject a cv2/PIL "
+        "decoder (netpbm P5/P6 decodes natively via udf/codecs.py)")
 
 
 CORNER_SCHEMA = StructType([

@@ -50,10 +50,20 @@ def fake_audio_decode(content: bytes) -> np.ndarray:
     return (h.astype(np.float64) - 128.0) / 128.0
 
 
-def real_audio_decode(content: bytes) -> np.ndarray:  # pragma: no cover
+def real_audio_decode(content: bytes) -> np.ndarray:
+    """Production audio decoder. RIFF/WAVE integer-PCM payloads decode
+    via the zero-dependency spec parser in ``udf/codecs.py`` (8/16-bit
+    PCM, mono downmix) — a REAL container format through the same seam
+    as the fake (tests/test_media_ops.py drives the feature stage over
+    encoded WAV bytes). Compressed formats still need an injected
+    librosa/ffmpeg decoder."""
+    if content[:4] == b"RIFF":
+        from .codecs import wav_decode
+
+        return wav_decode(content)
     raise NotImplementedError(
-        "no audio codec in this environment; inject a librosa/ffmpeg "
-        "decoder")
+        "no MP3/OGG codec in this environment; inject a librosa/ffmpeg "
+        "decoder (RIFF/WAVE PCM decodes natively via udf/codecs.py)")
 
 
 FRAME_SCHEMA = StructType([
