@@ -52,15 +52,37 @@ def connected_components(edges: DataFrame, src: str = "src",
     reachable from ``node`` over the undirected pair graph; equal comp
     ⇔ same duplicate cluster. Only nodes present in ``edges`` appear.
 
-    ``algorithm``: ``"hashmin"`` (default — diameter-bounded label
-    propagation, best for shallow dedup graphs) or ``"star"`` (the
-    O(log²)-round large-star/small-star alternation for
-    high-diameter graphs). Identical output either way.
+    ``algorithm``:
+
+    - ``"hashmin"`` (default) — diameter-bounded label propagation,
+      best for shallow dedup graphs (one shuffled frame per round).
+    - ``"star"`` — the O(log²)-round large-star/small-star
+      alternation for high-diameter graphs.
+    - ``"auto"`` — probe with hash-min for a few rounds (the cheap
+      path that wins on the near-dup common case); if the fixpoint
+      isn't reached, CONTRACT the graph by the current labels (each
+      partial cluster collapses to its min-label node — near-dup
+      cliques vanish here) and finish with star on the contracted
+      edge set, whose round count is diameter-independent. The probe
+      work is not wasted: star runs on the contracted graph, which is
+      never larger and usually far smaller than the input.
+
+    Identical output for all three (pinned by
+    tests/test_components.py).
     """
     if algorithm == "star":
         return _star_components(edges, src, dst, max_iter)
+    if algorithm == "auto":
+        return _auto_components(edges, src, dst, max_iter)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    labels, _ = _hashmin_components(edges, src, dst, max_iter)
+    return labels
+
+
+def _hashmin_components(edges: DataFrame, src: str, dst: str,
+                        max_iter: int) -> tuple[DataFrame, bool]:
+    """Hash-min label propagation. Returns (labels, converged)."""
     # Materialize the pair list BEFORE mirroring it: the two union
     # branches project the same frame twice, and without this the
     # (possibly very expensive) upstream pair-generation plan — an
@@ -87,6 +109,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         return frame.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
+    converged = False
     prev_total = _total(labels)
     for _ in range(max_iter):
         prop = (und.join(labels, und["u"] == labels["node"])
@@ -97,9 +120,50 @@ def connected_components(edges: DataFrame, src: str = "src",
                   .localCheckpoint())
         total = _total(labels)
         if total == prev_total:
+            converged = True
             break
         prev_total = total
-    return labels
+    return labels, converged
+
+
+AUTO_PROBE_ROUNDS = 4
+
+
+def _auto_components(edges: DataFrame, src: str, dst: str,
+                     max_iter: int,
+                     probe_rounds: int = AUTO_PROBE_ROUNDS) -> DataFrame:
+    """Adaptive selection: hash-min probe, star finish on the
+    label-contracted graph if the probe didn't converge.
+
+    Why contraction is sound: after k hash-min rounds each label is
+    the min node id within distance k — a *coarsening* of the true
+    components. Contract every edge to (label(u), label(v)); the
+    contracted graph's components, with star's output labels (min
+    node id per contracted component), ARE the true component minima
+    because labels are themselves node ids. Final mapping is one join
+    from the probe labels to the star labels; label-internal groups
+    with no cross-label edge keep their (already final) probe label
+    via the left join.
+    """
+    labels, converged = _hashmin_components(edges, src, dst,
+                                            probe_rounds)
+    if converged:
+        return labels
+    contracted = (edges.select(F.col(src).alias("u"),
+                               F.col(dst).alias("v"))
+                  .join(labels.select(F.col("node").alias("u"),
+                                      F.col("comp").alias("lu")), "u")
+                  .join(labels.select(F.col("node").alias("v"),
+                                      F.col("comp").alias("lv")), "v")
+                  .select("lu", "lv")
+                  .filter(F.col("lu") != F.col("lv"))
+                  .distinct())
+    stars = _star_components(contracted, "lu", "lv", max_iter)
+    return (labels.join(stars.select(F.col("node").alias("comp"),
+                                     F.col("comp").alias("final")),
+                        "comp", "left")
+            .select("node",
+                    F.coalesce("final", F.col("comp")).alias("comp")))
 
 
 def _star_components(edges: DataFrame, src: str, dst: str,
@@ -178,14 +242,21 @@ def _star_components(edges: DataFrame, src: str, dst: str,
 
 
 def dedup_clusters(pairs: DataFrame, left: str, right: str,
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25,
+                   algorithm: str = "hashmin") -> DataFrame:
     """Pairs → duplicate clusters with keep-first survivor policy:
     (doc_id, cluster_id, cluster_size, is_canonical). cluster_id is
-    the minimum doc id in the component (= the survivor)."""
+    the minimum doc id in the component (= the survivor).
+
+    ``algorithm`` passes through to :func:`connected_components` —
+    keep the ``hashmin`` default for near-dup pair graphs (shallow),
+    ``"auto"`` when the pair source might produce long chains (e.g.
+    transitive fuzzy matches over sliding windows)."""
     from pyspark.sql import Window
 
     comps = connected_components(pairs, src=left, dst=right,
-                                 max_iter=max_iter)
+                                 max_iter=max_iter,
+                                 algorithm=algorithm)
     # Size via a partitioned window — one shuffle on the cluster key,
     # no broadcast of an O(n_clusters) frame (which wouldn't fit in
     # driver memory at corpus scale).

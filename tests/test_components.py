@@ -70,6 +70,9 @@ class TestStarVariant:
             df, max_iter=max_iter).collect()))
         st = sorted(map(tuple, connected_components(
             df, max_iter=max_iter, algorithm="star").collect()))
+        au = sorted(map(tuple, connected_components(
+            df, max_iter=max_iter, algorithm="auto").collect()))
+        assert au == hm, "auto != hashmin"
         return hm, st
 
     def test_star_equals_hashmin_random_graphs(self, spark):
@@ -103,6 +106,18 @@ class TestStarVariant:
         capped = sorted(map(tuple, connected_components(
             df, max_iter=8, algorithm="star").collect()))
         assert capped == hm, "star did not converge within 8 rounds"
+
+    def test_auto_escalates_on_deep_chain(self, spark):
+        """A 120-node path cannot converge within the hash-min probe
+        (AUTO_PROBE_ROUNDS=4), so 'auto' must take the
+        contract-then-star path AND still produce the exact
+        hash-min answer — the escalation's correctness proof on the
+        graph shape it exists for."""
+        edges = [(i, i + 1) for i in range(119)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        au = sorted(map(tuple, connected_components(
+            df, max_iter=50, algorithm="auto").collect()))
+        assert au == [(i, 0) for i in range(120)]
 
     def test_star_capped_run_stays_well_formed(self, spark):
         """max_iter exhausted before the star fixpoint: the edge set
