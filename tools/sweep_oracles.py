@@ -62,8 +62,15 @@ def main() -> None:
 
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01",
                             "/root/testdata/sf0.1"]
-    spark = SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]").getOrCreate()
+    # Unlike the driver's smoke run, the sweep is OUR tool: size the
+    # JVM for the largest fixture (sf1's exhaustive tx6 shingle join
+    # OOMs the 1g default heap) — queries still run on a plain
+    # session config otherwise, so parity semantics are unchanged.
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_SWEEP_MEM", "48g"))
+        .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     rc = 0
     for d in dirs:
