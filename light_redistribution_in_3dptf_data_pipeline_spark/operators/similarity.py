@@ -232,7 +232,7 @@ WITH comps AS (
 ), q AS (
   SELECT pos, ci AS qci FROM comps WHERE vec_id = {QUERY_VEC_ID}
 ), qn AS (
-  SELECT CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0)))
+  SELECT CAST(CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS qsq
   FROM q
 ), cent AS (
@@ -241,7 +241,7 @@ WITH comps AS (
   FROM comps GROUP BY label, pos
 ), cdot AS (
   SELECT c.label,
-         CAST(sum(CAST(c.s AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0)))
+         CAST(CAST(sum(CAST(c.s AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / (max(c.nv) * 1e18) AS cdot
   FROM cent c JOIN q ON q.pos = c.pos
   GROUP BY c.label
@@ -249,9 +249,9 @@ WITH comps AS (
   SELECT label FROM cdot ORDER BY cdot DESC, label LIMIT 2
 ), dots AS (
   SELECT ca.vec_id, ca.label,
-         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0)))
+         CAST(CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS dot,
-         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(ca.ci AS DECIMAL(19,0)))
+         CAST(CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(ca.ci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS nsq
   FROM comps ca
   JOIN probe p ON p.label = ca.label
@@ -329,14 +329,14 @@ WITH comps AS (
 ), q AS (
   SELECT pos, ci AS qci FROM comps WHERE vec_id = {QUERY_VEC_ID}
 ), qn AS (
-  SELECT CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0)))
+  SELECT CAST(CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS qsq
   FROM q
 ), dots AS (
   SELECT ca.vec_id, cd.bucket,
-         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0)))
+         CAST(CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(q.qci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS dot,
-         CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(ca.ci AS DECIMAL(19,0)))
+         CAST(CAST(sum(CAST(ca.ci AS DECIMAL(19,0)) * CAST(ca.ci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS nsq
   FROM comps ca
   JOIN cands cd ON cd.vec_id = ca.vec_id

@@ -45,15 +45,15 @@ WITH comps AS (
   SELECT pos, ci AS qci FROM comps WHERE vec_id = {QUERY_VEC_ID}
 ), dots AS (
   SELECT c.vec_id,
-         CAST(sum(CAST(c.ci AS DECIMAL(19,0))
-                  * CAST(q.qci AS DECIMAL(19,0))) AS DOUBLE) / 1e18 AS dot,
-         CAST(sum(CAST(c.ci AS DECIMAL(19,0))
-                  * CAST(c.ci AS DECIMAL(19,0))) AS DOUBLE) / 1e18 AS nsq
+         CAST(CAST(sum(CAST(c.ci AS DECIMAL(19,0))
+                  * CAST(q.qci AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) / 1e18 AS dot,
+         CAST(CAST(sum(CAST(c.ci AS DECIMAL(19,0))
+                  * CAST(c.ci AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) / 1e18 AS nsq
   FROM comps c JOIN q ON q.pos = c.pos
   WHERE c.vec_id <> {QUERY_VEC_ID}
   GROUP BY c.vec_id
 ), qn AS (
-  SELECT CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0)))
+  SELECT CAST(CAST(sum(CAST(qci AS DECIMAL(19,0)) * CAST(qci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS qsq
   FROM q
 )
@@ -142,7 +142,16 @@ def _fixed_dot(x, y, split: int = 1 << 10):
 # sum in both engines (DECIMAL(19,0) products in DuckDB, hi/lo-split
 # int64 partial sums in Spark — identical values); the only float ops
 # are the final /1e18, sqrt and divide — identical expressions both
-# sides, so the rounded cosine is bit-identical.
+# sides, so the rounded cosine is bit-identical. The exact-sum →
+# DOUBLE step follows the _dbl() convention on the ORACLE side
+# (CAST(CAST(sum AS VARCHAR) AS DOUBLE)): these sums reach 1e20-1e21,
+# past 2^53, where DuckDB's direct hugeint→double conversion
+# double-rounds (upper*2^64 + lower) while Spark's
+# BigDecimal.doubleValue is correctly rounded (verified on 8k
+# boundary cases in tests/test_cross_engine_numerics.py) — string →
+# double is correctly rounded in both engines, closing the last
+# scale-0 1-ulp hazard class (r5 ADVICE) instead of leaning on the
+# 12-dp final round's boundary budget.
 DX3_ORACLE = f"""
 WITH comps AS (
   SELECT vec_id, label,
@@ -152,13 +161,13 @@ WITH comps AS (
   FROM embeddings
 ), nsq AS (
   SELECT vec_id,
-         CAST(sum(CAST(ci AS DECIMAL(19,0)) * CAST(ci AS DECIMAL(19,0)))
+         CAST(CAST(sum(CAST(ci AS DECIMAL(19,0)) * CAST(ci AS DECIMAL(19,0))) AS VARCHAR)
               AS DOUBLE) / 1e18 AS n2
   FROM comps GROUP BY vec_id
 ), dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-         CAST(sum(CAST(a.ci AS DECIMAL(19,0))
-                  * CAST(b.ci AS DECIMAL(19,0))) AS DOUBLE) / 1e18 AS dot
+         CAST(CAST(sum(CAST(a.ci AS DECIMAL(19,0))
+                  * CAST(b.ci AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) / 1e18 AS dot
   FROM comps a
   JOIN comps b ON b.label = a.label AND b.pos = a.pos
               AND a.vec_id < b.vec_id
@@ -276,14 +285,14 @@ WITH comps AS (
 ), cmeta AS (
   SELECT clabel,
          CAST(max(nv) AS BIGINT) AS n_vecs,
-         round(sqrt(CAST(sum(CAST(csum AS DECIMAL(19,0))
-                              * CAST(csum AS DECIMAL(19,0))) AS DOUBLE))
+         round(sqrt(CAST(CAST(sum(CAST(csum AS DECIMAL(19,0))
+                              * CAST(csum AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE))
                / (max(nv) * 1000000000.0), 9) AS centroid_norm
   FROM cent GROUP BY clabel
 ), scored AS (
   SELECT c.vec_id, t.clabel,
-         CAST(sum(CAST(c.ci AS DECIMAL(19,0))
-                  * CAST(t.csum AS DECIMAL(19,0))) AS DOUBLE)
+         CAST(CAST(sum(CAST(c.ci AS DECIMAL(19,0))
+                  * CAST(t.csum AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
            / (max(t.nv) * 1e18) AS score
   FROM comps c JOIN cent t ON t.pos = c.pos
   GROUP BY c.vec_id, t.clabel

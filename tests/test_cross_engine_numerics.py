@@ -107,6 +107,45 @@ def test_duckdb_direct_decimal_cast_still_broken():
         "be simplifiable")
 
 
+def test_scale0_decimal_to_double_conventions(spark):
+    """r6 (closes r5 ADVICE #4): the scale-0 arm of the 2^53 hazard —
+    fixed-point dot-product sums (DECIMAL(38,0), nsq ~1e20-1e21 in the
+    cosine paths). Spark's DIRECT decimal→double is correctly rounded
+    (pinned here on ~8k randomized magnitude-boundary cases plus hard
+    edges), so the Spark plans keep the cheap direct cast; DuckDB's
+    hugeint-backed conversion computes upper*2^64 + lower (two
+    roundings, not guaranteed correct), so the similarity ORACLES
+    route through VARCHAR — pinned correctly rounded here too."""
+    import random
+
+    rng = random.Random(1)
+    vals = [rng.randrange(10 ** e, 10 ** (e + 1))
+            for e in (18, 19, 20, 21) for _ in range(2000)]
+    vals += [2 ** 53 + 1, 2 ** 53 + 3, 10 ** 19 + 1, -(10 ** 20 + 7)]
+
+    df = spark.createDataFrame([(str(v),) for v in vals], "s STRING")
+    rows = df.select(
+        "s",
+        F.col("s").cast("decimal(38,0)").cast("double").alias("direct"),
+        F.col("s").cast("decimal(38,0)").cast("string").cast("double")
+         .alias("routed")).collect()
+    bad = [(r.s, r.direct, r.routed) for r in rows
+           if not (r.direct == r.routed == float(r.s))]
+    assert not bad, (
+        f"Spark scale-0 decimal→double no longer correctly rounded "
+        f"on {len(bad)} values, e.g. {bad[:3]} — the similarity "
+        "queries' direct cast must switch to the string route")
+
+    con = duckdb.connect()
+    probe = vals[::400] + vals[-4:]
+    for v in probe:
+        got = con.execute(
+            f"SELECT CAST(CAST(CAST('{v}' AS DECIMAL(38,0)) AS VARCHAR)"
+            " AS DOUBLE)").fetchone()[0]
+        assert got == float(Decimal(v)), (v, got.hex())
+    con.close()
+
+
 # Interpolated-percentile probe values: pairs where
 # lower + (upper-lower)*frac, (1-frac)*lower + frac*upper and
 # (lower+upper)/2 all differ in the last ulps, plus ulp-adjacent and
