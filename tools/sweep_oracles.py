@@ -24,7 +24,21 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
-def sweep(spark, sf_dir: str) -> list:
+def _alive(spark) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 - any probe failure = dead
+        return False
+
+
+def sweep(spark, sf_dir: str, respawn=None) -> list:
+    """Run every registered query against its DuckDB oracle at
+    ``sf_dir``. ``respawn``: zero-arg factory returning a fresh
+    SparkSession — when one query kills the JVM (an executor OOM
+    stops the whole local-mode context), the sweep restarts Spark and
+    keeps going instead of cascading bogus 'Connection refused'
+    failures onto every remaining query (the r6 sf1 first-run
+    failure mode)."""
     import duckdb
 
     import __spark_entry__ as mod
@@ -53,6 +67,10 @@ def sweep(spark, sf_dir: str) -> list:
                   file=sys.stderr)
         except Exception as ex:  # noqa: BLE001 - report, keep sweeping
             fails.append((name, "EXC", str(ex)[:150]))
+            if respawn is not None and not _alive(spark):
+                print(f"# SparkContext died during {name}; respawning",
+                      file=sys.stderr)
+                spark = respawn()
     con.close()
     return fails
 
@@ -66,15 +84,21 @@ def main() -> None:
     # JVM for the largest fixture (sf1's exhaustive tx6 shingle join
     # OOMs the 1g default heap) — queries still run on a plain
     # session config otherwise, so parity semantics are unchanged.
-    spark = (SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_SWEEP_MEM", "48g"))
-        .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
+    def mk():
+        s = (SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_SWEEP_MEM", "48g"))
+            .getOrCreate())
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = mk()
     rc = 0
     for d in dirs:
-        fails = sweep(spark, d)
+        if not _alive(spark):
+            spark = mk()
+        fails = sweep(spark, d, respawn=mk)
         print(f"{d}: {'OK' if not fails else f'FAILS: {fails}'}")
         rc |= bool(fails)
     sys.exit(rc)
