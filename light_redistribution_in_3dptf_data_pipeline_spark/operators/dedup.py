@@ -204,6 +204,36 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
     return agg.select(id_col, fp.alias(out))
 
 
+def inrow_simhash(text, hash_fn=None, n_bits: int = 64):
+    """SimHash as a single map-only Column over ``text`` — no explode,
+    no groupBy, NO SHUFFLE: per-row token split, per-token hash, and
+    the per-bit ±1 majority all evaluate inside the row.
+
+    Cost contract (measured at sf0.1, r6): ~6x slower per row than
+    :func:`simhash_fingerprints` — the 64 ``filter`` traversals are
+    interpreted higher-order functions, while the explode+groupBy
+    form's 64 counters run in one codegen'd aggregate pass. Batch
+    pipelines should keep ``simhash_fingerprints``; this form exists
+    because it is the only STREAM-SAFE formulation: with zero
+    aggregation it can precede ``dropDuplicates[WithinWatermark]`` in
+    an append-mode stream (streaming/dedup.streaming_dedup_neardup),
+    where a grouped fingerprint would demand a second stateful stage.
+    Identical output to ``simhash_fingerprints`` (pinned by
+    tests/test_streaming_dedup.py)."""
+    hf = hash_fn or F.xxhash64
+    hs = F.transform(F.split(F.trim(text), r"\s+"), lambda t: hf(t))
+    n = F.size(hs)
+    fp = None
+    for i in range(n_bits):
+        cnt = F.size(F.filter(
+            hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
+        bit = F.when(2 * cnt - n > 0, F.lit(1).cast("bigint")) \
+               .otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return fp
+
+
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
 

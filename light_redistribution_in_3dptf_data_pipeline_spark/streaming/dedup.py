@@ -47,6 +47,33 @@ def streaming_dedup_exact(docs: DataFrame, text_col: str = "text",
     return hashed.dropDuplicates(["content_hash"])
 
 
+def streaming_dedup_neardup(docs: DataFrame, text_col: str = "text",
+                            ts_col: str = "ts",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """NEAR-duplicate streaming dedup: one survivor per 64-bit SimHash
+    fingerprint, watermark-bounded state — catches documents whose
+    token multiset is (near-)identical even when the bytes differ
+    (whitespace runs, reordered-but-identical token bags), which the
+    content-hash exact stage misses.
+
+    The fingerprint is the map-only in-row SimHash
+    (operators/dedup.inrow_simhash — the ~6x-per-row cost is the
+    price of stream-safety; the codegen'd groupBy form is an
+    aggregation and cannot precede a streaming dropDuplicates).
+    Scope: equal-fingerprint only (Hamming 0). The banded Hamming-3
+    candidate join (simhash_band_candidates) needs a self-join and
+    stays a batch/foreachBatch stage — run this as the cheap online
+    gate and the banded pass as the periodic batch sweep.
+    Batch input degrades to ``dropDuplicates`` on the same column."""
+    from ..operators.dedup import inrow_simhash
+
+    fp = docs.withColumn("simhash", inrow_simhash(F.col(text_col)))
+    if fp.isStreaming:
+        return (fp.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["simhash"]))
+    return fp.dropDuplicates(["simhash"])
+
+
 def streaming_dedup_keyed(docs: DataFrame, key_cols: list[str]) -> DataFrame:
     """Exact whole-stream dedup on a BOUNDED key domain (state = one
     entry per distinct key, forever). Use only when the key domain is
