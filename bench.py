@@ -60,6 +60,16 @@ def main() -> None:
     from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
     from light_redistribution_in_3dptf_data_pipeline_spark.session import get_spark
 
+    # Driver memory must be fixed BEFORE the JVM starts, so size it
+    # from the fixture footprint here (≈200x input bytes covers the
+    # worst aggregate working set — sf1's exhaustive shingle join
+    # needs ~40g): explicit $SPARK_GRAFT_DRIVER_MEM always wins.
+    fixture_bytes = sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR) if f.endswith(".parquet"))
+    if fixture_bytes > 100 * 1024 * 1024:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 

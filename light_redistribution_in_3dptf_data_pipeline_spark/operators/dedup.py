@@ -348,7 +348,8 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_verified_neardups(docs: DataFrame, threshold: float,
                           id_col: str = "doc_id",
                           bands: int = LSH_BANDS,
-                          num_hashes: int = NUM_HASHES) -> DataFrame:
+                          num_hashes: int = NUM_HASHES,
+                          max_doc_freq: int | None = None) -> DataFrame:
     """The full scale-path near-dup DECISION: LSH candidate generation
     followed by exact-jaccard verification on the candidate set only.
 
@@ -363,8 +364,15 @@ def lsh_verified_neardups(docs: DataFrame, threshold: float,
     with p ≈ 2e-4).
 
     Returns (doc_a, doc_b, n_inter, jaccard) with jaccard ≥ threshold.
+
+    ``max_doc_freq``: the stop-shingle skew guard, passed through to
+    :func:`shingles`. The registered dx5 query keeps it off (the
+    guard changes which shingles exist, so the exhaustive oracle
+    would have to drop the same set); a production run over a
+    boilerplate-bearing corpus should set it — the band join's
+    fan-out bound is what tests/test_skew.py measures.
     """
-    sh = shingles(docs, id_col=id_col)
+    sh = shingles(docs, id_col=id_col, max_doc_freq=max_doc_freq)
     cand = (lsh_candidate_pairs(minhash_signatures(sh, id_col,
                                                    num_hashes),
                                 id_col, bands, num_hashes)

@@ -61,8 +61,15 @@ EXPECTED = {
 }
 
 
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID],
-                         ids=["sf0.001", "sf0.01"])
+# The locally generated sf1 scale-up (tools/gen_sf1.py) must present
+# the same logical schema through load_table as the driver fixtures —
+# checked when it exists, skipped otherwise (it's gitignored).
+SF1_LOCAL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".localdata", "sf1")
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID, SF1_LOCAL],
+                         ids=["sf0.001", "sf0.01", "sf1-local"])
 @pytest.mark.parametrize("table", TABLES)
 def test_fixture_schema_canary(spark, sf_dir, table):
     if not os.path.exists(f"{sf_dir}/{table}.parquet"):
