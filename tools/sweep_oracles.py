@@ -78,18 +78,34 @@ def sweep(spark, sf_dir: str, respawn=None) -> list:
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.01",
-                            "/root/testdata/sf0.1"]
+    args = sys.argv[1:]
+    # Config-adversarial flags (the cluster-determinism proof at
+    # full-registry breadth — r6 ran all 50 green under both):
+    #   --no-aqe              disable adaptive execution
+    #   --shuffle-partitions N  force a static partition count
+    no_aqe = "--no-aqe" in args
+    shuffle_n = None
+    if "--shuffle-partitions" in args:
+        i = args.index("--shuffle-partitions")
+        shuffle_n = args[i + 1]
+        del args[i:i + 2]
+    args = [a for a in args if a != "--no-aqe"]
+    dirs = args or ["/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1"]
     # Unlike the driver's smoke run, the sweep is OUR tool: size the
     # JVM for the largest fixture (sf1's exhaustive tx6 shingle join
     # OOMs the 1g default heap) — queries still run on a plain
     # session config otherwise, so parity semantics are unchanged.
     def mk():
-        s = (SparkSession.builder.master(
+        b = (SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
             .config("spark.driver.memory",
-                    os.environ.get("SPARK_GRAFT_SWEEP_MEM", "48g"))
-            .getOrCreate())
+                    os.environ.get("SPARK_GRAFT_SWEEP_MEM", "48g")))
+        if no_aqe:
+            b = b.config("spark.sql.adaptive.enabled", "false")
+        if shuffle_n is not None:
+            b = b.config("spark.sql.shuffle.partitions", shuffle_n)
+        s = b.getOrCreate()
         s.sparkContext.setLogLevel("ERROR")
         return s
 
