@@ -280,6 +280,102 @@ def simhash_band_candidates(fp: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def dedup_delta_exact(new_docs: DataFrame, index: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      hash_col: str = "content_hash"
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Incremental EXACT dedup: admit only new documents whose content
+    hash is neither in the historical ``index`` (one ``hash_col``
+    column) nor earlier in this delta. Returns
+    ``(survivors, updated_index)``.
+
+    The 100 TB shape: a daily ingest never re-dedups the corpus — it
+    dedups the DELTA against a hash index. Cost is one groupBy over
+    the delta (in-delta survivor = min id, deterministic) plus one
+    anti-join delta×index on the hash (broadcast when the delta is
+    small, AQE otherwise). The updated index is ``index ∪ admitted``
+    with NO distinct: the anti-join already guarantees disjointness,
+    so extending the index is append-only — exactly how the index
+    parquet/Delta table grows in production."""
+    from pyspark.sql import Window
+
+    hashed = new_docs.withColumn(
+        hash_col, F.md5(F.col(text_col).cast("binary")))
+    w = Window.partitionBy(hash_col).orderBy(id_col)
+    in_delta = (hashed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    survivors = in_delta.join(index, hash_col, "left_anti")
+    updated = index.unionByName(survivors.select(hash_col))
+    return survivors, updated
+
+
+def neardup_delta_simhash(new_docs: DataFrame, index: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          fp_col: str = "simhash",
+                          bands: int = SIMHASH_BANDS,
+                          max_hamming: int = SIMHASH_MAX_HAMMING
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup: admit only new documents whose
+    SimHash is farther than ``max_hamming`` from every fingerprint in
+    the historical ``index`` (one ``fp_col`` column) AND from every
+    earlier-admitted fingerprint in this delta. Returns
+    ``(survivors, updated_index)``.
+
+    Scale shape: both the delta×index check and the in-delta check go
+    through the banded bucket join (``bands`` slices of the 64-bit
+    fingerprint — pigeonhole recall 1 for Hamming ≤ bands−1), so the
+    cost is O((|delta| + matched-bucket index rows) · bands), never
+    |delta|·|index|. In-delta policy (one pass, deterministic): a doc
+    is dropped when ANY lower-id delta doc — admitted or itself
+    dropped — is within ``max_hamming``. On a chain a~b~c (a≁c) this
+    drops both b and c: more aggressive than sequential greedy (which
+    would re-admit c after dropping b), monotone in id order, and
+    iteration-free — the right trade for an ingest gate, where a
+    borderline family collapsing to its first-seen member is the
+    intended outcome. Exact-distance verification bounds the damage:
+    only genuinely-near chains collapse, never whole buckets."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def banded(fp_frame: DataFrame, cols: list[str]) -> DataFrame:
+        slices = F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     F.shiftrightunsigned(F.col(fp_col), b * width)
+                      .bitwiseAND(F.lit(mask)).alias("slice"))
+            for b in range(bands)])
+        return (fp_frame.select(*cols, F.explode(slices).alias("bs"))
+                .select(*cols, F.col("bs.band").alias("band"),
+                        F.col("bs.slice").alias("slice")))
+
+    fp_new = (simhash_fingerprints(new_docs, text_col=text_col,
+                                   id_col=id_col, out=fp_col)
+              .join(new_docs, id_col))
+
+    d = banded(fp_new, [id_col, fp_col]).alias("d")
+    # delta × index: any banded collision within max_hamming kills
+    ix = banded(index, [fp_col]).alias("i")
+    hit_ix = (d.join(ix, (F.col("d.band") == F.col("i.band"))
+                     & (F.col("d.slice") == F.col("i.slice")))
+              .filter(F.bit_count(
+                  F.col(f"d.{fp_col}").bitwiseXOR(F.col(f"i.{fp_col}")))
+                  <= max_hamming)
+              .select(F.col(f"d.{id_col}").alias(id_col)).distinct())
+    # delta × delta: only LOWER ids kill higher ids (greedy-by-id)
+    d2 = banded(fp_new, [id_col, fp_col]).alias("e")
+    hit_delta = (d.join(d2, (F.col("d.band") == F.col("e.band"))
+                        & (F.col("d.slice") == F.col("e.slice"))
+                        & (F.col(f"e.{id_col}") < F.col(f"d.{id_col}")))
+                 .filter(F.bit_count(
+                     F.col(f"d.{fp_col}")
+                     .bitwiseXOR(F.col(f"e.{fp_col}"))) <= max_hamming)
+                 .select(F.col(f"d.{id_col}").alias(id_col)).distinct())
+    killed = hit_ix.unionByName(hit_delta).distinct()
+    survivors = fp_new.join(killed, id_col, "left_anti")
+    updated = index.unionByName(survivors.select(fp_col))
+    return survivors, updated
+
+
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dx1 (unregistered): MinHash(32)+LSH(8 bands) candidate pairs
     with estimated jaccard — bucket-join instead of O(N²). Superseded

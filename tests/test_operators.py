@@ -135,6 +135,80 @@ class TestSimHash:
         assert any(r.doc_b - r.doc_a == 1000000 for r in zero)
 
 
+class TestDeltaDedup:
+    """Incremental dedup of an ingest delta against a historical
+    index — the 100 TB shape where the corpus is never re-deduped."""
+
+    def _index_docs(self, spark):
+        return spark.createDataFrame(
+            [(100, "the quick brown fox jumps over dogs"),
+             (101, "completely different historical text here"),
+             (102, "spark window join table scan filter")],
+            "doc_id LONG, text STRING")
+
+    def test_exact_delta(self, spark):
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import dedup_delta_exact
+
+        idx_docs = self._index_docs(spark)
+        _, index = dedup_delta_exact(
+            idx_docs, spark.createDataFrame([], "content_hash STRING"))
+        assert index.count() == 3
+
+        delta = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over dogs"),   # in index
+             (2, "fresh delta document one"),
+             (3, "fresh delta document one"),              # in-delta dup
+             (4, "fresh delta document two")],
+            "doc_id LONG, text STRING")
+        survivors, updated = dedup_delta_exact(delta, index)
+        ids = sorted(r.doc_id for r in survivors.collect())
+        assert ids == [2, 4]                  # min-id wins the pair
+        assert updated.count() == 5           # 3 + 2, append-only
+        assert updated.distinct().count() == 5
+
+    def test_simhash_delta(self, spark):
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+            neardup_delta_simhash, simhash_fingerprints)
+
+        idx_docs = self._index_docs(spark)
+        index = simhash_fingerprints(idx_docs).select("simhash")
+
+        delta = spark.createDataFrame(
+            [(1, "dogs over jumps fox brown quick the"),  # token perm
+             (2, "spark  window   join table scan filter"),  # ws variant
+             (3, "entirely novel ingest content alpha beta"),
+             (4, "entirely novel ingest content alpha beta"),  # in-delta
+             (5, "unrelated gamma delta epsilon zeta words")],
+            "doc_id LONG, text STRING")
+        survivors, updated = neardup_delta_simhash(delta, index)
+        ids = sorted(r.doc_id for r in survivors.collect())
+        # 1: SimHash is token-multiset-order-independent → Hamming 0
+        #    to index doc 100 → dropped. 2: whitespace variant of
+        #    index doc 102 → dropped. 4: in-delta dup of 3, higher id
+        #    → dropped. 3 and 5 admitted.
+        assert ids == [3, 5]
+        assert updated.count() == index.count() + 2
+        # survivors carry fingerprint + original columns
+        row = survivors.filter(F.col("doc_id") == 3).collect()[0]
+        assert row.simhash is not None and row.text.startswith("entirely")
+
+    def test_delta_banded_join_not_cartesian(self, spark):
+        """The delta×index check must stay a banded equi-join — a
+        Hamming filter over a cross join would be O(|delta|·|index|)
+        at scale."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+            neardup_delta_simhash, simhash_fingerprints)
+
+        idx = simhash_fingerprints(self._index_docs(spark)) \
+            .select("simhash")
+        delta = spark.createDataFrame(
+            [(1, "some delta text content")], "doc_id LONG, text STRING")
+        survivors, _ = neardup_delta_simhash(delta, idx)
+        plan = survivors._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestAnnLsh:
     def test_recall_vs_bruteforce(self, spark):
         """In-bucket ANN must recover a reasonable share of the true
