@@ -181,6 +181,73 @@ def build_corpus_pipeline(root: str, source: DataFrame,
     return p
 
 
+def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
+                 batch_id: str,
+                 langs: tuple[str, ...] = DEFAULT_LANGS,
+                 min_tokens: int = MIN_TOKENS,
+                 redact: bool = False) -> DataFrame:
+    """INCREMENTAL corpus ingest — the daily-batch shape at 100 TB,
+    where the standing corpus is never re-deduped: the delta runs the
+    same scrub/feature/quality stages (pure maps), then dedups
+    against two persisted INDEX tables instead of against the corpus:
+
+    - ``{root}/index_content_hash`` — exact gate
+      (operators/dedup.dedup_delta_exact).
+    - ``{root}/index_simhash`` — near-dup gate, banded bucket joins
+      (operators/dedup.neardup_delta_simhash).
+
+    Admitted documents append to ``{root}/corpus`` partitioned by
+    ``batch_id``; both indexes grow append-only (the delta operators
+    guarantee the appended keys are disjoint from the index, so a
+    plain Parquet append IS the index update — no rewrite of
+    corpus-sized state, ever). Re-ingesting an existing ``batch_id``
+    raises: idempotence is by batch identity, not by re-running the
+    dedup (a rerun after a partial failure should remove the batch
+    partition + trailing index rows, or use a fresh batch id).
+
+    Returns the admitted-documents DataFrame (read back from the
+    corpus sink, so the caller observes exactly what was committed).
+    """
+    import os
+
+    part_dir = f"{root}/corpus/batch_id={batch_id}"
+    if os.path.exists(part_dir):
+        raise ValueError(
+            f"batch_id {batch_id!r} already ingested at {part_dir}")
+
+    from ..operators.dedup import (dedup_delta_exact,
+                                   neardup_delta_simhash)
+
+    staged = scrub_documents(new_docs) if redact else new_docs
+    gated = quality_gate(document_features(staged), langs, min_tokens)
+
+    ex_path = f"{root}/index_content_hash"
+    ex_index = (spark.read.parquet(ex_path) if os.path.exists(ex_path)
+                else spark.createDataFrame([], "content_hash STRING"))
+    # gated already carries content_hash; reuse it rather than
+    # rehashing inside the operator
+    from pyspark.sql import Window
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    in_delta = (gated.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    ex_survivors = in_delta.join(ex_index, "content_hash", "left_anti") \
+                           .localCheckpoint()
+
+    fp_path = f"{root}/index_simhash"
+    fp_index = (spark.read.parquet(fp_path) if os.path.exists(fp_path)
+                else spark.createDataFrame([], "simhash BIGINT"))
+    survivors, _ = neardup_delta_simhash(ex_survivors, fp_index)
+    survivors = survivors.localCheckpoint()
+
+    (survivors.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("append").partitionBy("batch_id")
+     .parquet(f"{root}/corpus"))
+    survivors.select("content_hash").write.mode("append").parquet(ex_path)
+    survivors.select("simhash").write.mode("append").parquet(fp_path)
+    return (spark.read.parquet(f"{root}/corpus")
+            .filter(F.col("batch_id") == batch_id))
+
+
 def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:
     """Per-stage survivor counts — the pipeline's acceptance report
     (the analog of the reference's stage-end counters,

@@ -203,6 +203,49 @@ def test_pipeline_verify_exact_variant(spark, docs, tmp_path):
     assert dropped <= droppable
 
 
+class TestIncrementalIngest:
+    """Two-day delta ingest against the persisted dedup indexes —
+    the corpus is never re-deduped, only the delta is checked."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, "
+                  "source STRING, n_chars LONG")
+
+    def test_two_day_ingest(self, spark, tmp_path):
+        root = str(tmp_path / "inc")
+        day1 = self._docs(spark, [
+            (1, "the quick brown fox jumps over lazy dogs", "en", "s", 1),
+            (2, "alpha beta gamma delta epsilon zeta words", "en", "s", 1),
+            (3, "alpha beta gamma delta epsilon zeta words", "en", "s", 1),
+        ])
+        got1 = corpus.ingest_delta(spark, root, day1, batch_id="d1")
+        assert sorted(r.doc_id for r in got1.collect()) == [1, 2]
+
+        day2 = self._docs(spark, [
+            # exact dup of day-1 doc 1 → exact index kills it
+            (10, "the quick brown fox jumps over lazy dogs", "en", "s", 1),
+            # whitespace variant of day-1 doc 2 → simhash index kills
+            (11, "alpha  beta gamma  delta epsilon zeta words", "en", "s", 1),
+            (12, "entirely new second day content here folks", "en", "s", 1),
+            # sub-threshold → quality gate
+            (13, "too short", "en", "s", 1),
+        ])
+        got2 = corpus.ingest_delta(spark, root, day2, batch_id="d2")
+        assert sorted(r.doc_id for r in got2.collect()) == [12]
+
+        # corpus accumulates batches; indexes grew append-only
+        all_rows = spark.read.parquet(f"{root}/corpus").collect()
+        assert sorted(r.doc_id for r in all_rows) == [1, 2, 12]
+        assert spark.read.parquet(f"{root}/index_content_hash") \
+                    .count() == 3
+        assert spark.read.parquet(f"{root}/index_simhash").count() == 3
+
+        # batch identity is the idempotence key
+        with pytest.raises(ValueError, match="already ingested"):
+            corpus.ingest_delta(spark, root, day2, batch_id="d2")
+
+
 class TestPartitionedCorpusSink:
     def test_layout_roundtrip_and_pruning(self, spark, tmp_path):
         """Hive layout per lang, bounded file sizes, lossless
