@@ -369,3 +369,86 @@ LIMIT {TOP_K}
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_cosine_topk(emb)
+
+
+# --------------------------------------------------------------------
+# Stored-index ANN (r6): the persisted form of the scale claim above —
+# "at 100 TB the bucket column becomes the partition key of the stored
+# index table, so a query prunes to J+1 of 2^J partitions".
+# write_ann_index + ann_indexed_topk demonstrate exactly that, and
+# tests/test_partition_pruning.py asserts the pruned scan.
+# --------------------------------------------------------------------
+
+def write_ann_index(emb: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    num_planes: int = NUM_PLANES,
+                    dim: int = EMB_DIM) -> None:
+    """Persist the ANN index bucket-partitioned: one map to attach the
+    LSH bucket, ``repartition(bucket)`` so each partition directory is
+    written only by the tasks owning its rows (no tasks×buckets
+    small-files blowup), then a ``partitionBy(bucket)`` Parquet write.
+    The raw vector is stored (not the fixed-point form): re-deriving
+    nano-components at query time is a per-row map over k·(J+1)/2^J of
+    the data, while storing both would double the index footprint."""
+    buckets = lsh_buckets(emb, id_col, vec_col, num_planes, dim)
+    (emb.join(buckets, id_col)
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def query_bucket(vec: list, num_planes: int = NUM_PLANES,
+                 dim: int = EMB_DIM) -> int:
+    """Driver-side bucket id of a query vector — bit-identical to
+    ``lsh_buckets`` (same md5 hyperplanes, same ``floor(x·1e9+0.5)``
+    fixed point, exact integer dots; Python floats are the same IEEE
+    doubles Spark uses)."""
+    import math
+
+    if len(vec) != dim:
+        raise ValueError(f"expected {dim}-dim query vector, got {len(vec)}")
+    signs = _plane_signs(num_planes, dim)
+    ci = [math.floor(float(x) * 1000000000.0 + 0.5) for x in vec]
+    bucket = 0
+    for j in range(num_planes):
+        if sum(s * c for s, c in zip(signs[j], ci)) > 0:
+            bucket |= 1 << j
+    return bucket
+
+
+def ann_indexed_topk(spark: SparkSession, path: str, query_vec: list,
+                     k: int = TOP_K, num_planes: int = NUM_PLANES,
+                     dim: int = EMB_DIM,
+                     exclude_id: int | None = None) -> DataFrame:
+    """Query the stored index: the query's bucket and its Hamming-1
+    neighbors are computed DRIVER-SIDE (``query_bucket``), so the scan
+    carries a literal ``bucket IN (...)`` predicate — static partition
+    pruning at plan time, J+1 of 2^J directories read, no job needed
+    to discover the probe set. Exact fixed-point cosine re-rank inside
+    the probed buckets (the sx pattern). Returns
+    (vec_id, cosine, bucket)."""
+    import math
+
+    b = query_bucket(query_vec, num_planes, dim)
+    probes = [b] + [b ^ (1 << j) for j in range(num_planes)]
+    qci = [math.floor(float(x) * 1000000000.0 + 0.5) for x in query_vec]
+    qsq = float(sum(c * c for c in qci)) / 1e18
+
+    from ..queries.similarity import _fixed_dot
+
+    scan = (spark.read.parquet(path)
+            .filter(F.col("bucket").isin(probes)))
+    if exclude_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_id)
+    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
+    dec = scan.select("vec_id", "bucket",
+                      _fixed_point(F.col("embedding")).alias("ci"),
+                      qarr.alias("qci"))
+    scored = dec.select(
+        "vec_id", "bucket",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18)).alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18)).alias("nsq"))
+    cosine = F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq)))
+    return (scored.select("vec_id", F.round(cosine, 9).alias("cosine"),
+                          "bucket")
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))

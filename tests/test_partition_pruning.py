@@ -51,3 +51,59 @@ def test_projection_prunes_columns(spark, lang_partitioned):
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1) == "doc_id:bigint", plan
+
+
+class TestAnnStoredIndex:
+    """The ANN module's scale claim, demonstrated on disk: the bucket
+    column IS the partition key, and a query's literal probe set
+    prunes the scan to J+1 of 2^J directories at PLAN time."""
+
+    def test_indexed_query_matches_inmemory_and_prunes(
+            self, spark, tmp_path):
+        from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators import similarity as S
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ann_index")
+        S.write_ann_index(emb, path)
+
+        qvec = [float(x) for x in emb.filter("vec_id = 0")
+                .select("embedding").collect()[0][0]]
+        got = S.ann_indexed_topk(spark, path, qvec, exclude_id=0)
+        rows = got.collect()
+        want = [(r.vec_id, r.cosine, r.bucket)
+                for r in S.ann_cosine_topk(emb).collect()]
+        assert [(r.vec_id, r.cosine, r.bucket) for r in rows] == want
+
+        # driver-side bucket == distributed bucket for every vector
+        buckets = {r.vec_id: r.bucket
+                   for r in S.lsh_buckets(emb).collect()}
+        sample = emb.limit(20).collect()
+        for r in sample:
+            assert S.query_bucket(list(map(float, r.embedding))) \
+                == buckets[r.vec_id]
+
+        # static pruning: the scan carries a LITERAL partition filter
+        # (bucket IN (...)) with at most J+1 probe buckets — far
+        # fewer than the populated partition count, so the directory
+        # listing itself is pruned at plan time
+        import re
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)",
+                      plan)
+        assert m is not None, (
+            "scan lost its static partition filter:\n" + plan[:2000])
+        n_probed = len(m.group(1).split(","))
+        n_total = (spark.read.parquet(path)
+                   .select("bucket").distinct().count())
+        assert n_probed <= S.NUM_PLANES + 1 < n_total, (
+            f"pruning ineffective: {n_probed} of {n_total} partitions")
+
+    def test_query_bucket_rejects_wrong_dim(self):
+        import pytest
+
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators import similarity as S
+
+        with pytest.raises(ValueError, match="64-dim"):
+            S.query_bucket([0.5] * 32)
