@@ -452,3 +452,75 @@ def ann_indexed_topk(spark: SparkSession, path: str, query_vec: list,
                           "bucket")
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
+
+
+def write_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    cell_col: str = "label") -> None:
+    """Persist the IVF index in its production (FAISS-style) layout:
+
+    - ``{path}/postings`` — the vectors, Parquet-partitioned by cell
+      id (the posting lists; ``repartition(cell)`` first so each
+      directory is written by its owning tasks).
+    - ``{path}/centroids`` — one row per cell: exact int64 nano-unit
+      component sums + the cell count (L rows — the coarse quantizer,
+      small enough to collect driver-side at query time, exactly how
+      IVF serves queries in practice).
+    """
+    dec = emb.select(id_col, F.col(cell_col).alias("cell"),
+                     _fixed_point(F.col(vec_col)).alias("ci"),
+                     F.col(vec_col))
+    (dec.drop("ci").repartition(F.col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"{path}/postings"))
+    (dec.groupBy("cell")
+        .agg(F.array(*[F.sum(F.element_at("ci", i + 1)).alias(f"s{i}")
+                       for i in range(EMB_DIM)]).alias("csum"),
+             F.count("*").cast("bigint").alias("nv"))
+        .write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def ivf_indexed_topk(spark: SparkSession, path: str, query_vec: list,
+                     k: int = TOP_K, nprobe: int = 2,
+                     exclude_id: int | None = None) -> DataFrame:
+    """Query the stored IVF index: collect the L-row centroid table,
+    rank cells DRIVER-SIDE by exact integer centroid·query (same
+    mean-scaled score as ``ivf_search_topk`` — Python ints are
+    arbitrary-precision, so this is the int64 hi/lo fold's value
+    exactly), then scan the posting lists with a literal
+    ``cell IN (...)`` predicate — static partition pruning to
+    nprobe of L directories. Exact fixed-point cosine re-rank inside.
+    Returns (vec_id, cosine, cell) — identical to ``ivf_search_topk``
+    for the same query vector."""
+    import math
+
+    from ..queries.similarity import _fixed_dot
+
+    qci = [math.floor(float(x) * 1000000000.0 + 0.5) for x in query_vec]
+    qsq = float(sum(c * c for c in qci)) / 1e18
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    ranked = sorted(
+        ((float(sum(int(s) * q for s, q in zip(r.csum, qci)))
+          / (r.nv * 1e18), r.cell) for r in cents),
+        key=lambda t: (-t[0], t[1]))
+    probe_cells = [c for _, c in ranked[:nprobe]]
+
+    scan = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("cell").isin(probe_cells)))
+    if exclude_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_id)
+    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
+    dec = scan.select("vec_id", "cell",
+                      _fixed_point(F.col("embedding")).alias("ci"),
+                      qarr.alias("qci"))
+    scored = dec.select(
+        "vec_id", "cell",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18)).alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18)).alias("nsq"))
+    cosine = F.round(
+        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq))), 9)
+    return (scored.select("vec_id", cosine.alias("cosine"),
+                          F.col("cell").cast("bigint").alias("cell"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))

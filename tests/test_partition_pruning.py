@@ -107,3 +107,39 @@ class TestAnnStoredIndex:
 
         with pytest.raises(ValueError, match="64-dim"):
             S.query_bucket([0.5] * 32)
+
+
+class TestIvfStoredIndex:
+    """ivf_search_topk's docstring claim on disk: posting lists
+    partitioned by cell, centroids collected driver-side, the probe
+    scan pruned to nprobe of L directories at plan time."""
+
+    def test_indexed_query_matches_inmemory_and_prunes(
+            self, spark, tmp_path):
+        import re
+
+        from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators import similarity as S
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivf_index")
+        S.write_ivf_index(emb, path)
+
+        qvec = [float(x) for x in emb.filter("vec_id = 0")
+                .select("embedding").collect()[0][0]]
+        got = S.ivf_indexed_topk(spark, path, qvec, nprobe=2,
+                                 exclude_id=0)
+        rows = [(r.vec_id, r.cosine, r.cell) for r in got.collect()]
+        want = [(r.vec_id, r.cosine, r.cell)
+                for r in S.ivf_search_topk(emb, nprobe=2).collect()]
+        assert rows == want
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)",
+                      plan)
+        assert m is not None, (
+            "posting scan lost its static partition filter:\n"
+            + plan[:2000])
+        n_probed = len(m.group(1).split(","))
+        n_cells = emb.select("label").distinct().count()
+        assert n_probed == 2 < n_cells, (n_probed, n_cells)
