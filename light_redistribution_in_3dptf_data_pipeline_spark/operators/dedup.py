@@ -238,6 +238,23 @@ SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
 
 
+def _simhash_band_rows(fp_frame: DataFrame, cols: list[str],
+                       fp_col: str, bands: int) -> DataFrame:
+    """Explode a fingerprint frame into (cols..., band, slice) rows —
+    the shared banding step of every SimHash bucket join (64/bands
+    bits per slice)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.shiftrightunsigned(F.col(fp_col), b * width)
+                  .bitwiseAND(F.lit(mask)).alias("slice"))
+        for b in range(bands)])
+    return (fp_frame.select(*cols, F.explode(slices).alias("bs"))
+            .select(*cols, F.col("bs.band").alias("band"),
+                    F.col("bs.slice").alias("slice")))
+
+
 def simhash_band_candidates(fp: DataFrame, id_col: str = "doc_id",
                             fp_col: str = "simhash",
                             bands: int = SIMHASH_BANDS,
@@ -255,17 +272,7 @@ def simhash_band_candidates(fp: DataFrame, id_col: str = "doc_id",
     Hamming 3). Shuffle cost is O(N·bands) band rows, never O(N²).
     Returns (doc_a, doc_b, hamming) with hamming ≤ ``max_hamming``.
     """
-    width = 64 // bands
-    mask = (1 << width) - 1
-    band_structs = F.array(*[
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 F.shiftrightunsigned(F.col(fp_col), b * width)
-                  .bitwiseAND(F.lit(mask)).alias("slice"))
-        for b in range(bands)])
-    rows = (fp.select(id_col, fp_col,
-                      F.explode(band_structs).alias("bs"))
-            .select(id_col, fp_col, F.col("bs.band").alias("band"),
-                    F.col("bs.slice").alias("slice")))
+    rows = _simhash_band_rows(fp, [id_col, fp_col], fp_col, bands)
     a = rows.alias("a")
     b = rows.alias("b")
     hamming = F.bit_count(
@@ -335,26 +342,14 @@ def neardup_delta_simhash(new_docs: DataFrame, index: DataFrame,
     borderline family collapsing to its first-seen member is the
     intended outcome. Exact-distance verification bounds the damage:
     only genuinely-near chains collapse, never whole buckets."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-
-    def banded(fp_frame: DataFrame, cols: list[str]) -> DataFrame:
-        slices = F.array(*[
-            F.struct(F.lit(b).cast("int").alias("band"),
-                     F.shiftrightunsigned(F.col(fp_col), b * width)
-                      .bitwiseAND(F.lit(mask)).alias("slice"))
-            for b in range(bands)])
-        return (fp_frame.select(*cols, F.explode(slices).alias("bs"))
-                .select(*cols, F.col("bs.band").alias("band"),
-                        F.col("bs.slice").alias("slice")))
-
     fp_new = (simhash_fingerprints(new_docs, text_col=text_col,
                                    id_col=id_col, out=fp_col)
               .join(new_docs, id_col))
 
-    d = banded(fp_new, [id_col, fp_col]).alias("d")
+    d = _simhash_band_rows(fp_new, [id_col, fp_col],
+                           fp_col, bands).alias("d")
     # delta × index: any banded collision within max_hamming kills
-    ix = banded(index, [fp_col]).alias("i")
+    ix = _simhash_band_rows(index, [fp_col], fp_col, bands).alias("i")
     hit_ix = (d.join(ix, (F.col("d.band") == F.col("i.band"))
                      & (F.col("d.slice") == F.col("i.slice")))
               .filter(F.bit_count(
@@ -362,7 +357,8 @@ def neardup_delta_simhash(new_docs: DataFrame, index: DataFrame,
                   <= max_hamming)
               .select(F.col(f"d.{id_col}").alias(id_col)).distinct())
     # delta × delta: only LOWER ids kill higher ids (greedy-by-id)
-    d2 = banded(fp_new, [id_col, fp_col]).alias("e")
+    d2 = _simhash_band_rows(fp_new, [id_col, fp_col],
+                            fp_col, bands).alias("e")
     hit_delta = (d.join(d2, (F.col("d.band") == F.col("e.band"))
                         & (F.col("d.slice") == F.col("e.slice"))
                         & (F.col(f"e.{id_col}") < F.col(f"d.{id_col}")))
