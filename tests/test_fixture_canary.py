@@ -151,6 +151,42 @@ def test_lsh_banding_recall_canary(spark, sf_dir):
             "on this fixture")
 
 
+def test_sf1_scaleup_invariants():
+    """Content invariants of the locally generated sf1 fixture
+    (tools/gen_sf1.py) beyond its schema: ASCII-ness and the
+    length==n_chars contract survive the Caesar rotation, key
+    offsets keep FK joins total, and rolled embeddings preserve
+    the norm. Skipped when the fixture hasn't been generated."""
+    import duckdb
+
+    if not os.path.exists(f"{SF1_LOCAL}/documents.parquet"):
+        pytest.skip("run tools/gen_sf1.py to generate .localdata/sf1")
+    con = duckdb.connect()
+    bad_ascii, bad_len = con.execute(
+        f"SELECT count(*) FILTER (octet_length(encode(text)) <> "
+        f"length(text)), count(*) FILTER (length(text) <> n_chars) "
+        f"FROM '{SF1_LOCAL}/documents.parquet'").fetchone()
+    assert bad_ascii == 0 and bad_len == 0
+    # FK totality: every lineitem order key resolves (10x both sides)
+    orphans = con.execute(
+        f"SELECT count(*) FROM '{SF1_LOCAL}/lineitem.parquet' l "
+        f"LEFT JOIN '{SF1_LOCAL}/orders.parquet' o "
+        f"ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IS NULL"
+    ).fetchone()[0]
+    assert orphans == 0
+    # rolled copies preserve the exact squared norm of the original
+    drift = con.execute(f"""
+        WITH n AS (SELECT vec_id % 2000 AS base, vec_id,
+                          list_sum(list_transform(embedding,
+                                                  x -> x*x)) AS s
+                   FROM '{SF1_LOCAL}/embeddings.parquet')
+        SELECT count(*) FROM n
+        JOIN n b ON b.vec_id = n.base AND n.vec_id <> n.base
+        WHERE n.s <> b.s""").fetchone()[0]
+    con.close()
+    assert drift == 0
+
+
 def test_documents_text_is_pure_ascii():
     """The mm media-pipeline oracle derives payload bytes as
     ``ord(substr(text, i+1, 1))`` — valid only while the fixture text
