@@ -256,6 +256,33 @@ def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:
             for name in p.stages}
 
 
+def write_training_shards(packed: DataFrame, path: str,
+                          n_shards: int,
+                          bin_col: str = "bin_id") -> None:
+    """Training-export sink for tx11-packed sequences: assign every
+    token-budget bin to one of ``n_shards`` shards and write a
+    directory per shard.
+
+    Contracts the trainer relies on:
+    - **A bin never splits across shards** — the shard key is a
+      deterministic hash of the bin id, so all chunks of a training
+      example land together (shuffling bins, not rows).
+    - **Shards are token-balanced in expectation** — bins carry ~equal
+      token budgets by construction (tx11's cumsum packing), and the
+      murmur3 spread puts ~bins/n_shards of them in each shard; no
+      sort, no global coordination.
+    - One ``repartition(shard)`` before ``partitionBy(shard)`` so each
+      directory is written by its owning tasks (the same small-files
+      discipline as write_partitioned_corpus).
+    """
+    sharded = packed.withColumn(
+        "shard", F.pmod(F.hash(F.col(bin_col)), F.lit(n_shards))
+        .cast("int"))
+    (sharded.repartition(F.col("shard"))
+     .sortWithinPartitions(bin_col)
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
 def write_partitioned_corpus(df: DataFrame, path: str,
                              partition_col: str = "lang",
                              max_records_per_file: int = 100_000,

@@ -246,6 +246,30 @@ class TestIncrementalIngest:
             corpus.ingest_delta(spark, root, day2, batch_id="d2")
 
 
+class TestTrainingShardSink:
+    def test_bins_whole_and_balanced(self, spark, tmp_path):
+        """tx11-packed output → 8 shards: every row survives, no bin
+        straddles a shard, and per-shard token totals stay within a
+        loose balance band (hash spread over ~equal-budget bins)."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
+
+        packed = QUERIES["tx11_chunk_pack_split"].builder(
+            spark, SF_DIR)
+        path = str(tmp_path / "shards")
+        corpus.write_training_shards(packed, path, n_shards=8)
+
+        back = spark.read.parquet(path)
+        assert back.count() == packed.count()
+        straddlers = (back.groupBy("bin_id")
+                      .agg(F.countDistinct("shard").alias("n"))
+                      .filter(F.col("n") > 1).count())
+        assert straddlers == 0, "a training bin split across shards"
+        totals = [r.t for r in back.groupBy("shard")
+                  .agg(F.sum("n_tokens").alias("t")).collect()]
+        assert len(totals) == 8
+        assert max(totals) < 3 * min(totals), totals
+
+
 class TestPartitionedCorpusSink:
     def test_layout_roundtrip_and_pruning(self, spark, tmp_path):
         """Hive layout per lang, bounded file sizes, lossless
