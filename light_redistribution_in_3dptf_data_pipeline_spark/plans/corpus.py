@@ -244,6 +244,11 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
      .parquet(f"{root}/corpus"))
     survivors.select("content_hash").write.mode("append").parquet(ex_path)
     survivors.select("simhash").write.mode("append").parquet(fp_path)
+    if survivors.isEmpty():
+        # A fully-filtered FIRST batch leaves a row-less corpus dir
+        # whose schema Parquet cannot infer — return the (empty)
+        # survivors frame instead of reading back.
+        return survivors.withColumn("batch_id", F.lit(batch_id))
     return (spark.read.parquet(f"{root}/corpus")
             .filter(F.col("batch_id") == batch_id))
 

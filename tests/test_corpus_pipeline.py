@@ -245,6 +245,20 @@ class TestIncrementalIngest:
         with pytest.raises(ValueError, match="already ingested"):
             corpus.ingest_delta(spark, root, day2, batch_id="d2")
 
+    def test_first_batch_fully_filtered(self, spark, tmp_path):
+        """A first batch that the quality gate removes entirely must
+        return an empty frame (not blow up on a row-less corpus dir),
+        and a later real batch must still ingest normally."""
+        root = str(tmp_path / "inc0")
+        empty_day = self._docs(spark, [(1, "too short", "en", "s", 1)])
+        got = corpus.ingest_delta(spark, root, empty_day, batch_id="e1")
+        assert got.count() == 0
+
+        real = self._docs(spark, [
+            (2, "a genuinely long enough document body", "en", "s", 1)])
+        got2 = corpus.ingest_delta(spark, root, real, batch_id="e2")
+        assert [r.doc_id for r in got2.collect()] == [2]
+
 
 class TestTrainingShardSink:
     def test_bins_whole_and_balanced(self, spark, tmp_path):
