@@ -108,13 +108,19 @@ def pnm_decode(content: bytes) -> np.ndarray:
 def pnm_encode(img: np.ndarray, maxval: int = 255,
                comment: str | None = None) -> bytes:
     """(h, w) integer-valued array → binary PGM ``P5`` payload.
-    The S8-style image-write counterpart used by roundtrip tests."""
+    The S8-style image-write counterpart used by roundtrip tests.
+    Samples outside [0, maxval] raise instead of silently wrapping
+    in the width cast."""
     h, w = img.shape
+    arr = np.ascontiguousarray(img, dtype=np.int64)
+    if arr.size and (arr.min() < 0 or arr.max() > maxval):
+        raise ValueError(
+            f"pnm_encode: sample range [{arr.min()}, {arr.max()}] "
+            f"outside [0, {maxval}]")
     header = f"P5\n{'# ' + comment + chr(10) if comment else ''}" \
              f"{w} {h}\n{maxval}\n".encode()
     dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
-    return header + np.ascontiguousarray(img, dtype=np.int64) \
-        .astype(dt).tobytes()
+    return header + arr.astype(dt).tobytes()
 
 
 def ppm_encode_rgb(rgb: np.ndarray, maxval: int = 255) -> bytes:
@@ -191,12 +197,18 @@ def wav_encode(samples: np.ndarray, rate: int = 16000,
     if arr.shape[1] != channels:
         raise ValueError(f"expected {channels} channels, "
                          f"got shape {arr.shape}")
-    if bits == 16:
-        data = arr.astype("<i2").tobytes()
-    elif bits == 8:
-        data = (arr.astype(np.int64) + 128).astype("u1").tobytes()
-    else:
+    lo, hi = (-32768, 32767) if bits == 16 else (-128, 127)
+    if bits not in (8, 16):
         raise ValueError("bits must be 8 or 16")
+    a64 = arr.astype(np.int64)
+    if a64.size and (a64.min() < lo or a64.max() > hi):
+        raise ValueError(
+            f"wav_encode: sample range [{a64.min()}, {a64.max()}] "
+            f"outside {bits}-bit PCM [{lo}, {hi}]")
+    if bits == 16:
+        data = a64.astype("<i2").tobytes()
+    else:
+        data = (a64 + 128).astype("u1").tobytes()
     align = channels * bits // 8
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * align,
                       align, bits)

@@ -112,6 +112,16 @@ class TestWav:
         assert np.array_equal(wav_decode(payload) * 128.0,
                               samples.astype(np.float64))
 
+    def test_encoders_reject_out_of_range_samples(self):
+        with pytest.raises(ValueError, match="outside"):
+            wav_encode(np.array([40000]))              # > int16
+        with pytest.raises(ValueError, match="outside"):
+            wav_encode(np.array([-129]), bits=8)
+        with pytest.raises(ValueError, match="outside"):
+            pnm_encode(np.array([[256]]))              # > maxval 255
+        with pytest.raises(ValueError, match="outside"):
+            pnm_encode(np.array([[-1]]))
+
     def test_unsupported_and_malformed(self):
         import struct
 
