@@ -85,6 +85,39 @@ def main() -> None:
         lines.append("")
         print(f"# {name} done", file=sys.stderr)
 
+    # Stored-index search (r6): the pruned-scan evidence — these
+    # queries read persisted bucket/cell-partitioned indexes, so the
+    # audit records their literal partition filters.
+    import re as _re
+    import tempfile
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators import (
+        similarity as S)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0")
+            .select("embedding").collect()[0][0]]
+    with tempfile.TemporaryDirectory() as td:
+        S.write_ann_index(emb, f"{td}/ann")
+        S.write_ivf_index(emb, f"{td}/ivf")
+        for label, df in (
+                ("ann_indexed_topk (stored LSH index)",
+                 S.ann_indexed_topk(spark, f"{td}/ann", qvec,
+                                    exclude_id=0)),
+                ("ivf_indexed_topk (stored IVF index)",
+                 S.ivf_indexed_topk(spark, f"{td}/ivf", qvec,
+                                    nprobe=2, exclude_id=0))):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            lines.append(f"## {label}")
+            m = _re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+            if m:
+                lines.append(f"- `{m.group(0)}` — plan-time directory"
+                             " pruning, no discovery job")
+            lines.extend(audit(plan))
+            lines.append("")
+            print(f"# {label} done", file=sys.stderr)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
