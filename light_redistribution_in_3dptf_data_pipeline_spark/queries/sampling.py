@@ -85,3 +85,46 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("fixed_k").alias("method"),
                      "lang", "doc_id", "hkey"))
     return bern.unionByName(fixed)
+
+
+def mixture_sample(docs: DataFrame, weights: dict,
+                   stratum_col: str = "source",
+                   text_col: str = "text",
+                   default_rate: float = 1.0) -> DataFrame:
+    """Deterministic MIXTURE sampling — the training-data mixing op:
+    each stratum (source/domain/language) is repeated at its own rate,
+    including rates above 1 ("epochs" over a high-quality source).
+
+    rate r per stratum decomposes as ``floor(r)`` whole copies plus a
+    Bernoulli(r - floor(r)) extra copy, gated on the same md5-hex
+    threshold trick as smp1 (hex strings compare lexicographically in
+    digit order, so the gate is engine-portable with no integer
+    parsing). Identical input ⇒ identical sample AND identical copy
+    multiplicity, any partitioning, any engine.
+
+    Output = input columns + ``copy_idx`` (0-based). A rate of 0
+    drops the stratum; strata absent from ``weights`` get
+    ``default_rate``. The whole operator is a per-row map + explode —
+    zero shuffles, scale-trivial; downstream shuffling (tx11 packing)
+    is what randomizes copy placement.
+    """
+    hkey = F.substring(F.md5(F.col(text_col)), 1, 4)
+
+    whole = F.lit(int(default_rate))
+    frac_gate = F.lit(f"{int((default_rate % 1.0) * 65536):04x}")
+    for stratum, rate in weights.items():
+        if rate < 0:
+            raise ValueError(f"negative rate for {stratum!r}: {rate}")
+        whole = F.when(F.col(stratum_col) == stratum,
+                       F.lit(int(rate))).otherwise(whole)
+        frac_gate = F.when(
+            F.col(stratum_col) == stratum,
+            F.lit(f"{int((rate % 1.0) * 65536):04x}")).otherwise(frac_gate)
+
+    n_copies = (whole
+                + F.when(hkey < frac_gate, F.lit(1)).otherwise(F.lit(0)))
+    return (docs.withColumn("_n", n_copies)
+            .filter(F.col("_n") > 0)
+            .withColumn("copy_idx",
+                        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+            .drop("_n"))

@@ -325,3 +325,65 @@ class TestPartitionedCorpusSink:
         assert "PartitionFilters: [" in plan
         assert f"(lang#" in plan.split("PartitionFilters")[1][:200] or \
             "isnotnull(lang" in plan.split("PartitionFilters")[1][:200]
+
+
+class TestMixtureSample:
+    """Deterministic mixing rates, including upsampling epochs."""
+
+    def _docs(self, spark):
+        from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+
+        return load_table(spark, SF_DIR, "documents")
+
+    def test_rates_and_determinism(self, spark):
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.sampling import (
+            mixture_sample)
+
+        docs = self._docs(spark)
+        weights = {"web": 0.5, "wiki": 2.0, "books": 2.5}
+        out = mixture_sample(docs, weights, stratum_col="source")
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, mixture_sample(
+            docs, weights, stratum_col="source").collect()))
+        assert a == b, "mixture sample must be deterministic"
+
+        base = {r.source: r.n for r in docs.groupBy("source")
+                .agg(F.count("*").alias("n")).collect()}
+        got = {r.source: r.n for r in out.groupBy("source")
+               .agg(F.count("*").alias("n")).collect()}
+        for src, n0 in base.items():
+            rate = weights.get(src, 1.0)
+            lo = int(rate) * n0
+            hi = (int(rate) + 1) * n0
+            assert lo <= got.get(src, 0) <= hi, (src, n0, got.get(src))
+            frac = rate % 1.0
+            want = n0 * rate
+            assert abs(got.get(src, 0) - want) < max(4 * (n0 ** 0.5),
+                                                     1) * max(frac, 0.1) \
+                + 1e-9 or frac == 0.0, (src, got.get(src), want)
+
+        # whole copies are exact: every wiki doc appears exactly twice
+        wiki = (out.filter(F.col("source") == "wiki")
+                .groupBy("doc_id").agg(F.count("*").alias("k")))
+        assert {r.k for r in wiki.collect()} <= {2}
+        # books: 2 or 3 copies, copy_idx contiguous from 0
+        books = (out.filter(F.col("source") == "books")
+                 .groupBy("doc_id").agg(F.count("*").alias("k"),
+                                        F.max("copy_idx").alias("mx")))
+        for r in books.collect():
+            assert r.k in (2, 3) and r.mx == r.k - 1
+
+    def test_rate_zero_drops_and_default_applies(self, spark):
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.sampling import (
+            mixture_sample)
+
+        docs = self._docs(spark)
+        out = mixture_sample(docs, {"web": 0.0}, stratum_col="source")
+        assert out.filter(F.col("source") == "web").count() == 0
+        others = docs.filter(F.col("source") != "web").count()
+        assert out.count() == others          # default rate 1.0 exact
+
+        import pytest
+
+        with pytest.raises(ValueError, match="negative"):
+            mixture_sample(docs, {"web": -1.0})
