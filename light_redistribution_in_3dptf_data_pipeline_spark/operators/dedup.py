@@ -342,9 +342,15 @@ def neardup_delta_simhash(new_docs: DataFrame, index: DataFrame,
     borderline family collapsing to its first-seen member is the
     intended outcome. Exact-distance verification bounds the damage:
     only genuinely-near chains collapse, never whole buckets."""
+    # Materialize the fingerprint aggregation ONCE: fp_new feeds the
+    # delta×index band rows, the delta×delta band rows, and the final
+    # survivors anti-join — without this the explode+groupBy+join
+    # subtree executes three times (the materialize-before-reuse
+    # discipline of operators/components.py).
     fp_new = (simhash_fingerprints(new_docs, text_col=text_col,
                                    id_col=id_col, out=fp_col)
-              .join(new_docs, id_col))
+              .join(new_docs, id_col)
+              .localCheckpoint())
 
     d = _simhash_band_rows(fp_new, [id_col, fp_col],
                            fp_col, bands).alias("d")

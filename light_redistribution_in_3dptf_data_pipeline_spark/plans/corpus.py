@@ -181,49 +181,139 @@ def build_corpus_pipeline(root: str, source: DataFrame,
     return p
 
 
+MANIFEST_DIR = "_manifests"
+INGEST_TABLES = ("corpus", "index_content_hash", "index_simhash")
+
+
+class BatchAlreadyIngested(ValueError):
+    """Raised when a ``batch_id`` with a committed manifest is
+    re-ingested. Subclasses ValueError so pre-r7 callers still catch."""
+
+
+def _manifest_path(root: str, batch_id: str) -> str:
+    return f"{root}/{MANIFEST_DIR}/{batch_id}.json"
+
+
+def committed_batches(spark: SparkSession, root: str) -> list[str]:
+    """Batch ids whose ingest COMMITTED (manifest present). Anything a
+    crashed ingest left in the data directories without a manifest is
+    not in this list and therefore invisible to every reader."""
+    from ..fs import list_dir
+
+    return [n[: -len(".json")]
+            for n in list_dir(spark, f"{root}/{MANIFEST_DIR}")
+            if n.endswith(".json")]
+
+
+def read_manifest(spark: SparkSession, root: str,
+                  batch_id: str) -> dict:
+    """The per-batch ingest ledger: input/gated/admitted counts and
+    per-gate drop accounting (the observability a production dedup
+    run needs to notice banding or gate drift)."""
+    import json
+
+    from ..fs import read_text
+
+    return json.loads(read_text(spark, _manifest_path(root, batch_id)))
+
+
+def _read_index(spark: SparkSession, root: str, name: str,
+                schema: str, committed: list[str]) -> DataFrame:
+    """A dedup index restricted to COMMITTED batches. The filter is on
+    the partition column, so uncommitted leftovers cost directory
+    pruning, not a scan."""
+    from ..fs import path_exists
+
+    path = f"{root}/{name}"
+    if not committed or not path_exists(spark, path):
+        return spark.createDataFrame([], schema)
+    # explicit schema: an index whose committed batches all admitted
+    # zero rows has no Parquet footers to infer from
+    return (spark.read.schema(schema).parquet(path)
+            .filter(F.col("batch_id").isin(committed)))
+
+
+def read_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """The committed corpus: batches with a manifest only."""
+    committed = committed_batches(spark, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed batches under {root}")
+    return (spark.read.parquet(f"{root}/corpus")
+            .filter(F.col("batch_id").isin(committed)))
+
+
 def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
                  batch_id: str,
                  langs: tuple[str, ...] = DEFAULT_LANGS,
                  min_tokens: int = MIN_TOKENS,
-                 redact: bool = False) -> DataFrame:
+                 redact: bool = False,
+                 _crash_after: str | None = None) -> DataFrame:
     """INCREMENTAL corpus ingest — the daily-batch shape at 100 TB,
     where the standing corpus is never re-deduped: the delta runs the
     same scrub/feature/quality stages (pure maps), then dedups
     against two persisted INDEX tables instead of against the corpus:
 
     - ``{root}/index_content_hash`` — exact gate
-      (operators/dedup.dedup_delta_exact).
+      (operators/dedup.dedup_delta_exact semantics).
     - ``{root}/index_simhash`` — near-dup gate, banded bucket joins
       (operators/dedup.neardup_delta_simhash).
 
-    Admitted documents append to ``{root}/corpus`` partitioned by
-    ``batch_id``; both indexes grow append-only (the delta operators
-    guarantee the appended keys are disjoint from the index, so a
-    plain Parquet append IS the index update — no rewrite of
-    corpus-sized state, ever). Re-ingesting an existing ``batch_id``
-    raises: idempotence is by batch identity, not by re-running the
-    dedup (a rerun after a partial failure should remove the batch
-    partition + trailing index rows, or use a fresh batch id).
+    **Commit protocol (crash-safe, manifest-last).** All three tables
+    are Parquet-partitioned by ``batch_id``, and a batch's rows in ALL
+    of them become visible atomically when its manifest file lands at
+    ``{root}/_manifests/{batch_id}.json`` — the single small-file
+    write (complete-on-close / atomic PUT) that IS the commit, the
+    Spark-native analog of the reference's all-or-nothing pickle
+    checkpoint (``src/core/data_manager.py:49-60``):
+
+    1. ``batch_id`` has a manifest → :class:`BatchAlreadyIngested`
+       (idempotence is by batch identity — even for batches that
+       admitted zero documents, which still commit a manifest).
+    2. Leftover ``batch_id=`` partitions WITHOUT a manifest are a
+       crashed attempt: deleted, then re-ingested fresh — crash
+       recovery is literally "run it again".
+    3. Index/corpus reads filter to manifested batches (partition
+       pruning makes the filter directory-level), so a crashed
+       attempt's rows are never consulted even before a retry runs.
+    4. Data writes happen in any order; the manifest goes LAST.
+
+    Both indexes grow append-only (the delta operators guarantee the
+    appended keys are disjoint from the committed index, so a plain
+    per-batch partition write IS the index update — no rewrite of
+    corpus-sized state, ever). The manifest doubles as the ingest
+    ledger: input/gated/admitted counts plus per-gate drop counts.
 
     Returns the admitted-documents DataFrame (read back from the
     corpus sink, so the caller observes exactly what was committed).
+
+    ``_crash_after`` is a test-only fault-injection seam naming a
+    table write ("corpus" / "index_content_hash" / "index_simhash")
+    after which a RuntimeError is raised — used to prove the
+    kill-between-writes recovery path.
     """
-    import os
+    import json
 
-    part_dir = f"{root}/corpus/batch_id={batch_id}"
-    if os.path.exists(part_dir):
-        raise ValueError(
-            f"batch_id {batch_id!r} already ingested at {part_dir}")
+    from ..fs import delete_path, write_text
+    from ..operators.dedup import neardup_delta_simhash
 
-    from ..operators.dedup import (dedup_delta_exact,
-                                   neardup_delta_simhash)
+    committed = committed_batches(spark, root)
+    if batch_id in committed:
+        raise BatchAlreadyIngested(
+            f"batch_id {batch_id!r} already ingested under {root} "
+            f"(manifest {_manifest_path(root, batch_id)})")
+    # Crash recovery: sweep uncommitted leftovers of THIS batch id.
+    for table in INGEST_TABLES:
+        delete_path(spark, f"{root}/{table}/batch_id={batch_id}")
 
     staged = scrub_documents(new_docs) if redact else new_docs
     gated = quality_gate(document_features(staged), langs, min_tokens)
+    n_input = new_docs.count()
+    n_gated = gated.count()
 
-    ex_path = f"{root}/index_content_hash"
-    ex_index = (spark.read.parquet(ex_path) if os.path.exists(ex_path)
-                else spark.createDataFrame([], "content_hash STRING"))
+    ex_index = _read_index(
+        spark, root, "index_content_hash",
+        "content_hash STRING, batch_id STRING",
+        committed).select("content_hash")
     # gated already carries content_hash; reuse it rather than
     # rehashing inside the operator
     from pyspark.sql import Window
@@ -232,23 +322,45 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
                 .filter(F.col("_rn") == 1).drop("_rn"))
     ex_survivors = in_delta.join(ex_index, "content_hash", "left_anti") \
                            .localCheckpoint()
+    n_after_exact = ex_survivors.count()
 
-    fp_path = f"{root}/index_simhash"
-    fp_index = (spark.read.parquet(fp_path) if os.path.exists(fp_path)
-                else spark.createDataFrame([], "simhash BIGINT"))
+    fp_index = _read_index(spark, root, "index_simhash",
+                           "simhash BIGINT, batch_id STRING",
+                           committed).select("simhash")
     survivors, _ = neardup_delta_simhash(ex_survivors, fp_index)
     survivors = survivors.localCheckpoint()
+    n_admitted = survivors.count()
 
-    (survivors.withColumn("batch_id", F.lit(batch_id))
-     .write.mode("append").partitionBy("batch_id")
-     .parquet(f"{root}/corpus"))
-    survivors.select("content_hash").write.mode("append").parquet(ex_path)
-    survivors.select("simhash").write.mode("append").parquet(fp_path)
-    if survivors.isEmpty():
-        # A fully-filtered FIRST batch leaves a row-less corpus dir
-        # whose schema Parquet cannot infer — return the (empty)
-        # survivors frame instead of reading back.
-        return survivors.withColumn("batch_id", F.lit(batch_id))
+    tagged = survivors.withColumn("batch_id", F.lit(batch_id))
+    writes = (
+        ("corpus", tagged),
+        ("index_content_hash", tagged.select("content_hash", "batch_id")),
+        ("index_simhash", tagged.select("simhash", "batch_id")),
+    )
+    for table, df in writes:
+        (df.write.mode("append").partitionBy("batch_id")
+         .parquet(f"{root}/{table}"))
+        if _crash_after == table:
+            raise RuntimeError(
+                f"injected crash after {table} write (batch {batch_id})")
+
+    write_text(spark, _manifest_path(root, batch_id), json.dumps({
+        "batch_id": batch_id,
+        "n_input": n_input,
+        "n_gated": n_gated,
+        "n_quality_dropped": n_input - n_gated,
+        "n_exact_dropped": n_gated - n_after_exact,
+        "n_neardup_dropped": n_after_exact - n_admitted,
+        "n_admitted": n_admitted,
+    }, sort_keys=True))
+
+    if n_admitted == 0:
+        # A fully-filtered batch writes no partition directory (and a
+        # fully-filtered FIRST batch leaves a row-less corpus dir
+        # whose schema Parquet cannot infer) — return the (empty)
+        # survivors frame instead of reading back. The manifest above
+        # still committed, so the batch id is burned either way.
+        return tagged
     return (spark.read.parquet(f"{root}/corpus")
             .filter(F.col("batch_id") == batch_id))
 

@@ -44,17 +44,28 @@ class Pipeline:
         self.stages[name] = Stage(name, build, deps)
 
     def path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        # string join, not os.path.join: the root may be a Hadoop URI
+        # (s3a://, hdfs://) that os.path semantics would mangle on
+        # some platforms.
+        return f"{self.root.rstrip('/')}/{name}"
 
-    def done(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+    def done(self, name: str, spark: SparkSession | None = None) -> bool:
+        """Stage complete = committed ``_SUCCESS`` marker exists. With
+        a session, the check resolves through the Hadoop FileSystem
+        API (works on any Spark-readable store — the 100 TB deployment
+        premise); without one it falls back to the local filesystem."""
+        marker = f"{self.path(name)}/_SUCCESS"
+        if spark is not None:
+            from ..fs import path_exists
+            return path_exists(spark, marker)
+        return os.path.exists(marker)
 
     def run(self, spark: SparkSession, name: str,
             force: bool = False) -> DataFrame:
         st = self.stages[name]
         for dep in st.deps:
             self.run(spark, dep, force=force)
-        if force or not self.done(name):
+        if force or not self.done(name, spark):
             st.build(spark).write.mode("overwrite").parquet(self.path(name))
         return spark.read.parquet(self.path(name))
 

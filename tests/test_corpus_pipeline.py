@@ -245,6 +245,89 @@ class TestIncrementalIngest:
         with pytest.raises(ValueError, match="already ingested"):
             corpus.ingest_delta(spark, root, day2, batch_id="d2")
 
+    def test_crash_between_writes_recovers(self, spark, tmp_path):
+        """Kill the ingest after each of the three table writes in
+        turn: the crashed attempt's rows must stay invisible to every
+        reader, and a retry under the SAME batch id must yield
+        exactly-once admission (the manifest-last commit protocol)."""
+        root = str(tmp_path / "crash")
+        day1 = self._docs(spark, [
+            (1, "the quick brown fox jumps over lazy dogs", "en", "s", 1),
+            (2, "alpha beta gamma delta epsilon zeta words", "en", "s", 1),
+        ])
+        corpus.ingest_delta(spark, root, day1, batch_id="d1")
+
+        day2 = self._docs(spark, [
+            # exact dup of day-1 doc 1 → must be dropped on the retry
+            (10, "the quick brown fox jumps over lazy dogs", "en", "s", 1),
+            (12, "entirely new second day content here folks", "en", "s", 1),
+        ])
+        for crash_point in ("corpus", "index_content_hash",
+                            "index_simhash"):
+            with pytest.raises(RuntimeError, match="injected crash"):
+                corpus.ingest_delta(spark, root, day2, batch_id="d2",
+                                    _crash_after=crash_point)
+            # no manifest → batch invisible everywhere
+            assert corpus.committed_batches(spark, root) == ["d1"]
+            assert sorted(r.doc_id for r in
+                          corpus.read_corpus(spark, root).collect()) \
+                == [1, 2]
+
+        # retry with the same batch id: recovery is just "run again"
+        got = corpus.ingest_delta(spark, root, day2, batch_id="d2")
+        assert sorted(r.doc_id for r in got.collect()) == [12]
+        assert sorted(corpus.committed_batches(spark, root)) \
+            == ["d1", "d2"]
+        # exactly-once: no duplicate rows from the crashed attempts
+        assert sorted(r.doc_id for r in
+                      corpus.read_corpus(spark, root).collect()) \
+            == [1, 2, 12]
+        ex = spark.read.parquet(f"{root}/index_content_hash")
+        assert ex.count() == ex.select("content_hash").distinct().count() \
+            == 3
+        assert spark.read.parquet(f"{root}/index_simhash").count() == 3
+        # further re-ingest of the committed batch raises
+        with pytest.raises(corpus.BatchAlreadyIngested):
+            corpus.ingest_delta(spark, root, day2, batch_id="d2")
+
+    def test_manifest_accounting(self, spark, tmp_path):
+        """The manifest is the per-batch dedup ledger: every drop is
+        attributed to its gate and the counts reconcile exactly."""
+        root = str(tmp_path / "ledger")
+        base = self._docs(spark, [
+            (1, "the quick brown fox jumps over lazy dogs", "en", "s", 1)])
+        corpus.ingest_delta(spark, root, base, batch_id="b0")
+
+        delta = self._docs(spark, [
+            (10, "the quick brown fox jumps over lazy dogs", "en", "s", 1),
+            (11, "the quick  brown fox jumps  over lazy dogs", "en", "s", 1),
+            (12, "entirely new second day content here folks", "en", "s", 1),
+            (13, "too short", "en", "s", 1),
+        ])
+        corpus.ingest_delta(spark, root, delta, batch_id="b1")
+        m = corpus.read_manifest(spark, root, "b1")
+        assert m["batch_id"] == "b1"
+        assert m["n_input"] == 4
+        assert m["n_quality_dropped"] == 1      # doc 13
+        assert m["n_exact_dropped"] == 1        # doc 10 vs index
+        assert m["n_neardup_dropped"] == 1      # doc 11 vs simhash index
+        assert m["n_admitted"] == 1             # doc 12
+        assert (m["n_gated"] - m["n_exact_dropped"]
+                - m["n_neardup_dropped"]) == m["n_admitted"]
+
+    def test_empty_batch_burns_batch_id(self, spark, tmp_path):
+        """A fully-filtered batch still commits its manifest, so the
+        batch id is burned — re-ingesting it (even with DIFFERENT
+        content) raises instead of silently succeeding."""
+        root = str(tmp_path / "burn")
+        empty_day = self._docs(spark, [(1, "too short", "en", "s", 1)])
+        assert corpus.ingest_delta(spark, root, empty_day,
+                                   batch_id="e1").count() == 0
+        different = self._docs(spark, [
+            (2, "a genuinely long enough document body", "en", "s", 1)])
+        with pytest.raises(corpus.BatchAlreadyIngested):
+            corpus.ingest_delta(spark, root, different, batch_id="e1")
+
     def test_first_batch_fully_filtered(self, spark, tmp_path):
         """A first batch that the quality gate removes entirely must
         return an empty frame (not blow up on a row-less corpus dir),
