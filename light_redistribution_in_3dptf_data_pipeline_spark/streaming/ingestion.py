@@ -84,3 +84,68 @@ def run_ingestion(spark: SparkSession, src_path: str, out_root: str,
             .option("checkpointLocation", f"{out_root}/_checkpoint")
             .trigger(availableNow=True)
             .start())
+
+
+def run_ingestion_with_dedup(spark: SparkSession, src_path: str,
+                             corpus_root: str,
+                             langs: tuple[str, ...] | None = None,
+                             min_tokens: int = MIN_TOKENS,
+                             redact: bool = False,
+                             max_files_per_trigger: int | None = None):
+    """The FULL production ingest loop, end to end: drop directory →
+    parse + quarantine → quality gate → incremental delta-dedup
+    against the persisted indexes → batch-partitioned corpus.
+
+    Each micro-batch drains through :func:`plans.corpus.ingest_delta`
+    with ``batch_id = stream epoch`` (zero-padded so manifest listings
+    sort chronologically). The epoch id is checkpoint-scoped and
+    stable across failure replays, which composes with the
+    manifest-last commit protocol into exactly-once admission:
+
+    - epoch replayed after a CRASHED commit → no manifest, the
+      leftover partitions are swept and the batch re-runs;
+    - epoch replayed after a SUCCESSFUL commit → the manifest exists,
+      :class:`~..plans.corpus.BatchAlreadyIngested` is caught, and the
+      replay is a no-op.
+
+    Duplicates are suppressed both in-batch and ACROSS drains — the
+    persisted content-hash/simhash indexes carry first-seen state
+    between stream restarts, which no watermark-bounded streaming
+    dedup state can (streaming/dedup.py's state TTLs out; the index
+    is the corpus's permanent memory).
+
+    The quarantine fork appends to ``{corpus_root}/rejects``
+    (at-least-once on replay — rejects are diagnostic, not admitted
+    data, so duplicate reject rows are acceptable where duplicate
+    corpus rows are not).
+    """
+    from ..plans.corpus import (DEFAULT_LANGS, BatchAlreadyIngested,
+                                ingest_delta)
+
+    stream = stream_jsonl(spark, src_path,
+                          max_files_per_trigger=max_files_per_trigger)
+
+    def drain(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            (batch.filter(F.col(CORRUPT_COL).isNotNull())
+             .write.mode("append").parquet(f"{corpus_root}/rejects"))
+            clean = (batch.filter(F.col(CORRUPT_COL).isNull())
+                     .drop(CORRUPT_COL)
+                     .filter(F.col("text").isNotNull()))
+            try:
+                ingest_delta(spark, corpus_root, clean,
+                             batch_id=f"stream-{int(epoch_id):08d}",
+                             langs=langs or DEFAULT_LANGS,
+                             min_tokens=min_tokens, redact=redact)
+            except BatchAlreadyIngested:
+                pass    # replay of a committed epoch — exactly-once
+        finally:
+            batch.unpersist()
+
+    return (stream.writeStream
+            .foreachBatch(drain)
+            .option("checkpointLocation",
+                    f"{corpus_root}/_stream_checkpoint")
+            .trigger(availableNow=True)
+            .start())

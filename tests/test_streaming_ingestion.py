@@ -53,6 +53,54 @@ def test_ingestion_picks_up_only_new_files(spark, tmp_path):
     assert clean.count() == 2
 
 
+def test_streaming_delta_dedup_end_to_end(spark, tmp_path):
+    """The full production loop: two availableNow drains through the
+    delta-dedup gate. Duplicates are suppressed in-batch AND across
+    drains via the persisted indexes; every drained epoch commits a
+    manifest; malformed rows land in quarantine."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+    src = tmp_path / "drop4"
+    src.mkdir()
+    root = str(tmp_path / "corpus4")
+
+    a = "the quick brown fox jumps over lazy dogs"
+    b = "alpha beta gamma delta epsilon zeta words"
+    _drop(str(src), "a.jsonl", [
+        _doc(1, a),
+        _doc(2, b),
+        _doc(3, a),                    # in-batch exact dup of 1
+        _doc(4, "too short"),          # quality gate
+        '{"doc_id": broken',           # malformed → quarantine
+    ])
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert corpus.committed_batches(spark, root) == ["stream-00000000"]
+    assert sorted(r.doc_id for r in
+                  corpus.read_corpus(spark, root).collect()) == [1, 2]
+    assert spark.read.parquet(f"{root}/rejects").count() == 1
+
+    _drop(str(src), "b.jsonl", [
+        _doc(10, a),                           # cross-drain exact dup
+        _doc(11, "alpha  beta gamma  delta epsilon zeta words"),
+        _doc(12, "entirely new second drain content here folks"),
+    ])
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert corpus.committed_batches(spark, root) == [
+        "stream-00000000", "stream-00000001"]
+    assert sorted(r.doc_id for r in
+                  corpus.read_corpus(spark, root).collect()) == [1, 2, 12]
+    m = corpus.read_manifest(spark, root, "stream-00000001")
+    assert m["n_exact_dropped"] == 1 and m["n_neardup_dropped"] == 1 \
+        and m["n_admitted"] == 1
+
+    # a third drain with nothing new fires no batch and burns no id
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert len(corpus.committed_batches(spark, root)) == 2
+
+
 def test_gate_stream_batch_parity(spark, tmp_path):
     src = tmp_path / "drop3"
     src.mkdir()
