@@ -39,6 +39,24 @@ OTHER_GATE = "3000"   # 0x3000/0x10000 ≈ 18.8%
 FIXED_K = 8
 
 
+def hash_gate_key(col, salt: str = ""):
+    """The shared 4-hex-char Bernoulli gate key: ``substr(md5(x),1,4)``
+    over the column's bytes, optionally SALTED per operator.
+
+    Why the salt exists: two samplers gating on the same unsalted
+    ``md5(text)`` make statistically DEPENDENT decisions — a document
+    passing one gate is disproportionately likely to pass the other
+    (at equal rates they select the identical subset), so composed
+    samplers stack bias instead of thinning independently. Folding a
+    per-operator salt into the hash input re-keys the uniform draw, so
+    differently-salted gates are independent: joint pass rate ==
+    product of marginals (tests/test_operators.py pins this on the
+    fixture). ``salt=""`` is bit-identical to the historical unsalted
+    key, so default outputs (and the smp1 oracle row) are unchanged."""
+    base = F.concat(col, F.lit(salt)) if salt else col
+    return F.substring(F.md5(base.cast("binary")), 1, 4)
+
+
 @register(
     "smp1_stratified_sample",
     f"""
@@ -68,12 +86,12 @@ FIXED_K = 8
         "window partitioned by stratum. md5-hex thresholds compare "
         "lexicographically identically on both engines — no integer "
         "parsing, bit-exact parity")
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stratified_sample(spark: SparkSession, sf_dir: str,
+                      salt: str = "") -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
         "doc_id", "lang",
-        F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
-         .alias("hkey"))
+        hash_gate_key(F.col("text"), salt).alias("hkey"))
     gate = F.when(F.col("lang") == "en", F.lit(EN_GATE)) \
             .otherwise(F.lit(OTHER_GATE))
     bern = (h.filter(F.col("hkey") < gate)
@@ -90,7 +108,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mixture_sample(docs: DataFrame, weights: dict,
                    stratum_col: str = "source",
                    text_col: str = "text",
-                   default_rate: float = 1.0) -> DataFrame:
+                   default_rate: float = 1.0,
+                   salt: str = "") -> DataFrame:
     """Deterministic MIXTURE sampling — the training-data mixing op:
     each stratum (source/domain/language) is repeated at its own rate,
     including rates above 1 ("epochs" over a high-quality source).
@@ -107,8 +126,13 @@ def mixture_sample(docs: DataFrame, weights: dict,
     ``default_rate``. The whole operator is a per-row map + explode —
     zero shuffles, scale-trivial; downstream shuffling (tx11 packing)
     is what randomizes copy placement.
+
+    ``salt`` decorrelates this gate from other hash samplers over the
+    same text (see :func:`hash_gate_key`) — pass a distinct salt
+    whenever mixture sampling composes with another gate (the e2e
+    training pipeline does); the default preserves historical output.
     """
-    hkey = F.substring(F.md5(F.col(text_col)), 1, 4)
+    hkey = hash_gate_key(F.col(text_col), salt)
 
     whole = F.lit(int(default_rate))
     frac_gate = F.lit(f"{int((default_rate % 1.0) * 65536):04x}")

@@ -456,6 +456,63 @@ class TestMixtureSample:
         for r in books.collect():
             assert r.k in (2, 3) and r.mx == r.k - 1
 
+    def test_salted_gates_decorrelate(self, spark):
+        """Differently-salted gates over the same text are independent
+        (joint pass rate == product of marginals, within binomial
+        noise); same-salt gates are fully correlated; the default salt
+        is bit-identical to the historical unsalted key."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.sampling import (
+            hash_gate_key)
+
+        docs = self._docs(spark)
+        text = F.col("text")
+        g1 = hash_gate_key(text, "op_a") < "8000"    # p = 0.5
+        g2 = hash_gate_key(text, "op_b") < "8000"
+        g_same = hash_gate_key(text, "op_a") < "8000"
+        unsalted = (hash_gate_key(text)
+                    == F.substring(F.md5(text.cast("binary")), 1, 4))
+        row = docs.select(
+            F.count("*").alias("n"),
+            F.sum(g1.cast("int")).alias("n1"),
+            F.sum(g2.cast("int")).alias("n2"),
+            F.sum((g1 & g2).cast("int")).alias("joint"),
+            F.sum((g1 & g_same).cast("int")).alias("joint_same"),
+            F.sum(unsalted.cast("int")).alias("n_unsalted")).head()
+        assert row.n_unsalted == row.n            # default == historical
+        assert row.joint_same == row.n1           # same salt: identical set
+        p1, p2 = row.n1 / row.n, row.n2 / row.n
+        expected = row.n * p1 * p2
+        sigma = (row.n * p1 * p2 * (1 - p1 * p2)) ** 0.5
+        assert abs(row.joint - expected) < 5 * sigma, \
+            (row.joint, expected, sigma)
+        # ...and nowhere near the fully-correlated value
+        assert abs(row.joint - row.n1) > 5 * sigma
+
+    def test_mixture_salt_changes_fractional_draws_only(self, spark):
+        """Salting the mixture gate re-keys WHICH docs get the
+        fractional extra copy, but whole-copy multiplicity and
+        expected totals are salt-invariant."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.queries.sampling import (
+            mixture_sample)
+
+        docs = self._docs(spark)
+        weights = {"src0": 0.5, "src1": 2.0}
+        a = mixture_sample(docs, weights, stratum_col="source")
+        b = mixture_sample(docs, weights, stratum_col="source",
+                           salt="mixture")
+        n_src1_a = a.filter(F.col("source") == "src1").count()
+        assert n_src1_a == b.filter(F.col("source") == "src1").count()
+        ids_a = {r.doc_id for r in
+                 a.filter(F.col("source") == "src0")
+                 .select("doc_id").collect()}
+        ids_b = {r.doc_id for r in
+                 b.filter(F.col("source") == "src0")
+                 .select("doc_id").collect()}
+        assert ids_a and ids_b and ids_a != ids_b    # re-keyed draw
+        n0 = docs.filter(F.col("source") == "src0").count()
+        for got in (len(ids_a), len(ids_b)):
+            assert abs(got - 0.5 * n0) < 5 * (n0 * 0.25) ** 0.5
+
     def test_rate_zero_drops_and_default_applies(self, spark):
         from light_redistribution_in_3dptf_data_pipeline_spark.queries.sampling import (
             mixture_sample)
