@@ -379,6 +379,56 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_partition_pruning.py asserts the pruned scan.
 # --------------------------------------------------------------------
 
+INDEX_META_FILE = "_meta.json"
+INDEX_META_VERSION = 1
+
+
+def _planes_digest(num_planes: int, dim: int) -> str:
+    """Digest of the hyperplane sign matrix — the index's bucketing
+    identity. Two indexes agree on bucket assignments iff their
+    digests match, so this is what query-time validation compares."""
+    import hashlib
+
+    return hashlib.md5(
+        repr(_plane_signs(num_planes, dim)).encode()).hexdigest()
+
+
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    import json
+
+    from ..fs import write_text
+
+    write_text(spark, f"{path}/{INDEX_META_FILE}",
+               json.dumps({**meta, "version": INDEX_META_VERSION},
+                          sort_keys=True))
+
+
+def _read_index_meta(spark, path: str, kind: str) -> dict:
+    """Load and sanity-check a stored index's parameter sidecar.
+
+    Why this is load-bearing: a stored LSH/IVF index queried with
+    mismatched parameters (different plane count, different
+    hyperplane seed, different dimensionality) does not ERROR — it
+    silently probes the wrong buckets and returns near-empty,
+    wrong-neighbor results. The only defense is to persist the
+    parameters at write time and refuse drifted queries loudly."""
+    import json
+
+    from ..fs import path_exists, read_text
+
+    meta_path = f"{path}/{INDEX_META_FILE}"
+    if not path_exists(spark, meta_path):
+        raise ValueError(
+            f"stored index at {path} has no {INDEX_META_FILE} — refusing "
+            f"to query an index of unknown parameters (rebuild it with "
+            f"write_{kind}_index)")
+    meta = json.loads(read_text(spark, meta_path))
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"index at {path} is kind {meta.get('kind')!r}, not {kind!r}")
+    return meta
+
+
 def write_ann_index(emb: DataFrame, path: str, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     num_planes: int = NUM_PLANES,
@@ -394,6 +444,11 @@ def write_ann_index(emb: DataFrame, path: str, id_col: str = "vec_id",
     (emb.join(buckets, id_col)
         .repartition(F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    # parameter sidecar LAST (the overwrite above wipes the directory):
+    # queries validate against it before probing any bucket.
+    _write_index_meta(emb.sparkSession, path, {
+        "kind": "ann_lsh", "num_planes": num_planes, "dim": dim,
+        "planes_digest": _planes_digest(num_planes, dim)})
 
 
 def query_bucket(vec: list, num_planes: int = NUM_PLANES,
@@ -427,6 +482,17 @@ def ann_indexed_topk(spark: SparkSession, path: str, query_vec: list,
     the probed buckets (the sx pattern). Returns
     (vec_id, cosine, bucket)."""
     import math
+
+    meta = _read_index_meta(spark, path, "ann_lsh")
+    mismatches = {k: (meta[k], v) for k, v in (
+        ("num_planes", num_planes), ("dim", dim),
+        ("planes_digest", _planes_digest(num_planes, dim)))
+        if meta.get(k) != v}
+    if mismatches:
+        raise ValueError(
+            f"stored ANN index at {path} was built with different "
+            f"parameters than this query (stored, query): {mismatches} "
+            f"— querying it would silently probe wrong buckets")
 
     b = query_bucket(query_vec, num_planes, dim)
     probes = [b] + [b ^ (1 << j) for j in range(num_planes)]
@@ -478,6 +544,8 @@ def write_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
                        for i in range(EMB_DIM)]).alias("csum"),
              F.count("*").cast("bigint").alias("nv"))
         .write.mode("overwrite").parquet(f"{path}/centroids"))
+    _write_index_meta(emb.sparkSession, path,
+                      {"kind": "ivf", "dim": EMB_DIM})
 
 
 def ivf_indexed_topk(spark: SparkSession, path: str, query_vec: list,
@@ -495,6 +563,12 @@ def ivf_indexed_topk(spark: SparkSession, path: str, query_vec: list,
     import math
 
     from ..queries.similarity import _fixed_dot
+
+    meta = _read_index_meta(spark, path, "ivf")
+    if meta.get("dim") != len(query_vec):
+        raise ValueError(
+            f"stored IVF index at {path} holds {meta.get('dim')}-dim "
+            f"vectors; query vector is {len(query_vec)}-dim")
 
     qci = [math.floor(float(x) * 1000000000.0 + 0.5) for x in query_vec]
     qsq = float(sum(c * c for c in qci)) / 1e18

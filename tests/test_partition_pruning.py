@@ -100,6 +100,32 @@ class TestAnnStoredIndex:
         assert n_probed <= S.NUM_PLANES + 1 < n_total, (
             f"pruning ineffective: {n_probed} of {n_total} partitions")
 
+    def test_meta_validation_rejects_drift(self, spark, tmp_path):
+        """An index built with different hyperplane parameters must
+        refuse the query loudly — a silent mismatch would probe the
+        wrong buckets and return near-empty results."""
+        import os
+
+        from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators import similarity as S
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ann6")
+        S.write_ann_index(emb, path, num_planes=6)
+        qvec = [float(x) for x in emb.filter("vec_id = 0")
+                .select("embedding").collect()[0][0]]
+
+        # matching parameters: fine
+        assert S.ann_indexed_topk(spark, path, qvec, num_planes=6,
+                                  exclude_id=0).count() > 0
+        # plane-count drift: loud failure
+        with pytest.raises(ValueError, match="different parameters"):
+            S.ann_indexed_topk(spark, path, qvec, num_planes=8)
+        # missing sidecar (pre-meta index / manual tampering): refuse
+        os.remove(os.path.join(path, S.INDEX_META_FILE))
+        with pytest.raises(ValueError, match="no _meta"):
+            S.ann_indexed_topk(spark, path, qvec, num_planes=6)
+
     def test_query_bucket_rejects_wrong_dim(self):
         import pytest
 
@@ -143,3 +169,20 @@ class TestIvfStoredIndex:
         n_probed = len(m.group(1).split(","))
         n_cells = emb.select("label").distinct().count()
         assert n_probed == 2 < n_cells, (n_probed, n_cells)
+
+    def test_meta_validation(self, spark, tmp_path):
+        """Dimensionality and index-kind drift refuse loudly."""
+        from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators import similarity as S
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        ivf_path = str(tmp_path / "ivf_meta")
+        S.write_ivf_index(emb, ivf_path)
+        with pytest.raises(ValueError, match="32-dim"):
+            S.ivf_indexed_topk(spark, ivf_path, [0.5] * 32)
+        # wrong index kind: an ANN index queried as IVF
+        ann_path = str(tmp_path / "ann_meta")
+        S.write_ann_index(emb, ann_path)
+        qvec = [0.5] * S.EMB_DIM
+        with pytest.raises(ValueError, match="kind"):
+            S.ivf_indexed_topk(spark, ann_path, qvec)
