@@ -79,12 +79,15 @@ def scrub_documents(docs: DataFrame) -> DataFrame:
 
 def document_features(docs: DataFrame) -> DataFrame:
     """Per-document features in one scan (the tx1_tx2_tx4 pass as a
-    reusable stage): token count, stopword ratio, content fingerprint."""
+    reusable stage): token count, stopword ratio, content fingerprint.
+    ``source`` passes through when present — the downstream mixture
+    stage stratifies on it."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     ratio = (F.size(F.filter(toks, lambda x: x.isin("a", "the")))
              .cast("double") / F.size(toks))
+    passthrough = [c for c in ("source",) if c in docs.columns]
     return docs.select(
-        "doc_id", "text", "lang",
+        "doc_id", "text", "lang", *passthrough,
         F.size(toks).cast("bigint").alias("n_tokens"),
         ratio.alias("stopword_ratio"),
         F.md5(F.col("text").cast("binary")).alias("content_hash"))
@@ -240,6 +243,100 @@ def read_corpus(spark: SparkSession, root: str) -> DataFrame:
         raise FileNotFoundError(f"no committed batches under {root}")
     return (spark.read.parquet(f"{root}/corpus")
             .filter(F.col("batch_id").isin(committed)))
+
+
+# Copy-aware surrogate example id: ex_id = doc_id * MAX_EPOCH_COPIES
+# + copy_idx. Bounds composition with tx11's multiplicative-hash
+# overflow guard to doc_id ≤ MAX_SAFE_DOC_ID / 8 ≈ 4.3e8 documents —
+# past that, re-key per queries/text.py MAX_SAFE_DOC_ID notes. The
+# pack stage raises loudly at the bound, never wraps.
+MAX_EPOCH_COPIES = 8
+TRAINING_MIXTURE_SALT = "mixture"
+
+
+def build_training_pipeline(root: str, source: DataFrame,
+                            weights: dict,
+                            stratum_col: str = "source",
+                            langs: tuple[str, ...] = DEFAULT_LANGS,
+                            min_tokens: int = MIN_TOKENS,
+                            est_jaccard: float = NEARDUP_EST_JACCARD,
+                            cluster_dedup: bool = False,
+                            redact: bool = False,
+                            verify_exact: bool = False,
+                            mixture_salt: str = TRAINING_MIXTURE_SALT
+                            ) -> Pipeline:
+    """The END-TO-END training-data build as ONE Parquet-memoized DAG
+    — the document analog of the 4-stage calibration pipeline
+    (``src/core/data_pipeline.py:10-56``): curation → deterministic
+    mixture → sequence packing; :func:`run_training_build` finishes it
+    with the shard-export sink.
+
+    On top of :func:`build_corpus_pipeline`'s
+    features → quality_gate → exact_dedup → corpus stages:
+
+    - **mixture**: per-stratum rate resampling with upsampling epochs
+      (queries/sampling.mixture_sample). The gate is SALTED
+      (``mixture_salt``) so its Bernoulli draw is independent of any
+      other hash sampler over the same text (see hash_gate_key).
+      Emits ``ex_id = doc_id * MAX_EPOCH_COPIES + copy_idx`` — the
+      copy-aware surrogate example id. Rates must stay below
+      MAX_EPOCH_COPIES (validated here, driver-side).
+    - **packed**: tx11 packing keyed on ``ex_id`` — each upsampled
+      copy shuffles and packs as an independent training example —
+      while the train/val split keys on the ORIGINAL ``doc_id``, so
+      two copies of one document can never straddle the split (no
+      train→val leakage). In the packed output, ``doc_id`` holds the
+      surrogate: original = ex_id div MAX_EPOCH_COPIES, copy =
+      ex_id mod MAX_EPOCH_COPIES.
+
+    Every stage writes Parquet; reruns skip completed stages
+    (path-existence memoization through the Hadoop FS helper).
+    """
+    from ..queries.sampling import mixture_sample
+    from ..queries.text import pack_documents
+
+    bad = {s: r for s, r in weights.items() if r >= MAX_EPOCH_COPIES}
+    if bad:
+        raise ValueError(
+            f"mixture rates must be < MAX_EPOCH_COPIES="
+            f"{MAX_EPOCH_COPIES} (surrogate-id headroom): {bad}")
+
+    p = build_corpus_pipeline(root, source, langs=langs,
+                              min_tokens=min_tokens,
+                              est_jaccard=est_jaccard,
+                              cluster_dedup=cluster_dedup,
+                              redact=redact, verify_exact=verify_exact)
+
+    def mixture_stage(s: SparkSession) -> DataFrame:
+        docs = s.read.parquet(p.path("corpus"))
+        mixed = mixture_sample(docs, weights, stratum_col=stratum_col,
+                               salt=mixture_salt)
+        return mixed.withColumn(
+            "ex_id",
+            F.col("doc_id") * MAX_EPOCH_COPIES + F.col("copy_idx"))
+
+    p.add("mixture", mixture_stage, deps=("corpus",))
+    p.add("packed",
+          lambda s: pack_documents(s.read.parquet(p.path("mixture")),
+                                   id_col="ex_id", split_col="doc_id"),
+          deps=("mixture",))
+    return p
+
+
+def run_training_build(spark: SparkSession, p: Pipeline,
+                       n_shards: int = 8) -> DataFrame:
+    """Drive the training build to its sink: run the DAG through
+    ``packed``, then export ``{root}/shards`` (training-shard layout:
+    bins never split, shards token-balanced — write_training_shards).
+    The shard export is memoized like every other stage: a committed
+    ``_SUCCESS`` under ``shards`` skips the rewrite."""
+    from ..fs import path_exists
+
+    packed = p.run(spark, "packed")
+    shards_path = f"{p.root.rstrip('/')}/shards"
+    if not path_exists(spark, f"{shards_path}/_SUCCESS"):
+        write_training_shards(packed, shards_path, n_shards)
+    return spark.read.parquet(shards_path)
 
 
 def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,

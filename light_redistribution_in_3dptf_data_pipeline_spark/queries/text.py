@@ -663,30 +663,66 @@ MAX_SAFE_DOC_ID = (2**63 - 1) // max(VAL_HASH_MULT, SHUFFLE_MULT)
         "over high-order shuffle-key buckets: per-bucket window + "
         "broadcast offsets, no global-order window task at 100 TB")
 def chunk_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _overflow_guarded(col) -> "F.Column":
+    """Overflow guard (see MAX_SAFE_DOC_ID): fail loudly where ANSI-off
+    Spark would otherwise wrap int64 and silently diverge from any
+    engine that raises."""
+    return (F.when(col > MAX_SAFE_DOC_ID, F.raise_error(F.concat(
+        F.lit("tx11: id exceeds multiplicative-hash overflow "
+              f"bound {MAX_SAFE_DOC_ID}: "), col.cast("string"))))
+        .otherwise(col))
+
+
+def pack_documents(docs: DataFrame, id_col: str = "doc_id",
+                   split_col: str | None = None) -> DataFrame:
+    """The tx11 packing operator over an arbitrary documents frame —
+    chunk → count tokens → deterministic shuffle → token-budget bin
+    packing → train/val split (semantics documented on the registered
+    query above).
+
+    ``id_col`` names the training-example identity column: the
+    multiplicative shuffle keys on it, so chunks of one example stay
+    contiguous. The e2e training pipeline passes a copy-aware
+    surrogate id here so each mixture-upsampled copy packs as an
+    independent example.
+
+    ``split_col`` (default: the example id) names the column the
+    train/val split keys on. When examples are upsampled COPIES of a
+    document, the split must key on the ORIGINAL doc id, not the
+    surrogate — otherwise two copies of the same text can land on
+    opposite sides of the split and the val set leaks training data.
+    """
     from ..operators.prefix_sum import bucketed_running_sum
 
-    docs = load_table(spark, sf_dir, "documents")
-    # Overflow guard (see MAX_SAFE_DOC_ID): fail loudly where ANSI-off
-    # Spark would otherwise wrap int64 and silently diverge from any
-    # engine that raises.
+    if id_col != "doc_id":
+        # the surrogate id takes over the doc_id slot (the output
+        # column names stay tx11-stable); any original doc_id column
+        # is superseded by it (preserve it via split_col if needed)
+        if split_col == "doc_id":
+            docs = docs.withColumn("_split_id", F.col("doc_id"))
+            split_col = "_split_id"
+        if "doc_id" in docs.columns:
+            docs = docs.drop("doc_id")
+        docs = docs.withColumnRenamed(id_col, "doc_id")
+    docs = docs.withColumn("doc_id", _overflow_guarded(F.col("doc_id")))
     docs = docs.withColumn(
-        "doc_id",
-        F.when(F.col("doc_id") > MAX_SAFE_DOC_ID, F.raise_error(F.concat(
-            F.lit("tx11: doc_id exceeds multiplicative-hash overflow "
-                  f"bound {MAX_SAFE_DOC_ID}: "),
-            F.col("doc_id").cast("string"))))
-        .otherwise(F.col("doc_id")))
+        "_split_id",
+        _overflow_guarded(F.col(split_col)) if split_col
+        else F.col("doc_id"))
     n_chunks = F.greatest(
         F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))),
         F.lit(1)).cast("int")
     chunks = docs.select(
-        "doc_id", "text",
+        "doc_id", "text", "_split_id",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
     chunk_text = F.expr(
         f"substring(text, CAST(chunk_idx * {CHUNK_CHARS} + 1 AS INT), "
         f"{CHUNK_CHARS})")
     t = chunks.select(
-        "doc_id",
+        "doc_id", "_split_id",
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         (F.col("chunk_idx").cast("bigint") * CHUNK_CHARS + 1)
         .alias("chunk_start"),
@@ -707,5 +743,5 @@ def chunk_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_key", "cum_tokens",
         F.floor((F.col("cum_tokens") - F.col("n_tokens"))
                 / F.lit(float(BIN_TOKENS))).cast("bigint").alias("bin_id"),
-        ((F.col("doc_id") * VAL_HASH_MULT) % VAL_HASH_MOD
+        ((F.col("_split_id") * VAL_HASH_MULT) % VAL_HASH_MOD
          < VAL_THRESHOLD).alias("is_val"))

@@ -367,6 +367,64 @@ class TestTrainingShardSink:
         assert max(totals) < 3 * min(totals), totals
 
 
+class TestTrainingBuild:
+    """The e2e training-data build: curation → salted mixture → pack
+    → shards, one memoized DAG."""
+
+    def test_end_to_end_build_and_memoization(self, spark, docs,
+                                              tmp_path):
+        import os as _os
+
+        root = str(tmp_path / "train")
+        weights = {"src0": 2.5, "src1": 0.5}
+        p = corpus.build_training_pipeline(root, docs, weights)
+        shards = corpus.run_training_build(spark, p, n_shards=4)
+
+        packed = spark.read.parquet(p.path("packed"))
+        # shard reconstruction == packed input (modulo the shard col)
+        a = sorted(map(tuple, packed.collect()))
+        b = sorted(map(tuple,
+                       shards.select(packed.columns).collect()))
+        assert a and a == b
+        # upsampling produced real extra copies (src0 rate 2.5 → every
+        # corpus-surviving src0 doc has ≥2 examples)
+        M = corpus.MAX_EPOCH_COPIES
+        n_copies = (packed.select((F.col("doc_id") % M).alias("c"))
+                    .filter("c > 0").count())
+        assert n_copies > 0
+        # no train/val leakage: every copy of an original doc is on
+        # the same side of the split
+        leak = (packed
+                .select(F.floor(F.col("doc_id") / M).alias("orig"),
+                        "is_val")
+                .groupBy("orig")
+                .agg(F.countDistinct("is_val").alias("k"))
+                .filter("k > 1").count())
+        assert leak == 0
+        # downsampling really thinned src1: fewer examples than docs
+        mixture = spark.read.parquet(p.path("mixture"))
+        n_src1_corpus = (spark.read.parquet(p.path("corpus"))
+                         .filter(F.col("source") == "src1").count())
+        n_src1_mixed = mixture.filter(F.col("source") == "src1").count()
+        assert 0 < n_src1_mixed < n_src1_corpus
+
+        # memoization: a second full run rebuilds NOTHING
+        marks = {n: _os.path.getmtime(f"{p.path(n)}/_SUCCESS")
+                 for n in p.stages}
+        marks["shards"] = _os.path.getmtime(f"{root}/shards/_SUCCESS")
+        again = corpus.run_training_build(spark, p, n_shards=4)
+        assert again.count() == shards.count()
+        for n, t0 in marks.items():
+            path = (f"{root}/shards/_SUCCESS" if n == "shards"
+                    else f"{p.path(n)}/_SUCCESS")
+            assert _os.path.getmtime(path) == t0, f"stage {n} re-ran"
+
+    def test_rate_headroom_validation(self, spark, docs, tmp_path):
+        with pytest.raises(ValueError, match="MAX_EPOCH_COPIES"):
+            corpus.build_training_pipeline(
+                str(tmp_path / "t"), docs, {"src0": 9.0})
+
+
 class TestPartitionedCorpusSink:
     def test_layout_roundtrip_and_pruning(self, spark, tmp_path):
         """Hive layout per lang, bounded file sizes, lossless
