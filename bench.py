@@ -57,18 +57,32 @@ HEADLINE = [
 
 
 def main() -> None:
+    # A missing/mistyped $SPARK_GRAFT_SF_DIR should fail with one
+    # clear line, not a FileNotFoundError from the sizing heuristic.
+    if not os.path.isdir(SF_DIR):
+        sys.exit(f"bench: SPARK_GRAFT_SF_DIR={SF_DIR!r} is not a "
+                 f"directory")
+
     from light_redistribution_in_3dptf_data_pipeline_spark.queries import QUERIES
     from light_redistribution_in_3dptf_data_pipeline_spark.session import get_spark
 
     # Driver memory must be fixed BEFORE the JVM starts, so size it
     # from the fixture footprint here (≈200x input bytes covers the
     # worst aggregate working set — sf1's exhaustive shingle join
-    # needs ~40g): explicit $SPARK_GRAFT_DRIVER_MEM always wins.
+    # needs ~40g): explicit $SPARK_GRAFT_DRIVER_MEM always wins. The
+    # self-sized heap is capped against physical RAM (leave ≥8 GiB
+    # for OS + Python workers) so smaller hosts don't over-commit.
     fixture_bytes = sum(
         os.path.getsize(os.path.join(SF_DIR, f))
         for f in os.listdir(SF_DIR) if f.endswith(".parquet"))
     if fixture_bytes > 100 * 1024 * 1024:
-        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        try:
+            ram_gib = (os.sysconf("SC_PAGE_SIZE")
+                       * os.sysconf("SC_PHYS_PAGES")) >> 30
+            heap = max(4, min(48, ram_gib - 8))
+        except (ValueError, OSError):
+            heap = 48
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{heap}g")
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -82,10 +96,7 @@ def main() -> None:
     # stays executor-memory-sized and AQE coalesces the excess.
     from light_redistribution_in_3dptf_data_pipeline_spark.session import (
         tune_for_scale)
-    input_bytes = sum(
-        os.path.getsize(os.path.join(SF_DIR, f))
-        for f in os.listdir(SF_DIR) if f.endswith(".parquet"))
-    tune_for_scale(spark, input_bytes)
+    tune_for_scale(spark, fixture_bytes)
 
     # JVM/codegen/file-listing warm-up so t=0 effects don't pollute q1:
     # touch every fixture table once with a cheap count.
@@ -125,6 +136,45 @@ def main() -> None:
         total_warm += dt_warm
         print(f"# {name}: {dt:.3f}s (warm {dt_warm:.3f}s)",
               file=sys.stderr)
+
+    # Incremental-ingest leg: the production daily-batch shape
+    # (delta-dedup against a persisted index + manifest-last commit),
+    # so plan regressions in the ingest path show up here, not only
+    # in the analytic queries. Setup (standing 80% index) is untimed;
+    # the two timed legs ingest equal-shaped deltas (10% new + 10%
+    # re-keyed exact dups) under fresh batch ids — leg 2 is the
+    # "warm" column (codegen cached, index resident in page cache).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        ingest_delta)
+
+    ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        docs = load_table(spark, SF_DIR, "documents")
+        base = docs.filter(F.pmod(F.col("doc_id"), 10) < 8)
+        ingest_delta(spark, ingest_root, base, batch_id="base")
+        dup = (docs.filter(F.pmod(F.col("doc_id"), 10) == 0)
+               .withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
+        legs = []
+        for i, fresh_mod in enumerate((8, 9)):
+            delta = (docs.filter(F.pmod(F.col("doc_id"), 10) == fresh_mod)
+                     .unionByName(dup.withColumn(
+                         "doc_id", F.col("doc_id") + i)))
+            t0 = time.perf_counter()
+            ingest_delta(spark, ingest_root, delta, batch_id=f"delta{i}")
+            legs.append(time.perf_counter() - t0)
+        per_query["ingest_delta"] = round(legs[0], 3)
+        per_query_warm["ingest_delta"] = round(legs[1], 3)
+        total += legs[0]
+        total_warm += legs[1]
+        print(f"# ingest_delta: {legs[0]:.3f}s (warm {legs[1]:.3f}s)",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(ingest_root, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
