@@ -490,6 +490,108 @@ def lsh_verified_neardups(docs: DataFrame, threshold: float,
             .filter(F.col("jaccard") >= threshold))
 
 
+def lsh_dedup_accounting(docs: DataFrame, threshold: float,
+                         id_col: str = "doc_id",
+                         bands: int = LSH_BANDS,
+                         num_hashes: int = NUM_HASHES,
+                         max_doc_freq: int | None = None) -> DataFrame:
+    """One-row candidate/verify/admit ledger for the LSH near-dup
+    decision — the observability a 100 TB dedup run needs to catch
+    banding drift IN PRODUCTION (not just in tests): a collapsing
+    ``candidate_precision`` means the banding got too wide (wasted
+    verify joins); a verified count trending toward the candidate
+    count means it got too narrow (recall is about to fall off the
+    pigeonhole cliff); ``max_candidates_per_doc`` is the skew canary
+    for the bucket join.
+
+    Columns: n_docs, n_candidate_pairs, n_verified_pairs (exact
+    jaccard ≥ threshold on the candidate set), candidate_precision,
+    n_dropped_docs (greedy keep-first policy), max_candidates_per_doc.
+
+    Cost: the same two-phase plan as :func:`lsh_verified_neardups`
+    with the threshold filter replaced by aggregates — run it on a
+    sample stratum in production, or fold it over the full run's
+    candidate frame.
+    """
+    sh = shingles(docs, id_col=id_col, max_doc_freq=max_doc_freq)
+    cand = (lsh_candidate_pairs(minhash_signatures(sh, id_col,
+                                                   num_hashes),
+                                id_col, bands, num_hashes)
+            .select("doc_a", "doc_b"))
+    sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
+    a = sets_.select(F.col(id_col).alias("doc_a"),
+                     F.col("_set").alias("_sa"))
+    b = sets_.select(F.col(id_col).alias("doc_b"),
+                     F.col("_set").alias("_sb"))
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = (n_inter.cast("double")
+           / (F.size("_sa") + F.size("_sb") - n_inter))
+    scored = (cand.join(a, "doc_a").join(b, "doc_b")
+              .select("doc_a", "doc_b", jac.alias("jaccard"))
+              .localCheckpoint())  # reused by three aggregates below
+
+    per_doc = (scored.select(F.col("doc_a").alias("d"))
+               .unionAll(scored.select(F.col("doc_b").alias("d")))
+               .groupBy("d").agg(F.count("*").alias("k"))
+               .agg(F.max("k").alias("max_k")))
+    dropped = (scored.filter(F.col("jaccard") >= threshold)
+               .select(F.col("doc_b").alias("d")).distinct()
+               .agg(F.count("*").alias("n_drop")))
+    totals = scored.agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs"),
+        F.sum((F.col("jaccard") >= threshold).cast("bigint"))
+         .alias("n_verified_pairs"))
+    return (totals.crossJoin(docs.agg(
+                F.count("*").cast("bigint").alias("n_docs")))
+            .crossJoin(per_doc).crossJoin(dropped)
+            .select(
+                "n_docs", "n_candidate_pairs",
+                F.coalesce("n_verified_pairs", F.lit(0))
+                 .alias("n_verified_pairs"),
+                (F.coalesce("n_verified_pairs", F.lit(0)).cast("double")
+                 / F.greatest("n_candidate_pairs", F.lit(1)))
+                .alias("candidate_precision"),
+                F.coalesce("n_drop", F.lit(0)).cast("bigint")
+                 .alias("n_dropped_docs"),
+                F.coalesce("max_k", F.lit(0)).cast("bigint")
+                 .alias("max_candidates_per_doc")))
+
+
+def simhash_dedup_accounting(fp: DataFrame, id_col: str = "doc_id",
+                             fp_col: str = "simhash",
+                             bands: int = SIMHASH_BANDS,
+                             max_hamming: int = SIMHASH_MAX_HAMMING
+                             ) -> DataFrame:
+    """One-row ledger for the SimHash banding path: bucket collisions
+    generated vs pairs surviving the exact Hamming verify. Columns:
+    n_docs, n_candidate_pairs (distinct banded collisions),
+    n_verified_pairs (Hamming ≤ max_hamming), candidate_precision."""
+    rows = _simhash_band_rows(fp, [id_col, fp_col], fp_col, bands)
+    a, b = rows.alias("a"), rows.alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.slice") == F.col("b.slice"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"),
+                     hamming.cast("int").alias("hamming"))
+             .distinct())
+    return (pairs.agg(
+                F.count("*").cast("bigint").alias("n_candidate_pairs"),
+                F.sum((F.col("hamming") <= max_hamming).cast("bigint"))
+                 .alias("n_verified_pairs"))
+            .crossJoin(fp.agg(F.count("*").cast("bigint")
+                              .alias("n_docs")))
+            .select("n_docs", "n_candidate_pairs",
+                    F.coalesce("n_verified_pairs", F.lit(0))
+                     .alias("n_verified_pairs"),
+                    (F.coalesce("n_verified_pairs", F.lit(0))
+                     .cast("double")
+                     / F.greatest("n_candidate_pairs", F.lit(1)))
+                    .alias("candidate_precision")))
+
+
 def _dx5_oracle() -> str:
     from ..queries.text import NEARDUP_ORACLE
     return NEARDUP_ORACLE

@@ -209,6 +209,47 @@ class TestDeltaDedup:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestDedupAccounting:
+    """The one-row candidate/verify ledgers must reconcile exactly
+    with the operators they observe — same candidate generator, same
+    verify rule."""
+
+    def test_lsh_accounting_reconciles(self, spark):
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+            lsh_candidate_pairs, lsh_dedup_accounting,
+            lsh_verified_neardups, minhash_signatures, shingles)
+
+        docs = load_table(spark, SF_DIR, "documents")
+        t = 0.5
+        row = lsh_dedup_accounting(docs, t).head()
+        assert row.n_docs == docs.count()
+        n_cand = lsh_candidate_pairs(
+            minhash_signatures(shingles(docs))).count()
+        assert row.n_candidate_pairs == n_cand
+        n_ver = lsh_verified_neardups(docs, t).count()
+        assert row.n_verified_pairs == n_ver
+        assert 0 < row.n_verified_pairs <= row.n_candidate_pairs
+        assert abs(row.candidate_precision
+                   - n_ver / max(n_cand, 1)) < 1e-12
+        assert row.n_dropped_docs == (
+            lsh_verified_neardups(docs, t)
+            .select("doc_b").distinct().count())
+        assert row.max_candidates_per_doc >= 1
+
+    def test_simhash_accounting_reconciles(self, spark):
+        from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+            simhash_band_candidates, simhash_dedup_accounting,
+            simhash_fingerprints)
+
+        docs = load_table(spark, SF_DIR, "documents")
+        fp = simhash_fingerprints(docs)
+        row = simhash_dedup_accounting(fp).head()
+        assert row.n_docs == docs.count()
+        assert row.n_verified_pairs == simhash_band_candidates(fp).count()
+        assert 0 < row.n_verified_pairs <= row.n_candidate_pairs
+        assert 0.0 < row.candidate_precision <= 1.0
+
+
 class TestAnnLsh:
     def test_recall_vs_bruteforce(self, spark):
         """In-bucket ANN must recover a reasonable share of the true
