@@ -197,15 +197,44 @@ def _manifest_path(root: str, batch_id: str) -> str:
     return f"{root}/{MANIFEST_DIR}/{batch_id}.json"
 
 
-def committed_batches(spark: SparkSession, root: str) -> list[str]:
-    """Batch ids whose ingest COMMITTED (manifest present). Anything a
-    crashed ingest left in the data directories without a manifest is
-    not in this list and therefore invisible to every reader."""
-    from ..fs import list_dir
+def _load_manifests(spark: SparkSession, root: str) -> dict[str, dict]:
+    """All present manifests, keyed by batch id. One small read per
+    manifest — control-plane cost, one file per batch. (If a
+    deployment accumulates enough batches for this listing to matter,
+    fold the manifests into a single bookkeeping Parquet — the
+    protocol only requires that the per-batch commit write be
+    atomic, which it stays.)"""
+    import json
 
-    return [n[: -len(".json")]
-            for n in list_dir(spark, f"{root}/{MANIFEST_DIR}")
-            if n.endswith(".json")]
+    from ..fs import list_dir, read_text
+
+    out = {}
+    for n in list_dir(spark, f"{root}/{MANIFEST_DIR}"):
+        if n.endswith(".json"):
+            bid = n[: -len(".json")]
+            out[bid] = json.loads(
+                read_text(spark, f"{root}/{MANIFEST_DIR}/{n}"))
+    return out
+
+
+def _superseded(manifests: dict[str, dict]) -> set[str]:
+    """Batch ids replaced by a compaction batch: invisible the instant
+    the compacting manifest lands, even before their files are
+    pruned."""
+    out: set[str] = set()
+    for m in manifests.values():
+        out |= set(m.get("replaces", ()))
+    return out
+
+
+def committed_batches(spark: SparkSession, root: str) -> list[str]:
+    """Batch ids whose ingest COMMITTED (manifest present) and that no
+    compaction has superseded. Anything a crashed ingest left in the
+    data directories without a manifest is not in this list and
+    therefore invisible to every reader."""
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    return sorted(b for b in ms if b not in gone)
 
 
 def read_manifest(spark: SparkSession, root: str,
@@ -393,8 +422,13 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
     from ..fs import delete_path, write_text
     from ..operators.dedup import neardup_delta_simhash
 
-    committed = committed_batches(spark, root)
-    if batch_id in committed:
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    committed = sorted(b for b in ms if b not in gone)
+    # identity memory includes SUPERSEDED ids: compaction folds its
+    # victims' ids (transitively) into its own "replaces" list, so a
+    # replayed pre-compaction batch still reads as already-ingested.
+    if batch_id in ms or batch_id in gone:
         raise BatchAlreadyIngested(
             f"batch_id {batch_id!r} already ingested under {root} "
             f"(manifest {_manifest_path(root, batch_id)})")
@@ -460,6 +494,134 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
         return tagged
     return (spark.read.parquet(f"{root}/corpus")
             .filter(F.col("batch_id") == batch_id))
+
+
+def compact_batches(spark: SparkSession, root: str,
+                    batch_ids: list[str] | None = None,
+                    n_files: int = 1) -> str:
+    """MAINTENANCE: fold many small per-batch partitions into one
+    compact batch — the small-files relief the append-only ingest
+    needs once batches accumulate (a year of daily deltas = 365 tiny
+    partitions per table; a compaction returns each table to a few
+    right-sized files without ever rewriting in place).
+
+    Commit protocol (same manifest-last discipline as ingest, so
+    there is NO window of double-visibility):
+
+    1. Rows of the chosen committed batches are rewritten under a
+       fresh ``batch_id=compact-N`` partition in all three tables
+       (uncommitted leftovers of a crashed prior attempt swept
+       first). Until the manifest lands these rows are invisible.
+    2. The compact manifest lands LAST, carrying ``replaces`` — the
+       TRANSITIVE set of batch ids it supersedes (victims' own
+       ``replaces`` folded in, so identity memory survives chained
+       compactions). The instant it lands, readers see the compact
+       partition and stop seeing the replaced ones — even though
+       their files still exist.
+    3. Superseded manifests and partitions are pruned AFTER commit
+       (:func:`prune_superseded`); a crash mid-prune leaves only
+       invisible garbage, and any later compaction/prune finishes
+       the sweep.
+
+    ``n_files`` sizes the rewrite (repartition before the write); at
+    real scale pick ceil(bytes / target_file_size). Returns the
+    compact batch id.
+    """
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    live = [b for b in ms if b not in gone]
+    ids = sorted(batch_ids) if batch_ids is not None else sorted(live)
+    unknown = [b for b in ids if b not in live]
+    if unknown:
+        raise ValueError(
+            f"cannot compact non-live batches {unknown} (unknown, "
+            f"uncommitted, or already superseded)")
+    if not ids:
+        raise ValueError("nothing to compact: no live batches")
+
+    n = max([int(b.split("-", 1)[1]) for b in ms
+             if b.startswith("compact-")] + [-1]) + 1
+    cid = f"compact-{n:06d}"
+    from ..fs import delete_path, path_exists, write_text
+
+    schemas = {
+        "index_content_hash": "content_hash STRING, batch_id STRING",
+        "index_simhash": "simhash BIGINT, batch_id STRING",
+    }
+    for table in INGEST_TABLES:
+        delete_path(spark, f"{root}/{table}/batch_id={cid}")
+        path = f"{root}/{table}"
+        if not path_exists(spark, path):
+            continue    # every chosen batch was empty in this table
+        reader = spark.read
+        if table in schemas:
+            reader = reader.schema(schemas[table])
+        rows = (reader.parquet(path)
+                .filter(F.col("batch_id").isin(ids))
+                .withColumn("batch_id", F.lit(cid)))
+        (rows.repartition(n_files)
+         .write.mode("append").partitionBy("batch_id")
+         .parquet(path))
+
+    replaces = sorted(set(ids) | {r for b in ids
+                                  for r in ms[b].get("replaces", ())})
+    counted = ("n_input", "n_gated", "n_quality_dropped",
+               "n_exact_dropped", "n_neardup_dropped", "n_admitted")
+    import json
+    write_text(spark, _manifest_path(root, cid), json.dumps({
+        "batch_id": cid,
+        "replaces": replaces,
+        **{k: sum(ms[b].get(k, 0) for b in ids) for k in counted},
+    }, sort_keys=True))
+
+    prune_superseded(spark, root)
+    return cid
+
+
+def prune_superseded(spark: SparkSession, root: str) -> list[str]:
+    """Garbage-collect batches a compaction superseded: delete each
+    one's manifest, then its partitions. Everything deleted here is
+    already invisible to readers, so this is safe to run — or crash
+    out of and re-run — at any time. Returns the pruned batch ids."""
+    from ..fs import delete_path
+
+    ms = _load_manifests(spark, root)
+    doomed = sorted(b for b in _superseded(ms) if b in ms)
+    for bid in doomed:
+        delete_path(spark, _manifest_path(root, bid))
+        for table in INGEST_TABLES:
+            delete_path(spark, f"{root}/{table}/batch_id={bid}")
+    return doomed
+
+
+def delete_batch(spark: SparkSession, root: str, batch_id: str) -> None:
+    """RETENTION/TAKEDOWN: de-commit a live batch. The manifest is
+    deleted FIRST — one atomic remove that makes the whole batch
+    (corpus rows AND its index rows) invisible everywhere — then the
+    partition files are swept.
+
+    Two consequences, both intended:
+    - content equal to the removed documents becomes RE-ADMITTABLE
+      (its index rows are gone): removed content is no longer "in the
+      corpus", so a future ingest of the same text is a fresh
+      decision, not a duplicate;
+    - the batch id is freed for reuse.
+
+    Only LIVE batches can be deleted: after a compaction, per-batch
+    identity is folded into the compact partition, so row-level
+    retention inside a compact batch needs a filter-and-rewrite of
+    that one partition (re-ingest the survivors under a fresh id),
+    not this operation."""
+    from ..fs import delete_path
+
+    ms = _load_manifests(spark, root)
+    if batch_id not in ms or batch_id in _superseded(ms):
+        raise ValueError(
+            f"batch_id {batch_id!r} is not a live committed batch "
+            f"under {root}")
+    delete_path(spark, _manifest_path(root, batch_id))
+    for table in INGEST_TABLES:
+        delete_path(spark, f"{root}/{table}/batch_id={batch_id}")
 
 
 def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:

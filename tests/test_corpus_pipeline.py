@@ -343,6 +343,139 @@ class TestIncrementalIngest:
         assert [r.doc_id for r in got2.collect()] == [2]
 
 
+class TestCompactionAndRetention:
+    """Small-files maintenance (manifest-supersession compaction) and
+    batch-level retention deletes over the incremental corpus."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, "
+                  "source STRING, n_chars LONG")
+
+    def _seed(self, spark, root):
+        texts = [
+            (1, "the quick brown fox jumps over lazy dogs"),
+            (2, "alpha beta gamma delta epsilon zeta words"),
+            (3, "entirely new second day content here folks"),
+        ]
+        for i, (doc, text) in enumerate(texts, 1):
+            corpus.ingest_delta(
+                spark, root,
+                self._docs(spark, [(doc, text, "en", "s", 1)]),
+                batch_id=f"d{i}")
+        return [d for d, _ in texts]
+
+    def test_compact_preserves_contents_and_identity(self, spark,
+                                                     tmp_path,
+                                                     monkeypatch):
+        import glob as pyglob
+
+        root = str(tmp_path / "cmp")
+        ids = self._seed(spark, root)
+        before = sorted(
+            (r.doc_id, r.text) for r in
+            corpus.read_corpus(spark, root).collect())
+        n_ix = spark.read.parquet(f"{root}/index_content_hash").count()
+
+        # hold the prune back to exercise the invisible-garbage
+        # window: after the manifest commits, reads must already be
+        # exactly-once even though the superseded files still exist
+        monkeypatch.setattr(corpus, "prune_superseded",
+                            lambda *a, **k: [])
+        cid = corpus.compact_batches(spark, root)
+        assert cid == "compact-000000"
+        assert corpus.committed_batches(spark, root) == [cid]
+        assert sorted((r.doc_id, r.text) for r in
+                      corpus.read_corpus(spark, root).collect()) \
+            == before
+        assert pyglob.glob(f"{root}/corpus/batch_id=d1")  # not yet GCed
+        monkeypatch.undo()
+
+        # prune finishes the sweep; contents unchanged
+        doomed = corpus.prune_superseded(spark, root)
+        assert sorted(doomed) == ["d1", "d2", "d3"]
+        assert not pyglob.glob(f"{root}/corpus/batch_id=d*")
+        assert sorted((r.doc_id, r.text) for r in
+                      corpus.read_corpus(spark, root).collect()) \
+            == before
+        # index rows all migrated under the compact partition,
+        # squashed to n_files=1 parquet file
+        ix = spark.read.parquet(f"{root}/index_content_hash")
+        assert ix.count() == n_ix
+        assert {r.batch_id for r in ix.select("batch_id")
+                .distinct().collect()} == {cid}
+        files = pyglob.glob(
+            f"{root}/index_content_hash/batch_id={cid}/*.parquet")
+        assert len(files) == 1
+
+        # identity memory survives: replaying a superseded batch id
+        # still reads as already-ingested
+        with pytest.raises(corpus.BatchAlreadyIngested):
+            corpus.ingest_delta(
+                spark, root,
+                self._docs(spark, [(9, "whatever text this is now ok",
+                                    "en", "s", 1)]),
+                batch_id="d1")
+        # dedup continuity: content from a pre-compaction batch is
+        # still recognized as a duplicate
+        got = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [
+                (20, "the quick brown fox jumps over lazy dogs",
+                 "en", "s", 1),
+                (21, "post compaction genuinely novel document text",
+                 "en", "s", 1)]),
+            batch_id="d4")
+        assert [r.doc_id for r in got.collect()] == [21]
+        assert sorted(ids + [21]) == sorted(
+            r.doc_id for r in corpus.read_corpus(spark, root).collect())
+
+        # chained compaction folds identity transitively
+        cid2 = corpus.compact_batches(spark, root)
+        assert cid2 == "compact-000001"
+        assert corpus.committed_batches(spark, root) == [cid2]
+        m = corpus.read_manifest(spark, root, cid2)
+        assert set(m["replaces"]) >= {"d1", "d2", "d3", "d4", cid}
+        assert m["n_admitted"] == 4
+
+    def test_compact_validates_selection(self, spark, tmp_path):
+        root = str(tmp_path / "cmpv")
+        self._seed(spark, root)
+        with pytest.raises(ValueError, match="non-live"):
+            corpus.compact_batches(spark, root, batch_ids=["nope"])
+        corpus.compact_batches(spark, root)
+        with pytest.raises(ValueError, match="non-live"):
+            corpus.compact_batches(spark, root, batch_ids=["d1"])
+
+    def test_delete_batch_decommits_and_frees_content(self, spark,
+                                                      tmp_path):
+        root = str(tmp_path / "del")
+        self._seed(spark, root)
+        corpus.delete_batch(spark, root, "d1")
+        assert corpus.committed_batches(spark, root) == ["d2", "d3"]
+        assert sorted(r.doc_id for r in
+                      corpus.read_corpus(spark, root).collect()) \
+            == [2, 3]
+        # the removed content is re-admittable (index rows gone)...
+        got = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [
+                (30, "the quick brown fox jumps over lazy dogs",
+                 "en", "s", 1)]),
+            batch_id="re1")
+        assert [r.doc_id for r in got.collect()] == [30]
+        # ...while surviving batches still dedup
+        got2 = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [
+                (31, "alpha beta gamma delta epsilon zeta words",
+                 "en", "s", 1)]),
+            batch_id="re2")
+        assert got2.count() == 0
+        with pytest.raises(ValueError, match="not a live"):
+            corpus.delete_batch(spark, root, "d1")
+
+
 class TestTrainingShardSink:
     def test_bins_whole_and_balanced(self, spark, tmp_path):
         """tx11-packed output → 8 shards: every row survives, no bin
