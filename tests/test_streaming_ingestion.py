@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from light_redistribution_in_3dptf_data_pipeline_spark.sources import text_formats as tf
 from light_redistribution_in_3dptf_data_pipeline_spark.streaming import ingestion
 
@@ -99,6 +101,58 @@ def test_streaming_delta_dedup_end_to_end(spark, tmp_path):
     ingestion.run_ingestion_with_dedup(
         spark, str(src), root).awaitTermination(120)
     assert len(corpus.committed_batches(spark, root)) == 2
+
+
+def test_streaming_crash_replay_exactly_once(spark, tmp_path,
+                                             monkeypatch):
+    """Exactly-once across stream failures: a drain that crashes
+    mid-commit (after the corpus write, before the manifest) fails
+    the query; restarting the stream replays the SAME epoch from the
+    checkpoint, the manifest-last protocol sweeps the crashed
+    attempt, and the batch lands exactly once. A lost checkpoint
+    (epoch ids restart at 0) replays the committed batch id, which
+    the BatchAlreadyIngested catch turns into a no-op."""
+    import shutil
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+    src = tmp_path / "drop5"
+    src.mkdir()
+    root = str(tmp_path / "corpus5")
+    _drop(str(src), "a.jsonl", [
+        _doc(1, "one two three four five six"),
+        _doc(2, "alpha beta gamma delta epsilon zeta"),
+    ])
+
+    real = corpus.ingest_delta
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            kwargs["_crash_after"] = "corpus"
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(corpus, "ingest_delta", flaky)
+    q = ingestion.run_ingestion_with_dedup(spark, str(src), root)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert corpus.committed_batches(spark, root) == []   # nothing visible
+
+    # restart: checkpoint replays epoch 0, recovery re-runs the batch
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert corpus.committed_batches(spark, root) == ["stream-00000000"]
+    assert sorted(r.doc_id for r in
+                  corpus.read_corpus(spark, root).collect()) == [1, 2]
+
+    # lost checkpoint: epoch 0 re-fires over the same files; the
+    # committed manifest turns the replay into a no-op
+    shutil.rmtree(f"{root}/_stream_checkpoint")
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert corpus.committed_batches(spark, root) == ["stream-00000000"]
+    assert corpus.read_corpus(spark, root).count() == 2
 
 
 def test_gate_stream_batch_parity(spark, tmp_path):
