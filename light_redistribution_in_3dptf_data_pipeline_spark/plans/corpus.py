@@ -416,6 +416,14 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
     table write ("corpus" / "index_content_hash" / "index_simhash")
     after which a RuntimeError is raised — used to prove the
     kill-between-writes recovery path.
+
+    **Single-writer assumption**: ingests serialize (one at a time
+    per corpus root) — the production shape, where one scheduler owns
+    the ingest loop (the streaming driver literally is that: one
+    micro-batch at a time). Two CONCURRENT ingests would each read
+    the index before the other's append and could both admit the
+    same content; the protocol detects batch-id collisions but does
+    not arbitrate cross-batch races.
     """
     import json
 
