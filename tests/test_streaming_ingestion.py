@@ -155,6 +155,45 @@ def test_streaming_crash_replay_exactly_once(spark, tmp_path,
     assert corpus.read_corpus(spark, root).count() == 2
 
 
+def test_compaction_between_drains_keeps_dedup_and_identity(
+        spark, tmp_path):
+    """Maintenance mid-stream: compacting between drains must not
+    break cross-drain dedup (the compacted index still gates) nor
+    replay protection (superseded stream epochs still read as
+    already-ingested after a checkpoint loss)."""
+    import shutil
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+    src = tmp_path / "drop6"
+    src.mkdir()
+    root = str(tmp_path / "corpus6")
+    a = "the quick brown fox jumps over lazy dogs"
+    _drop(str(src), "a.jsonl", [_doc(1, a),
+                                _doc(2, "alpha beta gamma delta five")])
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+
+    cid = corpus.compact_batches(spark, root)
+    assert corpus.committed_batches(spark, root) == [cid]
+
+    _drop(str(src), "b.jsonl", [
+        _doc(10, a),                                   # dup vs compacted
+        _doc(11, "post compaction novel document text here")])
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  corpus.read_corpus(spark, root).collect()) == [1, 2, 11]
+
+    # lost checkpoint: epoch 0 re-fires over everything; the epoch id
+    # is superseded by the compaction but identity memory holds
+    shutil.rmtree(f"{root}/_stream_checkpoint")
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  corpus.read_corpus(spark, root).collect()) == [1, 2, 11]
+
+
 def test_gate_stream_batch_parity(spark, tmp_path):
     src = tmp_path / "drop3"
     src.mkdir()
