@@ -632,6 +632,89 @@ def delete_batch(spark: SparkSession, root: str, batch_id: str) -> None:
         delete_path(spark, f"{root}/{table}/batch_id={batch_id}")
 
 
+def delete_documents(spark: SparkSession, root: str,
+                     doc_ids: list[int], n_files: int = 1) -> str:
+    """ROW-LEVEL retention (per-document takedown) — the operation
+    :func:`delete_batch` cannot perform once batches are compacted.
+    Runs as a filter-and-rewrite under the SAME manifest-supersession
+    commit as :func:`compact_batches`, so it inherits every crash
+    property:
+
+    1. Locate the live batches holding any target doc id (directory-
+       pruned scan on the batch partition column).
+    2. Rewrite those batches' SURVIVING rows under a fresh
+       ``retain-N`` batch — corpus rows minus the targets, and both
+       index partitions regenerated from the survivors' own
+       ``content_hash``/``simhash`` columns (corpus rows carry both
+       precisely so index state is always derivable from the corpus).
+    3. The ``retain-N`` manifest lands LAST with a transitive
+       ``replaces`` list plus an ``n_deleted`` audit field; until it
+       lands nothing changed, after it lands the old batches are
+       invisible; :func:`prune_superseded` sweeps their files.
+
+    The deleted documents' hashes leave the indexes with them, so
+    content equal to a removed document is RE-ADMITTABLE — removed
+    means removed, not tombstoned. Unaffected batches are never
+    rewritten: cost is proportional to the batches touched, not the
+    corpus. Returns the new batch id.
+    """
+    import json
+
+    from ..fs import delete_path, write_text
+
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    live = sorted(b for b in ms if b not in gone)
+    if not live:
+        raise ValueError(f"no committed batches under {root}")
+
+    corp = (spark.read.parquet(f"{root}/corpus")
+            .filter(F.col("batch_id").isin(live)))
+    affected = sorted(
+        r.batch_id for r in
+        corp.filter(F.col("doc_id").isin(list(doc_ids)))
+        .select("batch_id").distinct().collect())
+    if not affected:
+        raise ValueError(
+            f"no live batch contains any of doc_ids {list(doc_ids)!r}")
+
+    n = max([int(b.split("-", 1)[1]) for b in ms
+             if b.startswith("retain-")] + [-1]) + 1
+    cid = f"retain-{n:06d}"
+    for table in INGEST_TABLES:
+        delete_path(spark, f"{root}/{table}/batch_id={cid}")
+
+    surv = (corp.filter(F.col("batch_id").isin(affected))
+            .filter(~F.col("doc_id").isin(list(doc_ids)))
+            .withColumn("batch_id", F.lit(cid))
+            .localCheckpoint())
+    n_deleted = sum(
+        ms[b].get("n_admitted", 0) for b in affected) - surv.count()
+    writes = (
+        ("corpus", surv),
+        ("index_content_hash", surv.select("content_hash", "batch_id")),
+        ("index_simhash", surv.select("simhash", "batch_id")),
+    )
+    for table, df in writes:
+        (df.repartition(n_files)
+         .write.mode("append").partitionBy("batch_id")
+         .parquet(f"{root}/{table}"))
+
+    replaces = sorted(set(affected)
+                      | {r for b in affected
+                         for r in ms[b].get("replaces", ())})
+    write_text(spark, _manifest_path(root, cid), json.dumps({
+        "batch_id": cid,
+        "replaces": replaces,
+        "n_deleted": n_deleted,
+        "n_admitted": sum(ms[b].get("n_admitted", 0)
+                          for b in affected) - n_deleted,
+    }, sort_keys=True))
+
+    prune_superseded(spark, root)
+    return cid
+
+
 def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:
     """Per-stage survivor counts — the pipeline's acceptance report
     (the analog of the reference's stage-end counters,

@@ -475,6 +475,54 @@ class TestCompactionAndRetention:
         with pytest.raises(ValueError, match="not a live"):
             corpus.delete_batch(spark, root, "d1")
 
+    def test_delete_documents_row_level(self, spark, tmp_path):
+        """Per-document takedown inside a compacted batch: only the
+        affected batch rewrites, the target's hashes leave the
+        indexes (content re-admittable), identity memory survives."""
+        import glob as pyglob
+
+        root = str(tmp_path / "rowdel")
+        self._seed(spark, root)              # d1..d3: docs 1,2,3
+        corpus.compact_batches(spark, root)  # per-batch identity folded
+        corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(4, "a fourth unrelated document body "
+                                   "here", "en", "s", 1)]),
+            batch_id="d4")
+
+        cid = corpus.delete_documents(spark, root, [2])
+        assert cid == "retain-000000"
+        assert corpus.committed_batches(spark, root) == ["d4", cid]
+        assert sorted(r.doc_id for r in
+                      corpus.read_corpus(spark, root).collect()) \
+            == [1, 3, 4]
+        # the unaffected batch was never rewritten
+        assert pyglob.glob(f"{root}/corpus/batch_id=d4")
+        # index rows follow the survivors exactly
+        ix = spark.read.parquet(f"{root}/index_content_hash")
+        assert ix.count() == 3
+        m = corpus.read_manifest(spark, root, cid)
+        assert m["n_deleted"] == 1 and m["n_admitted"] == 2
+        assert set(m["replaces"]) >= {"compact-000000", "d1", "d2", "d3"}
+
+        # removed content is re-admittable — removed means removed
+        got = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(40, "alpha beta gamma delta epsilon "
+                                    "zeta words", "en", "s", 1)]),
+            batch_id="d5")
+        assert [r.doc_id for r in got.collect()] == [40]
+        # surviving content still dedups
+        got2 = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(41, "the quick brown fox jumps over "
+                                    "lazy dogs", "en", "s", 1)]),
+            batch_id="d6")
+        assert got2.count() == 0
+        # unknown target raises
+        with pytest.raises(ValueError, match="no live batch contains"):
+            corpus.delete_documents(spark, root, [999])
+
 
 class TestTrainingShardSink:
     def test_bins_whole_and_balanced(self, spark, tmp_path):
