@@ -587,19 +587,53 @@ def compact_batches(spark: SparkSession, root: str,
 
 
 def prune_superseded(spark: SparkSession, root: str) -> list[str]:
-    """Garbage-collect batches a compaction superseded: delete each
-    one's manifest, then its partitions. Everything deleted here is
-    already invisible to readers, so this is safe to run — or crash
-    out of and re-run — at any time. Returns the pruned batch ids."""
+    """Garbage-collect batches a compaction/retention rewrite
+    superseded: delete each one's manifest, then its partitions.
+    Everything deleted here is already invisible to readers, so this
+    is safe to run — or crash out of and re-run — at any time. The
+    sweep covers EVERY superseded id, not just those whose manifest
+    still exists, so a crash between a manifest delete and its
+    directory deletes is healed by the next run. Returns the batch
+    ids for which anything was actually removed."""
     from ..fs import delete_path
 
     ms = _load_manifests(spark, root)
-    doomed = sorted(b for b in _superseded(ms) if b in ms)
-    for bid in doomed:
-        delete_path(spark, _manifest_path(root, bid))
+    pruned = []
+    for bid in sorted(_superseded(ms)):
+        removed = delete_path(spark, _manifest_path(root, bid))
+        for table in INGEST_TABLES:
+            removed |= delete_path(spark,
+                                   f"{root}/{table}/batch_id={bid}")
+        if removed:
+            pruned.append(bid)
+    return pruned
+
+
+def prune_uncommitted(spark: SparkSession, root: str) -> list[str]:
+    """Garbage-collect data-directory leftovers that have NO manifest
+    and are not superseded — crashed ingests that were never retried
+    under the same batch id. These are invisible to every reader, but
+    they cost listing time and storage forever if nothing sweeps them.
+
+    ONLY run this while no ingest is in flight (the single-writer
+    assumption): an in-progress batch is, by definition, an
+    unmanifested partition and would be swept out from under it.
+    Returns the orphan batch ids removed."""
+    from ..fs import delete_path, list_dir
+
+    ms = _load_manifests(spark, root)
+    known = set(ms) | _superseded(ms)
+    orphans: set[str] = set()
+    for table in INGEST_TABLES:
+        for child in list_dir(spark, f"{root}/{table}"):
+            if child.startswith("batch_id="):
+                bid = child[len("batch_id="):]
+                if bid not in known:
+                    orphans.add(bid)
+    for bid in sorted(orphans):
         for table in INGEST_TABLES:
             delete_path(spark, f"{root}/{table}/batch_id={bid}")
-    return doomed
+    return sorted(orphans)
 
 
 def delete_batch(spark: SparkSession, root: str, batch_id: str) -> None:

@@ -438,6 +438,41 @@ class TestCompactionAndRetention:
         assert set(m["replaces"]) >= {"d1", "d2", "d3", "d4", cid}
         assert m["n_admitted"] == 4
 
+    def test_prune_heals_partial_sweep_and_orphans(self, spark,
+                                                   tmp_path):
+        """A crash between the manifest delete and the directory
+        deletes must be healed by the next prune; unmanifested
+        orphans from never-retried crashed ingests are swept by
+        prune_uncommitted (committed batches untouched)."""
+        import glob as pyglob
+
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "heal")
+        self._seed(spark, root)
+        cid = corpus.compact_batches(spark, root)
+
+        # simulate the mid-prune crash state: superseded dirs exist
+        # but their manifests are already gone — recreate a leftover
+        fs.write_text(spark, f"{root}/corpus/batch_id=d1/junk.parquet",
+                      "x")
+        assert corpus.prune_superseded(spark, root) == ["d1"]
+        assert not pyglob.glob(f"{root}/corpus/batch_id=d1")
+
+        # orphan: a crashed ingest that was never retried
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus.ingest_delta(
+                spark, root,
+                self._docs(spark, [(50, "some crashed batch text flow",
+                                    "en", "s", 1)]),
+                batch_id="lost", _crash_after="corpus")
+        assert pyglob.glob(f"{root}/corpus/batch_id=lost")
+        assert corpus.prune_uncommitted(spark, root) == ["lost"]
+        assert not pyglob.glob(f"{root}/corpus/batch_id=lost")
+        # committed data untouched by either sweep
+        assert corpus.read_corpus(spark, root).count() == 3
+        assert corpus.committed_batches(spark, root) == [cid]
+
     def test_compact_validates_selection(self, spark, tmp_path):
         root = str(tmp_path / "cmpv")
         self._seed(spark, root)
