@@ -749,6 +749,87 @@ def delete_documents(spark: SparkSession, root: str,
     return cid
 
 
+def verify_corpus(spark: SparkSession, root: str) -> dict:
+    """Consistency fsck for the incremental corpus — run it after
+    maintenance (compaction, retention) or before a critical training
+    build. Checks the invariants the commit protocol promises:
+
+    - **ledger**: every live batch's corpus partition holds exactly
+      its manifest's ``n_admitted`` rows;
+    - **uniqueness**: ``content_hash`` is globally unique across the
+      live corpus (the exact-dedup admission guarantee);
+    - **index⇆corpus**: both index tables hold exactly the live
+      corpus rows' hashes — no missing gate rows (future duplicates
+      would be re-admitted), no phantom rows (future genuine content
+      would be wrongly suppressed);
+    - **orphans**: unmanifested / superseded partition directories
+      still on disk (invisible; listed for prune_*).
+
+    Returns ``{"live_batches", "corpus_rows", "orphans",
+    "violations"}`` — an empty ``violations`` list means every
+    invariant holds. All checks are aggregates/anti-joins sized by
+    the corpus, one pass each; nothing is collected row-wise."""
+    from ..fs import list_dir, path_exists
+
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    live = sorted(b for b in ms if b not in gone)
+    violations: list[str] = []
+
+    have_corpus = path_exists(spark, f"{root}/corpus")
+    corp = (spark.read.parquet(f"{root}/corpus")
+            .filter(F.col("batch_id").isin(live))
+            if live and have_corpus else None)
+
+    n_rows = 0
+    if corp is not None:
+        per_batch = {r.batch_id: r.n for r in
+                     corp.groupBy("batch_id")
+                     .agg(F.count("*").alias("n")).collect()}
+        n_rows = sum(per_batch.values())
+        for bid in live:
+            want = ms[bid].get("n_admitted", 0)
+            got = per_batch.get(bid, 0)
+            if want != got:
+                violations.append(
+                    f"ledger: batch {bid} has {got} corpus rows, "
+                    f"manifest says {want}")
+        n_dupes = (corp.groupBy("content_hash")
+                   .agg(F.count("*").alias("n"))
+                   .filter(F.col("n") > 1).count())
+        if n_dupes:
+            violations.append(
+                f"uniqueness: {n_dupes} content hashes appear in "
+                f"more than one live corpus row")
+        for table, col in (("index_content_hash", "content_hash"),
+                           ("index_simhash", "simhash")):
+            ix = _read_index(
+                spark, root, table,
+                f"{col} {'STRING' if col == 'content_hash' else 'BIGINT'}"
+                f", batch_id STRING", live).select(col)
+            missing = corp.select(col).join(ix, col, "left_anti").count()
+            phantom = ix.join(corp.select(col), col, "left_anti").count()
+            if missing:
+                violations.append(
+                    f"index: {missing} live corpus rows have no "
+                    f"{table} row (duplicates would be re-admitted)")
+            if phantom:
+                violations.append(
+                    f"index: {table} holds {phantom} rows with no "
+                    f"live corpus row (content wrongly suppressed)")
+
+    live_set = set(live)
+    orphans: set[str] = set()
+    for table in INGEST_TABLES:
+        for child in list_dir(spark, f"{root}/{table}"):
+            if child.startswith("batch_id="):
+                bid = child[len("batch_id="):]
+                if bid not in live_set:
+                    orphans.add(bid)
+    return {"live_batches": len(live), "corpus_rows": n_rows,
+            "orphans": sorted(orphans), "violations": violations}
+
+
 def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:
     """Per-stage survivor counts — the pipeline's acceptance report
     (the analog of the reference's stage-end counters,

@@ -473,6 +473,35 @@ class TestCompactionAndRetention:
         assert corpus.read_corpus(spark, root).count() == 3
         assert corpus.committed_batches(spark, root) == [cid]
 
+    def test_verify_corpus_fsck(self, spark, tmp_path):
+        """The consistency checker: clean after ingest + maintenance;
+        detects ledger drift, index gaps, and orphans when state is
+        tampered with."""
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "fsck")
+        self._seed(spark, root)
+        corpus.compact_batches(spark, root)
+        corpus.delete_documents(spark, root, [2])
+        rep = corpus.verify_corpus(spark, root)
+        assert rep["violations"] == [] and rep["orphans"] == []
+        assert rep["live_batches"] == 1 and rep["corpus_rows"] == 2
+
+        # tamper 1: drop the content-hash index partition → both a
+        # missing-gate violation and an orphan-free report
+        cid = corpus.committed_batches(spark, root)[0]
+        fs.delete_path(spark,
+                       f"{root}/index_content_hash/batch_id={cid}")
+        rep = corpus.verify_corpus(spark, root)
+        assert any("no index_content_hash row" in v
+                   for v in rep["violations"])
+
+        # tamper 2: an unmanifested leftover shows up as an orphan
+        fs.write_text(spark, f"{root}/corpus/batch_id=zzz/x.parquet",
+                      "junk")
+        rep = corpus.verify_corpus(spark, root)
+        assert rep["orphans"] == ["zzz"]
+
     def test_compact_validates_selection(self, spark, tmp_path):
         root = str(tmp_path / "cmpv")
         self._seed(spark, root)
