@@ -249,29 +249,55 @@ def read_manifest(spark: SparkSession, root: str,
     return json.loads(read_text(spark, _manifest_path(root, batch_id)))
 
 
+def _visible_scan(spark: SparkSession, path: str,
+                  committed: list[str],
+                  schema: str | None = None) -> DataFrame:
+    """Scan a batch-partitioned table restricted to COMMITTED batches
+    using the CHEAPEST equivalent filter: instead of an ever-growing
+    ``batch_id IN (committed...)`` literal list (thousands of entries
+    after years of daily batches, bloating every plan), compute the
+    INVISIBLE set — partition directories on disk minus the committed
+    ids. It is normally EMPTY (no crashed leftovers, no unpruned
+    supersession garbage), so the scan usually carries no batch
+    filter at all; when leftovers exist the filter is
+    ``NOT IN (few invisible ids)``, still partition-pruned.
+    Semantics are identical either way: present ∩ committed."""
+    from ..fs import list_dir
+
+    present = {c[len("batch_id="):] for c in list_dir(spark, path)
+               if c.startswith("batch_id=")}
+    reader = spark.read.schema(schema) if schema else spark.read
+    df = reader.parquet(path)
+    invisible = present - set(committed)
+    if invisible:
+        df = df.filter(~F.col("batch_id").isin(sorted(invisible)))
+    return df
+
+
 def _read_index(spark: SparkSession, root: str, name: str,
                 schema: str, committed: list[str]) -> DataFrame:
-    """A dedup index restricted to COMMITTED batches. The filter is on
-    the partition column, so uncommitted leftovers cost directory
-    pruning, not a scan."""
+    """A dedup index restricted to COMMITTED batches. Restriction is
+    on the partition column (directory pruning, not a scan); see
+    :func:`_visible_scan` for why the filter is the invisible-set
+    complement. Explicit schema because an index whose committed
+    batches all admitted zero rows has no Parquet footers to infer
+    from."""
     from ..fs import path_exists
 
     path = f"{root}/{name}"
     if not committed or not path_exists(spark, path):
         return spark.createDataFrame([], schema)
-    # explicit schema: an index whose committed batches all admitted
-    # zero rows has no Parquet footers to infer from
-    return (spark.read.schema(schema).parquet(path)
-            .filter(F.col("batch_id").isin(committed)))
+    return _visible_scan(spark, path, committed, schema)
 
 
 def read_corpus(spark: SparkSession, root: str) -> DataFrame:
-    """The committed corpus: batches with a manifest only."""
+    """The committed corpus: batches with a manifest only (and not
+    superseded), via the invisible-set complement filter — see
+    :func:`_visible_scan`."""
     committed = committed_batches(spark, root)
     if not committed:
         raise FileNotFoundError(f"no committed batches under {root}")
-    return (spark.read.parquet(f"{root}/corpus")
-            .filter(F.col("batch_id").isin(committed)))
+    return _visible_scan(spark, f"{root}/corpus", committed)
 
 
 # Copy-aware surrogate example id: ex_id = doc_id * MAX_EPOCH_COPIES
@@ -702,8 +728,7 @@ def delete_documents(spark: SparkSession, root: str,
     if not live:
         raise ValueError(f"no committed batches under {root}")
 
-    corp = (spark.read.parquet(f"{root}/corpus")
-            .filter(F.col("batch_id").isin(live)))
+    corp = _visible_scan(spark, f"{root}/corpus", live)
     affected = sorted(
         r.batch_id for r in
         corp.filter(F.col("doc_id").isin(list(doc_ids)))
@@ -777,8 +802,7 @@ def verify_corpus(spark: SparkSession, root: str) -> dict:
     violations: list[str] = []
 
     have_corpus = path_exists(spark, f"{root}/corpus")
-    corp = (spark.read.parquet(f"{root}/corpus")
-            .filter(F.col("batch_id").isin(live))
+    corp = (_visible_scan(spark, f"{root}/corpus", live)
             if live and have_corpus else None)
 
     n_rows = 0

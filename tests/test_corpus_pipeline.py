@@ -290,6 +290,40 @@ class TestIncrementalIngest:
         with pytest.raises(corpus.BatchAlreadyIngested):
             corpus.ingest_delta(spark, root, day2, batch_id="d2")
 
+    def test_visible_scan_plan_carries_no_growing_inlist(self, spark,
+                                                         tmp_path):
+        """Visibility filtering must not bloat plans with an
+        ever-growing IN (committed...) list: in the normal state
+        (every directory committed) the corpus scan carries NO batch
+        filter at all; with a crashed leftover it carries only a
+        NOT IN of the few invisible ids — and still excludes them."""
+        root = str(tmp_path / "vis")
+        for i, text in enumerate((
+                "the quick brown fox jumps over lazy dogs",
+                "alpha beta gamma delta epsilon zeta words")):
+            corpus.ingest_delta(
+                spark, root,
+                self._docs(spark, [(i, text, "en", "s", 1)]),
+                batch_id=f"d{i}")
+
+        plan = (corpus.read_corpus(spark, root)
+                ._jdf.queryExecution().executedPlan().toString())
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+        assert "IN" not in pf, f"clean-state scan got a filter: {pf}"
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus.ingest_delta(
+                spark, root,
+                self._docs(spark, [(9, "crashed leftover text body ok",
+                                    "en", "s", 1)]),
+                batch_id="lost", _crash_after="corpus")
+        df = corpus.read_corpus(spark, root)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+        assert "NOT" in pf and "lost" in pf, pf
+        assert "d0" not in pf        # committed ids never enumerated
+        assert sorted(r.doc_id for r in df.collect()) == [0, 1]
+
     def test_manifest_accounting(self, spark, tmp_path):
         """The manifest is the per-batch dedup ledger: every drop is
         attributed to its gate and the counts reconcile exactly."""
