@@ -32,6 +32,11 @@ def audit(plan: str) -> list[str]:
         if s not in seen:
             seen.add(s)
             out.append(f"- `{s}`")
+    for m in re.finditer(r"PartitionFilters: \[[^\]\n]+\]", plan):
+        s = re.sub(r"#\d+", "#", m.group(0))
+        if s not in seen:
+            seen.add(s)
+            out.append(f"- `{s}` (directory-level pruning)")
     n_ex = len(re.findall(r"\bExchange\b", plan))
     n_reuse = len(re.findall(r"ReusedExchange", plan))
     n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
