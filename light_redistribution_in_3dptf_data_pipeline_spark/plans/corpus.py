@@ -590,6 +590,11 @@ def compact_batches(spark: SparkSession, root: str,
         reader = spark.read
         if table in schemas:
             reader = reader.schema(schemas[table])
+        # read-from and append-to the same table: safe because the
+        # scan's file listing is fixed at plan time (before the write
+        # produces any file) and the target partition (batch_id=cid)
+        # is disjoint from every source partition — the corpus never
+        # needs a corpus-sized staging copy.
         rows = (reader.parquet(path)
                 .filter(F.col("batch_id").isin(ids))
                 .withColumn("batch_id", F.lit(cid)))
