@@ -93,13 +93,21 @@ def document_features(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("content_hash"))
 
 
+def quality_predicate(langs: tuple[str, ...] = DEFAULT_LANGS,
+                      min_tokens: int = MIN_TOKENS):
+    """The quality gate as a Column predicate — shared by the filter
+    stage and the ingest ledger's pass-count aggregate so the two can
+    never drift."""
+    return (F.col("lang").isin(*langs)
+            & (F.col("n_tokens") >= min_tokens))
+
+
 def quality_gate(feats: DataFrame,
                  langs: tuple[str, ...] = DEFAULT_LANGS,
                  min_tokens: int = MIN_TOKENS) -> DataFrame:
     """Keep documents passing the language allowlist and size gate —
     a pure filter, pushed to the scan when reading from Parquet."""
-    return feats.filter(F.col("lang").isin(*langs)
-                        & (F.col("n_tokens") >= min_tokens))
+    return feats.filter(quality_predicate(langs, min_tokens))
 
 
 def exact_dedup(feats: DataFrame) -> DataFrame:
@@ -471,9 +479,17 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
         delete_path(spark, f"{root}/{table}/batch_id={batch_id}")
 
     staged = scrub_documents(new_docs) if redact else new_docs
-    gated = quality_gate(document_features(staged), langs, min_tokens)
-    n_input = new_docs.count()
-    n_gated = gated.count()
+    feats = document_features(staged)
+    # input + gated counts in ONE aggregate over the feature scan
+    # (document_features is row-preserving, so count(*) == |input|) —
+    # the ledger costs one delta scan, not two.
+    gate_cond = quality_predicate(langs, min_tokens)
+    crow = feats.agg(
+        F.count("*").alias("n_in"),
+        F.coalesce(F.sum(gate_cond.cast("long")), F.lit(0))
+         .alias("n_ok")).head()
+    n_input, n_gated = crow.n_in, crow.n_ok
+    gated = quality_gate(feats, langs, min_tokens)
 
     ex_index = _read_index(
         spark, root, "index_content_hash",
