@@ -378,6 +378,71 @@ def neardup_delta_simhash(new_docs: DataFrame, index: DataFrame,
     return survivors, updated
 
 
+def winnow_fingerprint_rows(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_doc_freq: int | None = None
+                            ) -> DataFrame:
+    """(id, fp) rows of each document's distinct MOSS-winnowed k-gram
+    fingerprints — the PASSAGE-level index (same constants and column
+    algebra as the oracle-checked tx1/tx4 winnow stats, so the hash
+    arithmetic is already cross-engine-pinned). A pure map + explode.
+
+    ``max_doc_freq`` drops fingerprints appearing in more than that
+    many documents — boilerplate spans (headers, license blocks)
+    carry no duplication signal and would otherwise skew the bucket
+    join exactly like stop-shingles (see :func:`shingles`)."""
+    from ..queries.text import with_winnow_fingerprints
+
+    rows = (with_winnow_fingerprints(
+                docs.select(id_col, text_col), text_col, out="_fps")
+            .select(id_col, F.explode("_fps").alias("fp")))
+    if max_doc_freq is not None:
+        hot = (rows.groupBy("fp").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_doc_freq).select("fp"))
+        rows = rows.join(F.broadcast(hot), "fp", "left_anti")
+    return rows
+
+
+def passage_dup_candidates(docs: DataFrame, min_shared: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_doc_freq: int | None = None
+                           ) -> DataFrame:
+    """SUBSTRING-level duplicate detection: document pairs sharing at
+    least ``min_shared`` winnowed fingerprints, i.e. pairs that share
+    copied PASSAGES even when the documents as wholes are unrelated.
+
+    Why this exists alongside MinHash/SimHash: whole-document
+    similarity dilutes — a paragraph copied into two otherwise-
+    different documents leaves their shingle jaccard near zero and
+    their SimHash far apart, so neither dedup family fires. Winnowing
+    is LOCAL: any shared span of ≥ K+W−1 chars deposits at least one
+    identical fingerprint in both documents regardless of everything
+    around it (the MOSS guarantee), so shared passages surface as
+    shared index rows. ``min_shared`` ≥ 2 suppresses single-hash
+    coincidences (p ≈ windows²/2·1e-9 per pair at the default
+    modulus); raise it to lengthen the minimum detected span.
+
+    Returns (doc_a, doc_b, n_shared_fp), doc_a < doc_b.
+
+    Scale shape: one map+explode, then a bucket equi-join on the
+    fingerprint value — O(N·fps) shuffled rows like the LSH band
+    join, never O(N²) text comparison; ``max_doc_freq`` is the
+    boilerplate/skew guard. At 100 TB the fingerprint rows ARE the
+    persistable passage index (append-only, same lifecycle as the
+    simhash index).
+    """
+    rows = winnow_fingerprint_rows(docs, text_col, id_col,
+                                   max_doc_freq)
+    a, b = rows.alias("a"), rows.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
+            .filter(F.col("n_shared_fp") >= min_shared))
+
+
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dx1 (unregistered): MinHash(32)+LSH(8 bands) candidate pairs
     with estimated jaccard — bucket-join instead of O(N²). Superseded

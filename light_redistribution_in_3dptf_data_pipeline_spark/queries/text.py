@@ -40,10 +40,13 @@ def _winnow_horner_sql(pos: str, text: str = "text") -> str:
     return e
 
 
-def with_winnow_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append ``n_winnow_fp`` / ``winnow_digest`` (set size + exact
-    sum of the distinct winnowed hashes). In-row arrays only
-    (transform/slice/array_min) — a pure map at any scale.
+def with_winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                             out: str = "winnow_fps") -> DataFrame:
+    """Append the distinct winnowed fingerprint ARRAY of ``text_col``
+    as column ``out``. In-row arrays only (transform/slice/array_min)
+    — a pure map at any scale. Consumers: the tx1/tx4 scalar stats
+    (:func:`with_winnow_stats`) and the passage-duplicate index
+    (operators/dedup.winnow_fingerprint_rows, which explodes it).
 
     STAGING MATTERS: the rolling-hash array, the window minima and
     the distinct set are bound as intermediate COLUMNS, not inlined
@@ -56,7 +59,6 @@ def with_winnow_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     O(len·K + windows·W)."""
     text = F.col(text_col)
     empty = F.array().cast("array<bigint>")
-    ln = F.length(text)
 
     # Codepoint array first, via one split pass: substring(text, i, 1)
     # seeks codepoints from the string start (O(i) each), so hashing
@@ -90,17 +92,25 @@ def with_winnow_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sequence(F.lit(1), n - WINNOW_W + 1),
             lambda i: F.array_min(F.slice(F.col("_rh"), i, WINNOW_W)))))
 
-    fps = F.col("_fps")
     return (df.withColumn("_cps", cps_expr)
               .withColumn("_rh", rh_expr)
-              .withColumn("_fps", F.array_distinct(wins_expr))
-              .withColumn("n_winnow_fp", F.size(fps).cast("bigint"))
-              .withColumn("winnow_digest",
-                          F.coalesce(
-                              F.aggregate(fps, F.lit(0).cast("bigint"),
-                                          lambda a, x: a + x),
-                              F.lit(0).cast("bigint")))
-              .drop("_cps", "_rh", "_fps"))
+              .withColumn(out, F.array_distinct(wins_expr))
+              .drop("_cps", "_rh"))
+
+
+def with_winnow_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_winnow_fp`` / ``winnow_digest`` (set size + exact
+    sum of the distinct winnowed hashes) — the tx1/tx4 scalar fold of
+    :func:`with_winnow_fingerprints` (staging notes there)."""
+    fps = F.col("_fps")
+    return (with_winnow_fingerprints(df, text_col, out="_fps")
+            .withColumn("n_winnow_fp", F.size(fps).cast("bigint"))
+            .withColumn("winnow_digest",
+                        F.coalesce(
+                            F.aggregate(fps, F.lit(0).cast("bigint"),
+                                        lambda a, x: a + x),
+                            F.lit(0).cast("bigint")))
+            .drop("_fps"))
 
 
 @register(
