@@ -32,7 +32,7 @@ HEADLINE = [
     "t2_t3_t5_topk_order_sample",
     "t4_argmin_argmax",
     "s4_robot_program_parse",
-    "f14_pose_grid_generator",
+    "f13_f14_pose_grid_rotation",
     "tx1_tx2_tx4_token_quality",
     "tx6_ngram_jaccard_neardup",
     "tx7_repetition_signals",

@@ -390,10 +390,16 @@ def winnow_fingerprint_rows(docs: DataFrame, text_col: str = "text",
     ``max_doc_freq`` drops fingerprints appearing in more than that
     many documents — boilerplate spans (headers, license blocks)
     carry no duplication signal and would otherwise skew the bucket
-    join exactly like stop-shingles (see :func:`shingles`)."""
-    from ..queries.text import with_winnow_fingerprints
+    join exactly like stop-shingles (see :func:`shingles`).
 
-    rows = (with_winnow_fingerprints(
+    The fingerprint array comes from the Arrow winnow path
+    (udf/winnow.with_winnow_fps_arrow): same mod-Horner algebra as
+    the oracle-pinned Column form, ~100x cheaper on the per-char hot
+    loop (queries/text.py staging notes), and explode order is
+    irrelevant downstream (the consumer is a groupBy)."""
+    from ..udf.winnow import with_winnow_fps_arrow
+
+    rows = (with_winnow_fps_arrow(
                 docs.select(id_col, text_col), text_col, out="_fps")
             .select(id_col, F.explode("_fps").alias("fp")))
     if max_doc_freq is not None:
@@ -683,14 +689,90 @@ def lsh_neardup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_neardups(docs, JACCARD_THRESHOLD, bands=16)
 
 
-# late-bind the oracle to avoid a circular import at module load
-def _attach_dx5_oracle() -> None:
+# Registered thresholds, measured on the synthetic fixture: the
+# templated generator gives UNRELATED documents a high shared-
+# fingerprint floor (median 8, p99 28 common fps per pair), so the
+# boilerplate guard is load-bearing, exactly as it would be on a
+# boilerplate-heavy production corpus: fps in > 20 documents are
+# template phrases (or large near-dup families, which the whole-doc
+# dedup family already owns) and carry no passage signal; >= 8
+# surviving shared fps ≈ a >= ~60-char genuinely copied span.
+DX6_MIN_SHARED = 8
+DX6_MAX_DOC_FREQ = 20
+
+
+@register(
+    "dx6_passage_dup", None,  # oracle attached below (late-bound)
+    doc="Dedup, PASSAGE level, ORACLE-CHECKED: document pairs sharing "
+        ">= 8 MOSS-winnowed fingerprints after the boilerplate guard "
+        "(fingerprints in > 20 docs dropped) — copied passages "
+        "surface even when the documents as wholes are unrelated "
+        "(whole-doc jaccard ~0, SimHash far apart). The oracle "
+        "restates the winnow hash algebra relationally (same "
+        "constants as the tx1/tx4 oracle, cross-engine-pinned by "
+        "tests/test_winnow.py) and self-joins the exploded "
+        "fingerprint rows. Scale shape: Arrow map + explode, one "
+        "broadcast anti-join against the hot-fp set, then ONE bucket "
+        "equi-join on the fingerprint value — O(N*fps) shuffled "
+        "rows, never O(N^2) text; the doc-freq guard bounds per-"
+        "bucket fan-out at 20, so no join key explodes")
+def passage_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dup_candidates(docs, min_shared=DX6_MIN_SHARED,
+                                  max_doc_freq=DX6_MAX_DOC_FREQ)
+
+
+def _dx6_oracle() -> str:
+    """DuckDB restatement of passage_dup_candidates: winnow
+    fingerprint sets (tx1's exact CTE chain), explode, hot-fp
+    anti-filter, self-join on the fingerprint, pair counts >=
+    min_shared. (fp rows are distinct per document, so count(*) per
+    fp IS its document frequency — in both engines.)"""
+    from ..queries.text import (WINNOW_K, WINNOW_W, _winnow_horner_sql)
+
+    return f"""
+    WITH r AS (
+      SELECT doc_id, CASE WHEN length(text) < {WINNOW_K} THEN []
+                     ELSE list_transform(
+                       range(1, length(text) - {WINNOW_K} + 2),
+                       i -> {_winnow_horner_sql('i')})
+                END AS rh
+      FROM documents
+    ), w AS (
+      SELECT doc_id, list_distinct(
+               CASE WHEN len(rh) = 0 THEN []
+                    WHEN len(rh) < {WINNOW_W} THEN [list_min(rh)]
+                    ELSE list_transform(
+                      range(1, len(rh) - {WINNOW_W} + 2),
+                      i -> list_min(rh[i:i+{WINNOW_W}-1]))
+               END) AS fps
+      FROM r
+    ), fp AS (
+      SELECT doc_id, unnest(fps) AS fp FROM w
+    ), keep AS (
+      SELECT doc_id, fp FROM fp
+      WHERE fp NOT IN (SELECT fp FROM fp GROUP BY fp
+                       HAVING count(*) > {DX6_MAX_DOC_FREQ})
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {DX6_MIN_SHARED}
+    """
+
+
+# late-bind the oracles to avoid a circular import at module load
+def _attach_text_oracles() -> None:
     from ..queries import text as _text
     from ..queries.registry import QUERIES, Query
 
-    q = QUERIES["dx5_lsh_neardup_decision"]
-    QUERIES[q.name] = Query(name=q.name, builder=q.builder,
-                            oracle=_text.NEARDUP_ORACLE, doc=q.doc)
+    for name, oracle in (("dx5_lsh_neardup_decision",
+                          _text.NEARDUP_ORACLE),
+                         ("dx6_passage_dup", _dx6_oracle())):
+        q = QUERIES[name]
+        QUERIES[name] = Query(name=q.name, builder=q.builder,
+                              oracle=oracle, doc=q.doc)
 
 
-_attach_dx5_oracle()
+_attach_text_oracles()

@@ -67,10 +67,9 @@ SELECT CAST(oi * 25 + si AS BIGINT) AS pose_id,
 FROM g
 """
 
-register("f14_pose_grid_generator", POSE_GRID_ORACLE,
-         doc="F14+W5: 5³ Euler × 25-point serpentine lattice, generated "
-             "not scanned (point3d_transformation.py:65-106)")(
-    lambda spark, sf_dir: pose_grid_df(spark))
+# f14's registration is folded into f13_f14_pose_grid_rotation below
+# (r8 — frees a driver-window slot for dx6_passage_dup); pose_grid_df
+# and POSE_GRID_ORACLE stay the reusable pieces.
 
 
 def euler_zyx_matrix_cols(a, b, c):
@@ -101,22 +100,33 @@ def euler_zyx_matrix_cols(a, b, c):
 
 
 @register(
-    "f13_euler_rotation_matrix",
+    "f13_f14_pose_grid_rotation",
     f"""
-    WITH ang AS (
-      SELECT CAST(oi AS BIGINT) AS oi,
+    WITH base AS (
+      SELECT o.oi, s.si,
+             CASE WHEN o.oi % 2 = 1 THEN 24 - s.si ELSE s.si END AS k
+      FROM generate_series(0, 124) o(oi), generate_series(0, 24) s(si)
+    ), g AS (
+      SELECT oi, si, CAST(floor(k / 5) AS BIGINT) AS gi, k % 5 AS gj
+      FROM base
+    ), p AS (
+      SELECT CAST(oi * 25 + si AS BIGINT) AS pose_id,
              -20.0 + 10.0 * CAST(floor(oi / 25) AS BIGINT) AS ea,
              -20.0 + 10.0 * (CAST(floor(oi / 5) AS BIGINT) % 5) AS eb,
-             -20.0 + 10.0 * (oi % 5) AS ec
-      FROM generate_series(0, 124) o(oi)
+             -20.0 + 10.0 * (oi % 5) AS ec,
+             (gi - 2) * 50.0 AS gx,
+             ((CASE WHEN gi % 2 = 1 THEN 4 - gj ELSE gj END) - 2)
+               * 50.0 AS gy,
+             0.0 AS gz
+      FROM g
     ), t AS (
-      SELECT oi,
+      SELECT *,
              sin(ea * {DEG2RAD}) AS sa, cos(ea * {DEG2RAD}) AS ca,
              sin(eb * {DEG2RAD}) AS sb, cos(eb * {DEG2RAD}) AS cb,
              sin(ec * {DEG2RAD}) AS sc, cos(ec * {DEG2RAD}) AS cc
-      FROM ang
+      FROM p
     )
-    SELECT oi,
+    SELECT pose_id, ea, eb, ec, gx, gy, gz,
            round(ca * cb, 12) + 0.0 AS r00,
            round(-(sa * cb), 12) + 0.0 AS r01,
            round(sb, 12) + 0.0 AS r02,
@@ -128,15 +138,21 @@ def euler_zyx_matrix_cols(a, b, c):
            round(cb * cc, 12) + 0.0 AS r22
     FROM t
     """,
-    doc="F13: extrinsic Euler(zyx, degrees)→rotation matrix "
-        "(R = Rx(c)Ry(b)Rz(a), scipy lowercase-'zyx' semantics) as trig "
-        "column expressions; rounded to 12 dp because JVM and libm trig "
-        "may differ in the last ulp (point3d_transformation.py:87-93)")
-def euler_rotation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    oi = spark.range(125).select(F.col("id").cast("bigint").alias("oi"))
-    ea = -20.0 + 10.0 * (F.col("oi") / 25).cast("bigint")
-    eb = -20.0 + 10.0 * F.pmod((F.col("oi") / 5).cast("bigint"), F.lit(5))
-    ec = -20.0 + 10.0 * F.pmod(F.col("oi"), F.lit(5))
-    cols = euler_zyx_matrix_cols(ea, eb, ec)
-    return oi.select(
-        "oi", *[(F.round(expr, 12) + F.lit(0.0)).alias(name) for name, expr in cols.items()])
+    doc="F13+F14+W5 composite (merged r8): the full 3,125-pose "
+        "serpentine lattice (point3d_transformation.py:65-106) with "
+        "each pose's extrinsic Euler(zyx, degrees)→rotation matrix "
+        "(R = Rx(c)Ry(b)Rz(a), scipy lowercase-'zyx' semantics, "
+        "point3d_transformation.py:87-93) attached as trig column "
+        "expressions — exactly the grid→pose-matrix composition the "
+        "reference performs before projecting. Matrix entries rounded "
+        "to 12 dp because JVM and libm trig may differ in the last "
+        "ulp. The merge freed a driver-window slot for "
+        "dx6_passage_dup; both halves stay value-checked (the matrix "
+        "is now verified at all 125 orientations × 25 grid steps)")
+def pose_grid_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = pose_grid_df(spark)
+    cols = euler_zyx_matrix_cols(F.col("ea"), F.col("eb"), F.col("ec"))
+    return grid.select(
+        "pose_id", "ea", "eb", "ec", "gx", "gy", "gz",
+        *[(F.round(expr, 12) + F.lit(0.0)).alias(name)
+          for name, expr in cols.items()])

@@ -25,15 +25,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StructField, StructType
 
 
-def winnow_np(text: str, k: int, w: int, base: int, mod: int
-              ) -> tuple[int, int]:
-    """(set size, exact sum) of the distinct winnowed k-gram hashes of
-    ``text`` — vectorized Horner over the codepoint array."""
+def winnow_fps_np(text: str, k: int, w: int, base: int,
+                  mod: int) -> np.ndarray:
+    """Distinct winnowed k-gram hashes of ``text`` (sorted int64
+    array) — vectorized Horner over the codepoint array."""
     cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
             .astype(np.int64)
     n = cps.size
     if n < k:
-        return 0, 0
+        return np.empty(0, dtype=np.int64)
     m = n - k + 1
     acc = np.zeros(m, dtype=np.int64)
     for j in range(k):  # k vectorized passes, not per-gram loops
@@ -44,7 +44,14 @@ def winnow_np(text: str, k: int, w: int, base: int, mod: int
         from numpy.lib.stride_tricks import sliding_window_view
 
         wins = sliding_window_view(acc, w).min(axis=1)
-    fps = np.unique(wins)
+    return np.unique(wins)
+
+
+def winnow_np(text: str, k: int, w: int, base: int, mod: int
+              ) -> tuple[int, int]:
+    """(set size, exact sum) of the distinct winnowed k-gram hashes of
+    ``text`` — the scalar fold of :func:`winnow_fps_np`."""
+    fps = winnow_fps_np(text, k, w, base, mod)
     return int(fps.size), int(fps.sum())
 
 
@@ -67,6 +74,36 @@ def with_winnow_stats_arrow(df: DataFrame,
             pdf = pdf.copy()
             pdf["n_winnow_fp"] = [s[0] for s in stats]
             pdf["winnow_digest"] = [s[1] for s in stats]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def with_winnow_fps_arrow(df: DataFrame, text_col: str = "text",
+                          out: str = "winnow_fps") -> DataFrame:
+    """Append the distinct winnowed fingerprint ARRAY via one
+    mapInPandas stage — the fast path behind the passage-duplicate
+    index (operators/dedup.winnow_fingerprint_rows), where the whole
+    set is needed, not its scalar fold. Identical output to the
+    Column form ``queries/text.with_winnow_fingerprints`` up to array
+    order (this one is sorted, that one window-ordered; every
+    consumer explodes or set-compares) — pinned by
+    tests/test_winnow.py."""
+    from pyspark.sql.types import ArrayType
+
+    from ..queries.text import WINNOW_B, WINNOW_K, WINNOW_M, WINNOW_W
+
+    schema = StructType(df.schema.fields
+                        + [StructField(out, ArrayType(LongType()))])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [
+                winnow_fps_np(t if isinstance(t, str) else "",
+                              WINNOW_K, WINNOW_W, WINNOW_B,
+                              WINNOW_M).tolist()
+                for t in pdf[text_col]]
             yield pdf
 
     return df.mapInPandas(run, schema=schema)

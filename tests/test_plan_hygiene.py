@@ -27,7 +27,7 @@ from conftest import SF_DIR
 # construction, so the "nested loop" is a scalar attach, not a scan
 # of a second big input.
 BNLJ_OK = {
-    "f14_pose_grid_generator",       # 125 x 25 generated lattice
+    "f13_f14_pose_grid_rotation",    # 125 x 25 generated lattice
     "tx9_tfidf_vocab",               # one-row corpus-size scalar
     "sim1_sim2_cosine_topk",         # one-row query vector
     "sim3_sim4_ivf_train_assign",    # one-row query vector / L centroids

@@ -29,8 +29,8 @@ SECTION2_COVERING = [
     "w4_running_total",              # W4
     "w7_w8_time_windows",            # tumbling/sliding
     "w10_session_window_batch",      # session windows (batch=stream)
-    "f14_pose_grid_generator",       # F14/W5
-    "f13_euler_rotation_matrix",     # F13
+    "f13_f14_pose_grid_rotation",    # F13 + F14/W5 (merged r8 to
+                                     # free the slot for dx6)
     "s1_scan_project_filter",        # S1/S3
     "s2_p1_glob_suffix_views",       # S2/P1
     "p3_p4_p5_predicate_views",      # P3/P4/P5
