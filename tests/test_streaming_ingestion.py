@@ -77,7 +77,8 @@ def test_streaming_delta_dedup_end_to_end(spark, tmp_path):
     ])
     ingestion.run_ingestion_with_dedup(
         spark, str(src), root).awaitTermination(120)
-    assert corpus.committed_batches(spark, root) == ["stream-00000000"]
+    first = corpus.committed_batches(spark, root)
+    assert len(first) == 1 and first[0].endswith("-00000000")
     assert sorted(r.doc_id for r in
                   corpus.read_corpus(spark, root).collect()) == [1, 2]
     assert spark.read.parquet(f"{root}/rejects").count() == 1
@@ -89,11 +90,14 @@ def test_streaming_delta_dedup_end_to_end(spark, tmp_path):
     ])
     ingestion.run_ingestion_with_dedup(
         spark, str(src), root).awaitTermination(120)
-    assert corpus.committed_batches(spark, root) == [
-        "stream-00000000", "stream-00000001"]
+    both = corpus.committed_batches(spark, root)
+    # same checkpoint ⇒ same nonce: second drain is epoch 1 of the
+    # same incarnation
+    assert both == [first[0],
+                    first[0].replace("-00000000", "-00000001")]
     assert sorted(r.doc_id for r in
                   corpus.read_corpus(spark, root).collect()) == [1, 2, 12]
-    m = corpus.read_manifest(spark, root, "stream-00000001")
+    m = corpus.read_manifest(spark, root, both[1])
     assert m["n_exact_dropped"] == 1 and m["n_neardup_dropped"] == 1 \
         and m["n_admitted"] == 1
 
@@ -110,8 +114,10 @@ def test_streaming_crash_replay_exactly_once(spark, tmp_path,
     the query; restarting the stream replays the SAME epoch from the
     checkpoint, the manifest-last protocol sweeps the crashed
     attempt, and the batch lands exactly once. A lost checkpoint
-    (epoch ids restart at 0) replays the committed batch id, which
-    the BatchAlreadyIngested catch turns into a no-op."""
+    mints a fresh incarnation nonce, so the restarted stream's epoch
+    0 re-runs the same files under a NEW batch id — the persisted
+    indexes (not id collision) suppress the content, and the replay
+    commits an empty batch instead of aliasing the old one."""
     import shutil
 
     from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
@@ -139,20 +145,66 @@ def test_streaming_crash_replay_exactly_once(spark, tmp_path,
         q.awaitTermination(120)
     assert corpus.committed_batches(spark, root) == []   # nothing visible
 
-    # restart: checkpoint replays epoch 0, recovery re-runs the batch
+    # restart: same checkpoint replays epoch 0 under the SAME id
+    # (same incarnation nonce), recovery re-runs the batch
     ingestion.run_ingestion_with_dedup(
         spark, str(src), root).awaitTermination(120)
-    assert corpus.committed_batches(spark, root) == ["stream-00000000"]
+    committed = corpus.committed_batches(spark, root)
+    assert len(committed) == 1 and committed[0].endswith("-00000000")
     assert sorted(r.doc_id for r in
                   corpus.read_corpus(spark, root).collect()) == [1, 2]
 
-    # lost checkpoint: epoch 0 re-fires over the same files; the
-    # committed manifest turns the replay into a no-op
+    # lost checkpoint: epoch 0 re-fires over the same files under a
+    # FRESH incarnation id; the persisted indexes dedup everything,
+    # so the replay commits an empty batch — no duplicate rows
     shutil.rmtree(f"{root}/_stream_checkpoint")
     ingestion.run_ingestion_with_dedup(
         spark, str(src), root).awaitTermination(120)
-    assert corpus.committed_batches(spark, root) == ["stream-00000000"]
+    after = corpus.committed_batches(spark, root)
+    assert committed[0] in after and len(after) == 2
+    replay = next(b for b in after if b != committed[0])
+    assert replay != committed[0] and replay.endswith("-00000000")
+    assert corpus.read_manifest(spark, root, replay)["n_admitted"] == 0
     assert corpus.read_corpus(spark, root).count() == 2
+
+
+def test_lost_checkpoint_with_new_files_still_ingests(spark, tmp_path):
+    """The r7 hazard (VERDICT "What's missing" #1): checkpoint lost,
+    then a NEW file lands. The restarted stream's epoch 0 covers ALL
+    files — old and new. With epoch-scoped ids this superset batch
+    aliased the committed epoch 0 and silently no-opped, losing the
+    new file forever; with incarnation-scoped ids it runs under a
+    fresh id, the indexes suppress the old content, and the new file
+    is admitted exactly once."""
+    import shutil
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+    src = tmp_path / "drop7"
+    src.mkdir()
+    root = str(tmp_path / "corpus7")
+    _drop(str(src), "a.jsonl", [
+        _doc(1, "one two three four five six"),
+        _doc(2, "alpha beta gamma delta epsilon zeta")])
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert corpus.read_corpus(spark, root).count() == 2
+
+    shutil.rmtree(f"{root}/_stream_checkpoint")
+    _drop(str(src), "b.jsonl", [
+        _doc(3, "landed after the checkpoint was lost folks")])
+    ingestion.run_ingestion_with_dedup(
+        spark, str(src), root).awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  corpus.read_corpus(spark, root).collect()) == [1, 2, 3]
+
+    # and the re-drain admitted ONLY the new document (old content
+    # was suppressed by the indexes, not re-admitted)
+    batches = corpus.committed_batches(spark, root)
+    assert len(batches) == 2
+    admitted = {b: corpus.read_manifest(spark, root, b)["n_admitted"]
+                for b in batches}
+    assert sorted(admitted.values()) == [1, 2]
 
 
 def test_compaction_between_drains_keeps_dedup_and_identity(
@@ -185,8 +237,8 @@ def test_compaction_between_drains_keeps_dedup_and_identity(
     assert sorted(r.doc_id for r in
                   corpus.read_corpus(spark, root).collect()) == [1, 2, 11]
 
-    # lost checkpoint: epoch 0 re-fires over everything; the epoch id
-    # is superseded by the compaction but identity memory holds
+    # lost checkpoint: epoch 0 re-fires over everything under a fresh
+    # incarnation id; the COMPACTED indexes still suppress it all
     shutil.rmtree(f"{root}/_stream_checkpoint")
     ingestion.run_ingestion_with_dedup(
         spark, str(src), root).awaitTermination(120)
