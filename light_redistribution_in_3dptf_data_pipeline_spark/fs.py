@@ -79,3 +79,83 @@ def read_text(spark: SparkSession, path: str) -> str:
             stream, "UTF-8")
     finally:
         stream.close()
+
+
+# Filesystems whose rename is an atomic metadata operation. On object
+# stores (s3a, gs, abfss) rename is copy+delete — NOT atomic — but
+# there the single PUT of a direct create already is, so each scheme
+# gets the publish primitive that is actually atomic for it.
+_ATOMIC_RENAME_SCHEMES = {"file", "hdfs", "viewfs", "o3fs", "ofs"}
+
+
+def write_text_atomic(spark: SparkSession, path: str,
+                      text: str) -> None:
+    """Publish a small text file with no torn-read window, even
+    against a crash mid-write:
+
+    - rename-capable filesystems (local, HDFS): write to a ``.tmp-*``
+      sibling, then rename into place (overwriting any previous
+      version) — a reader never sees a truncated file, which plain
+      ``create`` cannot promise on a LOCAL filesystem (ADVICE r7:
+      a crash mid-``write_text`` left a truncated manifest that
+      poisoned every later ``_load_manifests``);
+    - object stores: direct :func:`write_text` — the PUT only
+      becomes visible complete-on-close, and their rename is the
+      non-atomic one.
+
+    Abandoned ``.tmp-*`` siblings from crashed writers are inert (no
+    reader matches them) and are swept by ``prune_uncommitted``.
+    """
+    import uuid
+
+    fs, p = _fs(spark, path)
+    if fs.getUri().getScheme() not in _ATOMIC_RENAME_SCHEMES:
+        write_text(spark, path, text)
+        return
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path + ".tmp-" + uuid.uuid4().hex)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    try:
+        # FileContext.rename(…, OVERWRITE): the atomic replace form
+        # (FileSystem.rename refuses an existing destination).
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark._jsc.hadoopConfiguration())
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        ctx.rename(tmp, p, opts)
+    except Exception:
+        fs.delete(tmp, False)
+        raise
+
+
+def create_exclusive(spark: SparkSession, path: str,
+                     text: str) -> bool:
+    """Create ``path`` with ``overwrite=False`` — the one-winner
+    primitive under a lease file (two racing creators: exactly one
+    create succeeds). Returns False when the path already exists
+    (pre-checked or raced)."""
+    fs, p = _fs(spark, path)
+    if fs.exists(p):
+        return False
+    try:
+        out = fs.create(p, False)
+    except Exception:   # raced: the other writer's create won
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def file_mtime_ms(spark: SparkSession, path: str) -> int:
+    """Modification time of ``path`` in epoch millis (raises if
+    absent) — the lease-staleness clock."""
+    fs, p = _fs(spark, path)
+    return int(fs.getFileStatus(p).getModificationTime())

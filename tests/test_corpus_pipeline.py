@@ -377,6 +377,108 @@ class TestIncrementalIngest:
         assert [r.doc_id for r in got2.collect()] == [2]
 
 
+class TestManifestSnapshot:
+    """The bookkeeping snapshot: O(1)+tail manifest loading that must
+    resolve IDENTICALLY to the per-file scan under every crash
+    position (snapshot is a cache; the directory stays authoritative
+    for presence)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, "
+                  "source STRING, n_chars LONG")
+
+    def _seed(self, spark, root, n=3):
+        for i in range(1, n + 1):
+            corpus.ingest_delta(
+                spark, root,
+                self._docs(spark, [(i, f"unique day {i} content words "
+                                       f"one two three", "en", "s", 1)]),
+                batch_id=f"d{i}")
+
+    def test_snapshot_equals_full_scan(self, spark, tmp_path):
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "snap1")
+        self._seed(spark, root)
+        with_snap = corpus._load_manifests(spark, root)
+        assert set(with_snap) == {"d1", "d2", "d3"}
+        # drop the snapshot: the full per-file scan resolves the same
+        fs.delete_path(spark, corpus._snapshot_path(root))
+        assert corpus._load_manifests(spark, root) == with_snap
+
+    def test_trailing_manifest_is_picked_up(self, spark, tmp_path):
+        """Crash between a manifest commit and the snapshot rewrite:
+        the trailing manifest file (absent from the snapshot) must
+        still be read — it IS committed."""
+        import json
+
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "snap2")
+        self._seed(spark, root, n=2)
+        tail = {"batch_id": "d9", "n_admitted": 0}
+        fs.write_text(spark, corpus._manifest_path(root, "d9"),
+                      json.dumps(tail))
+        got = corpus._load_manifests(spark, root)
+        assert set(got) == {"d1", "d2", "d9"} and got["d9"] == tail
+
+    def test_ghost_snapshot_entry_is_dropped(self, spark, tmp_path):
+        """Crash between a retention delete and the snapshot rewrite:
+        the stale snapshot still lists the de-committed batch, but
+        its manifest file is gone — presence is the directory's call,
+        so the batch must read as uncommitted."""
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "snap3")
+        self._seed(spark, root, n=2)
+        snap_before = fs.read_text(spark, corpus._snapshot_path(root))
+        fs.delete_path(spark, corpus._manifest_path(root, "d2"))
+        # restore the pre-delete (now stale) snapshot
+        fs.write_text(spark, corpus._snapshot_path(root), snap_before)
+        assert set(corpus._load_manifests(spark, root)) == {"d1"}
+        assert corpus.committed_batches(spark, root) == ["d1"]
+
+    def test_corrupt_snapshot_degrades_to_scan(self, spark, tmp_path):
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "snap4")
+        self._seed(spark, root, n=2)
+        fs.write_text(spark, corpus._snapshot_path(root),
+                      '{"manifests": {"d1"')   # truncated
+        assert set(corpus._load_manifests(spark, root)) == {"d1", "d2"}
+
+    def test_corrupt_manifest_is_a_loud_error(self, spark, tmp_path):
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "snap5")
+        self._seed(spark, root, n=1)
+        fs.delete_path(spark, corpus._snapshot_path(root))
+        fs.write_text(spark, corpus._manifest_path(root, "d1"),
+                      '{"batch_id": "d1", "n_adm')   # torn write
+        with pytest.raises(ValueError, match="corrupt manifest.*d1"):
+            corpus._load_manifests(spark, root)
+
+    def test_snapshot_makes_loading_one_read(self, spark, tmp_path,
+                                             monkeypatch):
+        """The point of the snapshot: N committed batches load with
+        ONE text read (the snapshot), not N — the O(batches)→O(1)
+        control-plane fix."""
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+            corpus as corpus_mod)
+
+        root = str(tmp_path / "snap6")
+        self._seed(spark, root, n=3)
+        calls = []
+        real = fs.read_text
+        monkeypatch.setattr(fs, "read_text",
+                            lambda s, p: (calls.append(p), real(s, p))[1])
+        got = corpus_mod._load_manifests(spark, root)
+        assert set(got) == {"d1", "d2", "d3"}
+        assert calls == [corpus._snapshot_path(root)]
+
+
 class TestCompactionAndRetention:
     """Small-files maintenance (manifest-supersession compaction) and
     batch-level retention deletes over the incremental corpus."""

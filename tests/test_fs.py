@@ -39,3 +39,34 @@ def test_mkdirs(spark, tmp_path):
     d = str(tmp_path / "a" / "b" / "c")
     fs.mkdirs(spark, d)
     assert fs.path_exists(spark, d) and os.path.isdir(d)
+
+
+def test_write_text_atomic_fresh_and_replace(spark, tmp_path):
+    p = str(tmp_path / "snap" / "s.json")
+    fs.write_text_atomic(spark, p, "v1")
+    assert fs.read_text(spark, p) == "v1"
+    fs.write_text_atomic(spark, p, "v2 — replaced in place")
+    assert fs.read_text(spark, p) == "v2 — replaced in place"
+    # no .tmp-* droppings after successful publishes
+    leftovers = [n for n in fs.list_dir(spark, str(tmp_path / "snap"))
+                 if ".tmp-" in n]
+    assert leftovers == []
+
+
+def test_create_exclusive_single_winner(spark, tmp_path):
+    p = str(tmp_path / "_lock")
+    assert fs.create_exclusive(spark, p, "owner-a") is True
+    assert fs.read_text(spark, p) == "owner-a"
+    # second creator loses and does not clobber the holder's content
+    assert fs.create_exclusive(spark, p, "owner-b") is False
+    assert fs.read_text(spark, p) == "owner-a"
+
+
+def test_file_mtime_ms(spark, tmp_path):
+    p = str(tmp_path / "t.txt")
+    fs.write_text(spark, p, "x")
+    got = fs.file_mtime_ms(spark, p)
+    assert abs(got / 1000 - os.path.getmtime(p)) < 2
+    # aging the file backdates the reported mtime (the lease clock)
+    os.utime(p, (0, 12345))
+    assert fs.file_mtime_ms(spark, p) == 12345_000
