@@ -377,6 +377,100 @@ class TestIncrementalIngest:
         assert [r.doc_id for r in got2.collect()] == [2]
 
 
+class TestWriterLease:
+    """The single-writer lease: a second concurrent writer fails
+    loudly instead of silently double-admitting; a crashed holder's
+    stale lease is taken over; an in-flight ingest blocks GC."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, "
+                  "source STRING, n_chars LONG")
+
+    def _one(self, spark, i):
+        return self._docs(spark, [
+            (i, f"unique lease test content number {i} here",
+             "en", "s", 1)])
+
+    def test_second_writer_raises_and_first_commits(self, spark,
+                                                    tmp_path):
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "lk1")
+        corpus.ingest_delta(spark, root, self._one(spark, 1),
+                            batch_id="d1")
+        # simulate a writer mid-operation: a fresh lease file exists
+        with corpus.corpus_writer_lock(spark, root, op="held"):
+            with pytest.raises(corpus.ConcurrentWriterError,
+                               match="locked by another writer"):
+                corpus.ingest_delta(spark, root, self._one(spark, 2),
+                                    batch_id="d2")
+            with pytest.raises(corpus.ConcurrentWriterError):
+                corpus.compact_batches(spark, root)
+            with pytest.raises(corpus.ConcurrentWriterError):
+                corpus.prune_uncommitted(spark, root)
+        # lease released: everything proceeds
+        assert not fs.path_exists(spark, f"{root}/{corpus.LOCK_NAME}")
+        corpus.ingest_delta(spark, root, self._one(spark, 2),
+                            batch_id="d2")
+        assert corpus.committed_batches(spark, root) == ["d1", "d2"]
+
+    def test_stale_lease_takeover(self, spark, tmp_path):
+        import os
+
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "lk2")
+        # a crashed holder left its lease behind...
+        lock = f"{root}/{corpus.LOCK_NAME}"
+        fs.write_text(spark, lock, '{"owner": "dead", "op": "x"}')
+        os.utime(lock, (0, 0))          # ...a long time ago
+        corpus.ingest_delta(spark, root, self._one(spark, 1),
+                            batch_id="d1")   # takeover, then commit
+        assert corpus.committed_batches(spark, root) == ["d1"]
+        assert not fs.path_exists(spark, lock)
+
+    def test_crash_inside_lease_releases_it(self, spark, tmp_path):
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "lk3")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus.ingest_delta(spark, root, self._one(spark, 1),
+                                batch_id="d1", _crash_after="corpus")
+        # the finally-release ran (a PROCESS kill would instead leave
+        # the lease to go stale — test_stale_lease_takeover's path)
+        assert not fs.path_exists(spark, f"{root}/{corpus.LOCK_NAME}")
+        corpus.ingest_delta(spark, root, self._one(spark, 1),
+                            batch_id="d1")
+        assert corpus.committed_batches(spark, root) == ["d1"]
+
+    def test_reserved_prefixes_rejected(self, spark, tmp_path):
+        root = str(tmp_path / "lk4")
+        for bad in ("compact-000001", "retain-x", "compact-final"):
+            with pytest.raises(ValueError, match="reserved"):
+                corpus.ingest_delta(spark, root, self._one(spark, 1),
+                                    batch_id=bad)
+
+    def test_nonnumeric_maintenance_ids_dont_break_numbering(
+            self, spark, tmp_path):
+        """ADVICE r7: an id that merely LOOKS like a maintenance id
+        (committed before the reserved-prefix guard, or hand-written)
+        must not crash or skew the sequence numbering."""
+        import json
+
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "lk5")
+        corpus.ingest_delta(spark, root, self._one(spark, 1),
+                            batch_id="d1")
+        # forge a manifest with a non-numeric compact-ish id
+        fs.write_text(
+            spark, corpus._manifest_path(root, "compact-final"),
+            json.dumps({"batch_id": "compact-final", "n_admitted": 0}))
+        cid = corpus.compact_batches(spark, root, batch_ids=["d1"])
+        assert cid == "compact-000000"
+
+
 class TestManifestSnapshot:
     """The bookkeeping snapshot: O(1)+tail manifest loading that must
     resolve IDENTICALLY to the per-file scan under every crash
@@ -516,7 +610,7 @@ class TestCompactionAndRetention:
         # hold the prune back to exercise the invisible-garbage
         # window: after the manifest commits, reads must already be
         # exactly-once even though the superseded files still exist
-        monkeypatch.setattr(corpus, "prune_superseded",
+        monkeypatch.setattr(corpus, "_prune_superseded",
                             lambda *a, **k: [])
         cid = corpus.compact_batches(spark, root)
         assert cid == "compact-000000"
