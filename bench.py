@@ -176,7 +176,7 @@ def main() -> None:
     finally:
         shutil.rmtree(ingest_root, ignore_errors=True)
 
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
@@ -184,7 +184,21 @@ def main() -> None:
         "queries_warm": per_query_warm,
         "value_warm": round(total_warm, 3),
         "sf": sf,
-    }))
+    }
+    print(json.dumps(summary))
+    # Stdout-noise-proof copy: Spark progress bars / JVM warnings can
+    # mangle the stdout line in captured logs, leaving the recorded
+    # bench blob unparseable (r1-r7 shipped a truncated "tail" string
+    # that had to be regex-scraped). The file is the machine-readable
+    # record; $SPARK_GRAFT_BENCH_OUT overrides the location.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SUMMARY.json"))
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"# summary written to {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

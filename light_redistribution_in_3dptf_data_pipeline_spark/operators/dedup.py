@@ -689,6 +689,62 @@ def lsh_neardup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_neardups(docs, JACCARD_THRESHOLD, bands=16)
 
 
+def passage_delta_gate(new_docs: DataFrame, index: DataFrame,
+                       min_shared: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_doc_freq: int | None = None
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Incremental PASSAGE-level dedup: drop a delta document when it
+    shares at least ``min_shared`` winnowed fingerprints with any
+    single document in the persisted ``index`` ((doc_id, fp) rows of
+    the committed corpus) — or with any lower-id delta document.
+    Returns ``(survivors, survivor_fp_rows)``; the fp rows are the
+    append-only index delta (same lifecycle as the content-hash and
+    simhash indexes).
+
+    Scale shape mirrors :func:`neardup_delta_simhash`: the delta's fp
+    rows are one Arrow map + explode; the index check is ONE equi-join
+    on the fingerprint value sized by the MATCHING rows (directory-
+    pruned index scan, never all-pairs); the in-delta check is the
+    delta-sized self-join. ``max_doc_freq`` drops fingerprints whose
+    index fan-out exceeds the bound — measured on the join result, so
+    the boilerplate guard costs nothing extra and the gate's data
+    cost stays O(delta + matches), never O(corpus). In-delta policy
+    (deterministic, iteration-free): any lower-id delta doc — itself
+    admitted or dropped — kills a higher-id doc sharing the passage,
+    collapsing a copied-passage family to its first-seen member."""
+    fp_new = winnow_fingerprint_rows(
+        new_docs.select(id_col, text_col), text_col,
+        id_col).localCheckpoint()
+
+    ix = index.select(F.col(id_col).alias("_ix_doc"), "fp")
+    j = fp_new.join(ix, "fp")
+    if max_doc_freq is not None:
+        hot = (j.groupBy("fp")
+               .agg(F.count_distinct("_ix_doc").alias("_df"))
+               .filter(F.col("_df") > max_doc_freq).select("fp"))
+        j = j.join(F.broadcast(hot), "fp", "left_anti")
+    hit_ix = (j.groupBy(id_col, "_ix_doc")
+              .agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") >= min_shared)
+              .select(id_col).distinct())
+
+    a, b = fp_new.alias("a"), fp_new.alias("b")
+    hit_delta = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))
+                 .groupBy(F.col(f"a.{id_col}").alias(id_col),
+                          F.col(f"b.{id_col}").alias("_other"))
+                 .agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") >= min_shared)
+                 .select(id_col).distinct())
+
+    killed = hit_ix.unionByName(hit_delta).distinct()
+    survivors = new_docs.join(killed, id_col, "left_anti")
+    surv_fps = fp_new.join(killed, id_col, "left_anti")
+    return survivors, surv_fps
+
+
 # Registered thresholds, measured on the synthetic fixture: the
 # templated generator gives UNRELATED documents a high shared-
 # fingerprint floor (median 8, p99 28 common fps per pair), so the

@@ -193,7 +193,16 @@ def build_corpus_pipeline(root: str, source: DataFrame,
 
 
 MANIFEST_DIR = "_manifests"
-INGEST_TABLES = ("corpus", "index_content_hash", "index_simhash")
+# index_winnow_fp only materializes when the optional passage gate is
+# on (ingest_delta's passage_min_shared); every maintenance sweep
+# still covers it — deleting/compacting an absent table is a no-op.
+INGEST_TABLES = ("corpus", "index_content_hash", "index_simhash",
+                 "index_winnow_fp")
+INDEX_SCHEMAS = {
+    "index_content_hash": "content_hash STRING, batch_id STRING",
+    "index_simhash": "simhash BIGINT, batch_id STRING",
+    "index_winnow_fp": "doc_id BIGINT, fp BIGINT, batch_id STRING",
+}
 
 
 class BatchAlreadyIngested(ValueError):
@@ -541,6 +550,8 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
                  langs: tuple[str, ...] = DEFAULT_LANGS,
                  min_tokens: int = MIN_TOKENS,
                  redact: bool = False,
+                 passage_min_shared: int | None = None,
+                 passage_max_doc_freq: int | None = None,
                  _crash_after: str | None = None) -> DataFrame:
     """INCREMENTAL corpus ingest — the daily-batch shape at 100 TB,
     where the standing corpus is never re-deduped: the delta runs the
@@ -551,6 +562,17 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
       (operators/dedup.dedup_delta_exact semantics).
     - ``{root}/index_simhash`` — near-dup gate, banded bucket joins
       (operators/dedup.neardup_delta_simhash).
+    - ``{root}/index_winnow_fp`` — OPTIONAL passage gate
+      (operators/dedup.passage_delta_gate), on when
+      ``passage_min_shared`` is set: a delta document sharing at
+      least that many winnowed fingerprints with any single committed
+      document (or a lower-id delta doc) is dropped even when the
+      documents as wholes are unrelated; ``passage_max_doc_freq``
+      is the boilerplate fan-out guard. Pick the gate mode when the
+      corpus root is created and keep it — like langs/min_tokens,
+      the knob is per-run, and a root ingested without the gate has
+      no passage index for later gated ingests to consult until
+      batches ingested under the gate accumulate.
 
     **Commit protocol (crash-safe, manifest-last).** All three tables
     are Parquet-partitioned by ``batch_id``, and a batch's rows in ALL
@@ -606,12 +628,15 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
             f"compact_batches/delete_documents)")
     with corpus_writer_lock(spark, root, op=f"ingest:{batch_id}"):
         return _ingest_delta(spark, root, new_docs, batch_id, langs,
-                             min_tokens, redact, _crash_after)
+                             min_tokens, redact, passage_min_shared,
+                             passage_max_doc_freq, _crash_after)
 
 
 def _ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
                   batch_id: str, langs: tuple[str, ...],
                   min_tokens: int, redact: bool,
+                  passage_min_shared: int | None,
+                  passage_max_doc_freq: int | None,
                   _crash_after: str | None) -> DataFrame:
     """:func:`ingest_delta` body, lease already held."""
     import json
@@ -665,14 +690,33 @@ def _ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
                            committed).select("simhash")
     survivors, _ = neardup_delta_simhash(ex_survivors, fp_index)
     survivors = survivors.localCheckpoint()
+    n_after_neardup = survivors.count()
+
+    surv_fps = None
+    if passage_min_shared is not None:
+        from ..operators.dedup import passage_delta_gate
+
+        wfp_index = _read_index(
+            spark, root, "index_winnow_fp",
+            INDEX_SCHEMAS["index_winnow_fp"],
+            committed).select("doc_id", "fp")
+        survivors, surv_fps = passage_delta_gate(
+            survivors, wfp_index, min_shared=passage_min_shared,
+            max_doc_freq=passage_max_doc_freq)
+        survivors = survivors.localCheckpoint()
+        surv_fps = surv_fps.localCheckpoint()
     n_admitted = survivors.count()
 
     tagged = survivors.withColumn("batch_id", F.lit(batch_id))
-    writes = (
+    writes = [
         ("corpus", tagged),
         ("index_content_hash", tagged.select("content_hash", "batch_id")),
         ("index_simhash", tagged.select("simhash", "batch_id")),
-    )
+    ]
+    if surv_fps is not None:
+        writes.append(("index_winnow_fp",
+                       surv_fps.withColumn("batch_id",
+                                           F.lit(batch_id))))
     for table, df in writes:
         (df.write.mode("append").partitionBy("batch_id")
          .parquet(f"{root}/{table}"))
@@ -686,7 +730,8 @@ def _ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
         "n_gated": n_gated,
         "n_quality_dropped": n_input - n_gated,
         "n_exact_dropped": n_gated - n_after_exact,
-        "n_neardup_dropped": n_after_exact - n_admitted,
+        "n_neardup_dropped": n_after_exact - n_after_neardup,
+        "n_passage_dropped": n_after_neardup - n_admitted,
         "n_admitted": n_admitted,
     }
     write_text_atomic(spark, _manifest_path(root, batch_id),
@@ -776,10 +821,7 @@ def _compact_batches(spark: SparkSession, root: str,
     cid = _next_seq_id(ms, "compact")
     from ..fs import delete_path, path_exists, write_text_atomic
 
-    schemas = {
-        "index_content_hash": "content_hash STRING, batch_id STRING",
-        "index_simhash": "simhash BIGINT, batch_id STRING",
-    }
+    schemas = INDEX_SCHEMAS
     for table in INGEST_TABLES:
         delete_path(spark, f"{root}/{table}/batch_id={cid}")
         path = f"{root}/{table}"
@@ -788,14 +830,17 @@ def _compact_batches(spark: SparkSession, root: str,
         reader = spark.read
         if table in schemas:
             reader = reader.schema(schemas[table])
-        # read-from and append-to the same table: safe because the
-        # scan's file listing is fixed at plan time (before the write
-        # produces any file) and the target partition (batch_id=cid)
-        # is disjoint from every source partition — the corpus never
-        # needs a corpus-sized staging copy.
+        # read-from and append-to the same table: the input rows are
+        # PINNED with a localCheckpoint before the write starts, so
+        # the append can never scan its own output — previously this
+        # leaned on Spark's plan-time InMemoryFileIndex listing, an
+        # implementation detail rather than a contract (ADVICE r7).
+        # The checkpoint is sized by the batches being compacted
+        # (bounded by compaction cadence), never the whole corpus.
         rows = (reader.parquet(path)
                 .filter(F.col("batch_id").isin(ids))
-                .withColumn("batch_id", F.lit(cid)))
+                .withColumn("batch_id", F.lit(cid))
+                .localCheckpoint())
         (rows.repartition(n_files)
          .write.mode("append").partitionBy("batch_id")
          .parquet(path))
@@ -803,7 +848,8 @@ def _compact_batches(spark: SparkSession, root: str,
     replaces = sorted(set(ids) | {r for b in ids
                                   for r in ms[b].get("replaces", ())})
     counted = ("n_input", "n_gated", "n_quality_dropped",
-               "n_exact_dropped", "n_neardup_dropped", "n_admitted")
+               "n_exact_dropped", "n_neardup_dropped",
+               "n_passage_dropped", "n_admitted")
     import json
     manifest = {
         "batch_id": cid,
@@ -1004,11 +1050,23 @@ def _delete_documents(spark: SparkSession, root: str,
             .localCheckpoint())
     n_deleted = sum(
         ms[b].get("n_admitted", 0) for b in affected) - surv.count()
-    writes = (
+    writes = [
         ("corpus", surv),
         ("index_content_hash", surv.select("content_hash", "batch_id")),
         ("index_simhash", surv.select("simhash", "batch_id")),
-    )
+    ]
+    from ..fs import path_exists
+    if path_exists(spark, f"{root}/index_winnow_fp"):
+        # the passage index regenerates from the survivors' own text
+        # (winnow fps are derivable, like the hash columns) — deleted
+        # documents' fingerprints leave with them, keeping removed
+        # passages RE-ADMITTABLE
+        from ..operators.dedup import winnow_fingerprint_rows
+
+        writes.append((
+            "index_winnow_fp",
+            winnow_fingerprint_rows(surv.select("doc_id", "text"))
+            .withColumn("batch_id", F.lit(cid))))
     for table, df in writes:
         (df.repartition(n_files)
          .write.mode("append").partitionBy("batch_id")
@@ -1064,6 +1122,17 @@ def verify_corpus(spark: SparkSession, root: str) -> dict:
             if live and have_corpus else None)
 
     n_rows = 0
+    if corp is None and live:
+        # The most severe corruption this fsck exists to catch: live
+        # manifests claim admitted rows but the corpus directory
+        # itself is gone — previously every check was silently
+        # SKIPPED and the fsck returned clean (ADVICE r7).
+        for bid in live:
+            want = ms[bid].get("n_admitted", 0)
+            if want:
+                violations.append(
+                    f"ledger: batch {bid} manifest says {want} "
+                    f"corpus rows but {root}/corpus is missing")
     if corp is not None:
         per_batch = {r.batch_id: r.n for r in
                      corp.groupBy("batch_id")

@@ -91,6 +91,8 @@ def run_ingestion_with_dedup(spark: SparkSession, src_path: str,
                              langs: tuple[str, ...] | None = None,
                              min_tokens: int = MIN_TOKENS,
                              redact: bool = False,
+                             passage_min_shared: int | None = None,
+                             passage_max_doc_freq: int | None = None,
                              max_files_per_trigger: int | None = None):
     """The FULL production ingest loop, end to end: drop directory →
     parse + quarantine → quality gate → incremental delta-dedup
@@ -170,7 +172,9 @@ def run_ingestion_with_dedup(spark: SparkSession, src_path: str,
                     spark, corpus_root, clean,
                     batch_id=f"stream-{nonce()}-{int(epoch_id):08d}",
                     langs=langs or DEFAULT_LANGS,
-                    min_tokens=min_tokens, redact=redact)
+                    min_tokens=min_tokens, redact=redact,
+                    passage_min_shared=passage_min_shared,
+                    passage_max_doc_freq=passage_max_doc_freq)
             except BatchAlreadyIngested:
                 # Same checkpoint incarnation ⇒ same epoch = same
                 # file set (offsets WAL precedes execution), so this

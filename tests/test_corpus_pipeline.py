@@ -377,6 +377,122 @@ class TestIncrementalIngest:
         assert [r.doc_id for r in got2.collect()] == [2]
 
 
+class TestPassageGate:
+    """The optional passage-level ingest gate: a delta document
+    sharing a copied span with the committed corpus (via the
+    persisted index_winnow_fp) or with a lower-id delta doc is
+    dropped, under the same batch-id/manifest crash protocol as the
+    other two gates."""
+
+    BODY_A = "abcdefg " * 40
+    BODY_B = "hijklmn " * 40
+    BODY_C = "opqrstu " * 40
+    BODY_D = "zyxwvut " * 40
+    P1 = ("the quick brown fox jumps over the lazy dog while the "
+          "cold rain falls on the quiet grey city")
+    # P2 shares NO >=8-char substring with P1 (winnow grams are
+    # 8-char, so any common span that long would legitimately match)
+    P2 = ("meanwhile seventeen violet umbrellas drifted calmly "
+          "beneath wooden bridges nine kilometers north")
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id LONG, text STRING, lang STRING, "
+            "source STRING, n_chars LONG")
+
+    def test_gate_drops_cross_batch_and_in_delta(self, spark,
+                                                 tmp_path):
+        root = str(tmp_path / "pg1")
+        corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(1, self.BODY_A + self.P1 + self.BODY_A)]),
+            batch_id="d1", passage_min_shared=2)
+        got = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [
+                # shares P1 with committed doc 1 → index gate drops
+                (10, self.BODY_B + self.P1 + self.BODY_B),
+                # P2 is new to the corpus → admitted (first seen)
+                (11, self.BODY_C + self.P2 + self.BODY_C),
+                # shares P2 with lower-id delta doc 11 → in-delta drop
+                (12, self.BODY_D + self.P2 + self.BODY_D),
+            ]),
+            batch_id="d2", passage_min_shared=2)
+        assert sorted(r.doc_id for r in got.collect()) == [11]
+        m = corpus.read_manifest(spark, root, "d2")
+        assert m["n_passage_dropped"] == 2 and m["n_admitted"] == 1
+        # the index grew append-only with ONLY the survivors' fps
+        ix = spark.read.parquet(f"{root}/index_winnow_fp")
+        assert sorted({r.doc_id for r in ix.collect()}) == [1, 11]
+
+    def test_crash_after_passage_index_write_recovers(self, spark,
+                                                      tmp_path):
+        """Kill-between-writes extended to the fourth table: a crash
+        right after the passage-index write (manifest never lands)
+        leaves nothing visible; the same-id retry is exactly-once."""
+        root = str(tmp_path / "pg2")
+        corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(1, self.BODY_A + self.P1 + self.BODY_A)]),
+            batch_id="d1", passage_min_shared=2)
+        delta = self._docs(
+            spark, [(11, self.BODY_C + self.P2 + self.BODY_C)])
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus.ingest_delta(spark, root, delta, batch_id="d2",
+                                passage_min_shared=2,
+                                _crash_after="index_winnow_fp")
+        assert corpus.committed_batches(spark, root) == ["d1"]
+        got = corpus.ingest_delta(spark, root, delta, batch_id="d2",
+                                  passage_min_shared=2)
+        assert [r.doc_id for r in got.collect()] == [11]
+        ix = spark.read.parquet(f"{root}/index_winnow_fp")
+        assert {r.batch_id for r in ix.select("batch_id")
+                .distinct().collect()} == {"d1", "d2"}
+
+    def test_retention_makes_passages_readmittable(self, spark,
+                                                   tmp_path):
+        """delete_documents regenerates the passage index from the
+        survivors' own text, so a removed document's passages leave
+        the gate with it — removed means removed."""
+        root = str(tmp_path / "pg3")
+        corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(1, self.BODY_A + self.P1 + self.BODY_A)]),
+            batch_id="d1", passage_min_shared=2)
+        corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(2, self.BODY_C + self.P2 + self.BODY_C)]),
+            batch_id="d2", passage_min_shared=2)
+        corpus.delete_documents(spark, root, [1])
+        ix = spark.read.parquet(f"{root}/index_winnow_fp")
+        assert sorted({r.doc_id for r in ix.collect()}) == [2]
+        # same passage in a brand-new document: admitted again
+        got = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(20, self.BODY_B + self.P1 + self.BODY_B)]),
+            batch_id="d3", passage_min_shared=2)
+        assert [r.doc_id for r in got.collect()] == [20]
+
+    def test_compaction_preserves_passage_gate(self, spark, tmp_path):
+        root = str(tmp_path / "pg4")
+        corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [(1, self.BODY_A + self.P1 + self.BODY_A)]),
+            batch_id="d1", passage_min_shared=2)
+        cid = corpus.compact_batches(spark, root)
+        ix = spark.read.parquet(f"{root}/index_winnow_fp")
+        assert {r.batch_id for r in ix.select("batch_id")
+                .distinct().collect()} == {cid}
+        got = corpus.ingest_delta(
+            spark, root,
+            self._docs(spark, [
+                (10, self.BODY_B + self.P1 + self.BODY_B),
+                (11, self.BODY_C + self.P2 + self.BODY_C)]),
+            batch_id="d2", passage_min_shared=2)
+        assert [r.doc_id for r in got.collect()] == [11]
+
+
 class TestWriterLease:
     """The single-writer lease: a second concurrent writer fails
     loudly instead of silently double-admitting; a crashed holder's
@@ -731,6 +847,13 @@ class TestCompactionAndRetention:
                       "junk")
         rep = corpus.verify_corpus(spark, root)
         assert rep["orphans"] == ["zzz"]
+
+        # tamper 3 (ADVICE r7): the WHOLE corpus directory gone while
+        # live manifests claim rows — must be a violation per claiming
+        # batch, not a silently-clean skip of every check
+        fs.delete_path(spark, f"{root}/corpus")
+        rep = corpus.verify_corpus(spark, root)
+        assert any("corpus is missing" in v for v in rep["violations"])
 
     def test_compact_validates_selection(self, spark, tmp_path):
         root = str(tmp_path / "cmpv")
