@@ -48,6 +48,7 @@ HEADLINE = [
     "x1_x2_x3_setops",
     "w10_session_window_batch",
     "dx5_lsh_neardup_decision",
+    "dx6_passage_dup",
     "sx3_ivf_probe_topk",
     "sim5_quantize_int8",
     "tx10_bpe_token_count",
