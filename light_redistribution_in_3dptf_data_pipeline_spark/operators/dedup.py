@@ -438,8 +438,17 @@ def passage_dup_candidates(docs: DataFrame, min_shared: int = 2,
     persistable passage index (append-only, same lifecycle as the
     simhash index).
     """
+    # Materialize the fingerprint rows ONCE: the raw plan re-runs the
+    # Arrow winnow map for the hot-fp subquery and again for EACH side
+    # of the self-join (3x the per-char hot loop — measured 1.85x
+    # slower end-to-end at sf0.1). The checkpoint is the unfiltered
+    # explode; the hot-fp guard then reads it twice cheaply.
     rows = winnow_fingerprint_rows(docs, text_col, id_col,
-                                   max_doc_freq)
+                                   None).localCheckpoint()
+    if max_doc_freq is not None:
+        hot = (rows.groupBy("fp").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_doc_freq).select("fp"))
+        rows = rows.join(F.broadcast(hot), "fp", "left_anti")
     a, b = rows.alias("a"), rows.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
