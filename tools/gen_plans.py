@@ -161,6 +161,35 @@ def main() -> None:
         lines.append("")
         print("# ingest_delta done", file=sys.stderr)
 
+    # Passage gate (r8): the optional fourth index's join shape — the
+    # delta's winnowed fingerprints against the directory-pruned
+    # (doc_id, fp) index, one equi-join sized by the matches.
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        passage_delta_gate)
+
+    with tempfile.TemporaryDirectory() as td:
+        C.ingest_delta(spark, td, docs.filter(
+            F.pmod(F.col("doc_id"), 10) < 8), batch_id="base",
+            passage_min_shared=8, passage_max_doc_freq=20)
+        committed = C.committed_batches(spark, td)
+        delta = docs.filter(F.pmod(F.col("doc_id"), 10) == 8)
+        wfp_ix = C._read_index(
+            spark, td, "index_winnow_fp",
+            C.INDEX_SCHEMAS["index_winnow_fp"],
+            committed).select("doc_id", "fp")
+        surv, _ = passage_delta_gate(delta, wfp_ix, min_shared=8,
+                                     max_doc_freq=20)
+        plan = surv._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ingest passage gate survivors "
+                     "(delta fingerprints vs persisted winnow index)")
+        assert "CartesianProduct" not in plan
+        lines.append("- no CartesianProduct (fingerprint equi-joins "
+                     "only; gate cost is O(delta·fps + matches), "
+                     "never O(corpus))")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# passage gate done", file=sys.stderr)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
