@@ -1,0 +1,319 @@
+"""INCREMENTALLY-MAINTAINED ANN index — the similarity-search analog
+of the incremental corpus (plans/corpus.py): at 100 TB you cannot
+rebuild the embedding index per delta, so vector batches append under
+the same manifest-last commit protocol the corpus uses, and queries
+see exactly the committed batches.
+
+Reference parity: the reference rebuilds its whole search structure
+per run (one-shot, like operators/similarity.write_ann_index); this
+module is the production shape that one-shot form documents itself as
+standing in for ("at 100 TB the bucket column becomes the partition
+key of the stored index table").
+
+Layout (one root per index):
+
+- ``{root}/buckets/batch_id=B/bucket=N/`` — the vectors, Parquet
+  partitioned by batch THEN LSH bucket, so a top-k probe prunes on
+  ``bucket IN (J+1 probes)`` inside every committed batch (static
+  directory pruning on the second partition level) while batch
+  visibility stays the invisible-set complement on the first.
+- ``{root}/_manifests/{batch_id}.json`` — written LAST: the commit.
+  Same snapshot cache, same supersession compaction, same writer
+  lease, same crash recovery ("run it again") as the corpus — all
+  reused from plans/corpus, which is root-generic by construction.
+- ``{root}/_meta.json`` — the bucketing identity (plane count, dim,
+  planes digest), written by the FIRST ingest and validated by every
+  later ingest and every query: two batches bucketed under different
+  hyperplanes would silently cross-probe wrong buckets, the same
+  drift class the one-shot index's sidecar guards against
+  (operators/similarity._read_index_meta).
+
+Scale notes: the per-delta data cost is one pure-map bucketing stage
+plus the delta-sized write; the optional id-dedup gate anti-joins the
+delta against a COLUMN-PRUNED scan of committed vec_ids (one bigint
+column, never the vectors). Per-batch small-files debt (each batch
+fans out over 2^J bucket directories) is exactly what
+:func:`compact_ann_batches` folds away.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fs import delete_path, path_exists, read_text, write_text_atomic
+from ..operators.similarity import (EMB_DIM, NUM_PLANES, TOP_K,
+                                    _fixed_point, _planes_digest,
+                                    lsh_buckets, query_bucket)
+from .corpus import (BatchAlreadyIngested, _load_manifests,
+                     _manifest_path, _next_seq_id, _superseded,
+                     _visible_scan, _write_snapshot, corpus_writer_lock)
+
+ANN_TABLE = "buckets"
+META_NAME = "_meta.json"
+
+
+def _ann_schema(dim: int) -> str:
+    # Explicit schema: partition-column types included, and an index
+    # whose committed batches are all empty has no footers to infer
+    # from (same reasoning as corpus._read_index).
+    return ("vec_id BIGINT, embedding ARRAY<FLOAT>, "
+            "bucket INT, batch_id STRING")
+
+
+def _meta_path(root: str) -> str:
+    return f"{root}/{META_NAME}"
+
+
+def _load_meta(spark: SparkSession, root: str) -> dict:
+    if not path_exists(spark, _meta_path(root)):
+        raise ValueError(
+            f"incremental ANN root {root} has no {META_NAME} — not an "
+            f"initialized index (the first ann_ingest_delta creates it)")
+    return json.loads(read_text(spark, _meta_path(root)))
+
+
+def _check_meta(meta: dict, num_planes: int, dim: int,
+                root: str, what: str) -> None:
+    mismatches = {k: (meta.get(k), v) for k, v in (
+        ("num_planes", num_planes), ("dim", dim),
+        ("planes_digest", _planes_digest(num_planes, dim)))
+        if meta.get(k) != v}
+    if mismatches:
+        raise ValueError(
+            f"incremental ANN index at {root} was built with different "
+            f"parameters than this {what} (stored, given): {mismatches} "
+            f"— proceeding would silently mix incompatible bucketings")
+
+
+def committed_ann_batches(spark: SparkSession, root: str) -> list[str]:
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    return sorted(b for b in ms if b not in gone)
+
+
+def read_ann_index(spark: SparkSession, root: str) -> DataFrame:
+    """Every committed vector (vec_id, embedding, bucket, batch_id) —
+    visibility identical to the corpus reader: present ∩ committed via
+    the invisible-set complement, directory-level."""
+    meta = _load_meta(spark, root)
+    committed = committed_ann_batches(spark, root)
+    path = f"{root}/{ANN_TABLE}"
+    if not committed or not path_exists(spark, path):
+        return spark.createDataFrame([], _ann_schema(meta["dim"]))
+    return _visible_scan(spark, path, committed,
+                         _ann_schema(meta["dim"]))
+
+
+def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
+                     batch_id: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     num_planes: int = NUM_PLANES, dim: int = EMB_DIM,
+                     dedup_ids: bool = True,
+                     _crash_after: str | None = None) -> dict:
+    """Append a vector delta under the manifest-last commit protocol.
+    Returns the committed manifest (the ingest ledger row).
+
+    - First ingest initializes ``_meta.json`` (the bucketing
+      identity); later ingests and queries validate against it.
+    - ``dedup_ids``: drop delta vectors whose ``vec_id`` is already
+      committed (anti-join against the column-pruned id scan) — the
+      at-scale idempotence for re-delivered upstream rows. Batch-level
+      exactly-once is by manifest identity regardless.
+    - Crash recovery is the corpus protocol verbatim: an unmanifested
+      partition is swept on same-id retry, readers never see it, the
+      manifest write IS the commit. ``_crash_after="buckets"`` is the
+      test seam.
+    """
+    if batch_id.startswith(("compact-", "retain-")):
+        raise ValueError(
+            f"batch_id {batch_id!r} uses a reserved maintenance prefix")
+    with corpus_writer_lock(spark, root, op=f"ann_ingest:{batch_id}"):
+        return _ann_ingest_delta(spark, root, emb, batch_id, id_col,
+                                 vec_col, num_planes, dim, dedup_ids,
+                                 _crash_after)
+
+
+def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
+                      batch_id: str, id_col: str, vec_col: str,
+                      num_planes: int, dim: int, dedup_ids: bool,
+                      _crash_after: str | None) -> dict:
+    if path_exists(spark, _meta_path(root)):
+        _check_meta(_load_meta(spark, root), num_planes, dim, root,
+                    "ingest")
+    else:
+        write_text_atomic(spark, _meta_path(root), json.dumps({
+            "kind": "ann_lsh_incremental", "num_planes": num_planes,
+            "dim": dim,
+            "planes_digest": _planes_digest(num_planes, dim),
+        }, sort_keys=True))
+
+    ms = _load_manifests(spark, root)
+    if batch_id in ms or batch_id in _superseded(ms):
+        raise BatchAlreadyIngested(
+            f"batch_id {batch_id!r} already ingested under {root} "
+            f"(manifest {_manifest_path(root, batch_id)})")
+    committed = sorted(b for b in ms if b not in _superseded(ms))
+    delete_path(spark, f"{root}/{ANN_TABLE}/batch_id={batch_id}")
+
+    delta = emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).cast("array<float>")
+                       .alias("embedding"))
+    n_input = delta.count()
+    if dedup_ids and committed:
+        ids = _visible_scan(spark, f"{root}/{ANN_TABLE}", committed,
+                            _ann_schema(dim)).select("vec_id")
+        delta = delta.join(ids, "vec_id", "left_anti")
+    delta = delta.localCheckpoint()
+    n_admitted = delta.count()
+
+    tagged = (delta.join(lsh_buckets(delta, "vec_id", "embedding",
+                                     num_planes, dim), "vec_id")
+              .withColumn("batch_id", F.lit(batch_id)))
+    if n_admitted:
+        # repartition(bucket) so each bucket directory is written by
+        # the tasks owning its rows — no tasks×buckets file blowup
+        (tagged.repartition(F.col("bucket"))
+         .write.mode("append").partitionBy("batch_id", "bucket")
+         .parquet(f"{root}/{ANN_TABLE}"))
+    if _crash_after == ANN_TABLE:
+        raise RuntimeError(
+            f"injected crash after {ANN_TABLE} write (batch {batch_id})")
+
+    manifest = {"batch_id": batch_id, "n_input": n_input,
+                "n_id_dupes": n_input - n_admitted,
+                "n_admitted": n_admitted}
+    write_text_atomic(spark, _manifest_path(root, batch_id),
+                      json.dumps(manifest, sort_keys=True))
+    _write_snapshot(spark, root, {**ms, batch_id: manifest})
+    return manifest
+
+
+def ann_incremental_topk(spark: SparkSession, root: str,
+                         query_vec: list, k: int = TOP_K,
+                         exclude_id: int | None = None) -> DataFrame:
+    """Top-k cosine over the COMMITTED index: probe set (query bucket
+    + Hamming-1 neighbors) computed driver-side, so the scan carries a
+    literal ``bucket IN (...)`` — static pruning to J+1 of 2^J bucket
+    directories inside every committed batch; batch visibility adds at
+    most a NOT IN over the (normally empty) invisible set. Scoring is
+    the exact fixed-point cosine re-rank of the one-shot index
+    (operators/similarity.ann_indexed_topk), so for equal committed
+    content the two return identical rows."""
+    import math
+
+    meta = _load_meta(spark, root)
+    num_planes, dim = meta["num_planes"], meta["dim"]
+    _check_meta(meta, num_planes, dim, root, "query")
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"expected {dim}-dim query vector, got {len(query_vec)}")
+
+    b = query_bucket(query_vec, num_planes, dim)
+    probes = [b] + [b ^ (1 << j) for j in range(num_planes)]
+    scan = (read_ann_index(spark, root)
+            .filter(F.col("bucket").isin(probes)))
+    if exclude_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_id)
+
+    qci = [math.floor(float(x) * 1000000000.0 + 0.5)
+           for x in query_vec]
+    qsq = float(sum(c * c for c in qci)) / 1e18
+
+    from ..queries.similarity import _fixed_dot
+
+    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
+    dec = scan.select("vec_id", "bucket",
+                      _fixed_point(F.col("embedding")).alias("ci"),
+                      qarr.alias("qci"))
+    scored = dec.select(
+        "vec_id", "bucket",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
+        .alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
+        .alias("nsq"))
+    cosine = F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq)))
+    return (scored.select("vec_id",
+                          F.round(cosine, 9).alias("cosine"), "bucket")
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
+def compact_ann_batches(spark: SparkSession, root: str,
+                        batch_ids: list[str] | None = None,
+                        n_files_per_bucket: int = 1) -> str:
+    """Fold many per-batch partitions into one ``compact-N`` batch —
+    the small-files relief for the 2^J-way per-batch fan-out. Same
+    manifest-supersession commit as corpus compaction: the rewrite is
+    invisible until its manifest (carrying the transitive
+    ``replaces``) lands; superseded partitions are pruned after;
+    crash anywhere leaves only invisible garbage."""
+    with corpus_writer_lock(spark, root, op="ann_compact"):
+        return _compact_ann_batches(spark, root, batch_ids,
+                                    n_files_per_bucket)
+
+
+def _compact_ann_batches(spark: SparkSession, root: str,
+                         batch_ids: list[str] | None,
+                         n_files_per_bucket: int) -> str:
+    meta = _load_meta(spark, root)
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    live = [b for b in ms if b not in gone]
+    ids = sorted(batch_ids) if batch_ids is not None else sorted(live)
+    unknown = [b for b in ids if b not in live]
+    if unknown:
+        raise ValueError(
+            f"cannot compact non-live batches {unknown}")
+    if not ids:
+        raise ValueError("nothing to compact: no live batches")
+
+    cid = _next_seq_id(ms, "compact")
+    path = f"{root}/{ANN_TABLE}"
+    delete_path(spark, f"{path}/batch_id={cid}")
+    if path_exists(spark, path):
+        # input pinned with a localCheckpoint before the same-table
+        # append starts (the corpus compaction discipline, ADVICE r7)
+        rows = (spark.read.schema(_ann_schema(meta["dim"]))
+                .parquet(path)
+                .filter(F.col("batch_id").isin(ids))
+                .withColumn("batch_id", F.lit(cid))
+                .localCheckpoint())
+        (rows.repartition(n_files_per_bucket, F.col("bucket"))
+         .write.mode("append").partitionBy("batch_id", "bucket")
+         .parquet(path))
+
+    replaces = sorted(set(ids) | {r for b in ids
+                                  for r in ms[b].get("replaces", ())})
+    manifest = {
+        "batch_id": cid, "replaces": replaces,
+        **{k: sum(ms[b].get(k, 0) for b in ids)
+           for k in ("n_input", "n_id_dupes", "n_admitted")},
+    }
+    write_text_atomic(spark, _manifest_path(root, cid),
+                      json.dumps(manifest, sort_keys=True))
+    _write_snapshot(spark, root, {**ms, cid: manifest})
+
+    from .corpus import _prune_superseded
+    _prune_superseded(spark, root, tables=(ANN_TABLE,))
+    return cid
+
+
+def delete_vector_batch(spark: SparkSession, root: str,
+                        batch_id: str) -> None:
+    """RETENTION: de-commit a live vector batch — manifest deleted
+    first (the atomic de-commit), partition swept after. Deleted ids
+    become re-admittable through the id-dedup gate, exactly like the
+    corpus delete (plans/corpus.delete_batch)."""
+    with corpus_writer_lock(spark, root, op=f"ann_delete:{batch_id}"):
+        ms = _load_manifests(spark, root)
+        if batch_id not in ms or batch_id in _superseded(ms):
+            raise ValueError(
+                f"batch_id {batch_id!r} is not a live committed batch "
+                f"under {root}")
+        delete_path(spark, _manifest_path(root, batch_id))
+        _write_snapshot(spark, root,
+                        {b: m for b, m in ms.items() if b != batch_id})
+        delete_path(spark, f"{root}/{ANN_TABLE}/batch_id={batch_id}")

@@ -879,7 +879,12 @@ def prune_superseded(spark: SparkSession, root: str) -> list[str]:
         return _prune_superseded(spark, root)
 
 
-def _prune_superseded(spark: SparkSession, root: str) -> list[str]:
+def _prune_superseded(spark: SparkSession, root: str,
+                      tables: tuple[str, ...] = INGEST_TABLES
+                      ) -> list[str]:
+    # `tables` parametrizes the data-directory set: the corpus's four
+    # ingest tables by default, or another batch-partitioned layout
+    # sharing this manifest protocol (plans/ann_index.py).
     from ..fs import delete_path
 
     ms = _load_manifests(spark, root)
@@ -887,7 +892,7 @@ def _prune_superseded(spark: SparkSession, root: str) -> list[str]:
     pruned = []
     for bid in sorted(gone):
         removed = delete_path(spark, _manifest_path(root, bid))
-        for table in INGEST_TABLES:
+        for table in tables:
             removed |= delete_path(spark,
                                    f"{root}/{table}/batch_id={bid}")
         if removed:

@@ -1,0 +1,169 @@
+"""Incrementally-maintained ANN index (plans/ann_index.py): one-shot
+equivalence, exactly-once commits, crash recovery, id dedup, meta
+drift, compaction identity, retention, lease, and the pruned-scan
+plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+from light_redistribution_in_3dptf_data_pipeline_spark.operators import (
+    similarity as S)
+from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+    ann_index as A)
+from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+    BatchAlreadyIngested, ConcurrentWriterError)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter("vec_id = 0").select("embedding").collect()[0]
+    return [float(x) for x in row[0]]
+
+
+def _thirds(emb):
+    return [emb.filter(F.pmod(F.col("vec_id"), 3) == i)
+            for i in range(3)]
+
+
+def _topk(spark, root, qvec):
+    return [(r.vec_id, r.cosine, r.bucket) for r in
+            A.ann_incremental_topk(spark, root, qvec,
+                                   exclude_id=0).collect()]
+
+
+def test_incremental_equals_one_shot(spark, emb, qvec, tmp_path):
+    """Three deltas committed incrementally return exactly the one-shot
+    stored index's top-k (same planes ⇒ same buckets ⇒ same probe
+    set ⇒ identical exact re-rank)."""
+    root = str(tmp_path / "inc")
+    for i, part in enumerate(_thirds(emb)):
+        m = A.ann_ingest_delta(spark, root, part, f"b{i}")
+        assert m["n_admitted"] == m["n_input"] > 0
+    one = str(tmp_path / "oneshot")
+    S.write_ann_index(emb, one)
+    expect = [(r.vec_id, r.cosine, r.bucket) for r in
+              S.ann_indexed_topk(spark, one, qvec,
+                                 exclude_id=0).collect()]
+    assert _topk(spark, root, qvec) == expect
+    assert (A.read_ann_index(spark, root).count() == emb.count())
+
+
+def test_batch_identity_and_id_dedup(spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    first, second, _ = _thirds(emb)
+    A.ann_ingest_delta(spark, root, first, "day0")
+    with pytest.raises(BatchAlreadyIngested):
+        A.ann_ingest_delta(spark, root, first, "day0")
+    # re-delivered rows: overlap dropped by the id gate, new admitted
+    m = A.ann_ingest_delta(spark, root,
+                           first.unionByName(second), "day1")
+    assert m["n_id_dupes"] == first.count()
+    assert m["n_admitted"] == second.count()
+    ids = {r.vec_id for r in
+           A.read_ann_index(spark, root).select("vec_id").collect()}
+    assert ids == {r.vec_id for r in
+                   first.unionByName(second).collect()}
+
+
+def test_crash_before_manifest_is_invisible_then_retryable(
+        spark, emb, qvec, tmp_path):
+    root = str(tmp_path / "ix")
+    first, second, _ = _thirds(emb)
+    A.ann_ingest_delta(spark, root, first, "day0")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        A.ann_ingest_delta(spark, root, second, "day1",
+                           _crash_after=A.ANN_TABLE)
+    # uncommitted partition exists on disk but no reader sees it
+    assert (A.read_ann_index(spark, root)
+            .select("batch_id").distinct().collect()
+            == [("day0",)])
+    # retry under the same id: swept and re-ingested exactly once
+    m = A.ann_ingest_delta(spark, root, second, "day1")
+    assert m["n_admitted"] == second.count()
+    assert (A.read_ann_index(spark, root).count()
+            == first.count() + second.count())
+
+
+def test_meta_drift_raises(spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    first, second, _ = _thirds(emb)
+    A.ann_ingest_delta(spark, root, first, "b0")
+    with pytest.raises(ValueError, match="different parameters"):
+        A.ann_ingest_delta(spark, root, second, "b1", num_planes=6)
+    with pytest.raises(ValueError, match="64-dim"):
+        A.ann_incremental_topk(spark, root, [0.0] * 10)
+    with pytest.raises(ValueError, match="no _meta.json"):
+        A.read_ann_index(spark, str(tmp_path / "nowhere"))
+
+
+def test_compaction_preserves_results(spark, emb, qvec, tmp_path):
+    root = str(tmp_path / "ix")
+    for i, part in enumerate(_thirds(emb)):
+        A.ann_ingest_delta(spark, root, part, f"b{i}")
+    before = _topk(spark, root, qvec)
+    cid = A.compact_ann_batches(spark, root, ["b0", "b1"])
+    assert _topk(spark, root, qvec) == before
+    assert A.committed_ann_batches(spark, root) == ["b2", cid]
+    # replayed pre-compaction batch still reads as already-ingested
+    with pytest.raises(BatchAlreadyIngested):
+        A.ann_ingest_delta(spark, root, _thirds(emb)[0], "b0")
+    # chained compaction keeps identity memory transitively
+    cid2 = A.compact_ann_batches(spark, root)
+    assert _topk(spark, root, qvec) == before
+    assert A.committed_ann_batches(spark, root) == [cid2]
+
+
+def test_delete_vector_batch(spark, emb, qvec, tmp_path):
+    root = str(tmp_path / "ix")
+    first, second, _ = _thirds(emb)
+    A.ann_ingest_delta(spark, root, first, "b0")
+    A.ann_ingest_delta(spark, root, second, "b1")
+    A.delete_vector_batch(spark, root, "b1")
+    assert A.committed_ann_batches(spark, root) == ["b0"]
+    # deleted ids are re-admittable (id gate consults committed only)
+    m = A.ann_ingest_delta(spark, root, second, "b1-again")
+    assert m["n_id_dupes"] == 0
+    with pytest.raises(ValueError, match="not a live committed"):
+        A.delete_vector_batch(spark, root, "nope")
+
+
+def test_writer_lease_excludes_second_writer(spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    first = _thirds(emb)[0]
+    A.ann_ingest_delta(spark, root, first, "b0")
+    from light_redistribution_in_3dptf_data_pipeline_spark.fs import (
+        write_text)
+    write_text(spark, f"{root}/_lock",
+               '{"owner": "x", "op": "other", "pid": 1}')
+    with pytest.raises(ConcurrentWriterError):
+        A.ann_ingest_delta(spark, root, first, "b1")
+
+
+def test_probe_scan_is_partition_pruned(spark, emb, qvec, tmp_path):
+    """The plan pin: the top-k probe prunes on BOTH partition levels —
+    bucket IN (J+1 literals) directory pruning, no growing batch
+    IN-list — and stays a single TakeOrderedAndProject stage with no
+    Exchange before it."""
+    root = str(tmp_path / "ix")
+    for i, part in enumerate(_thirds(emb)):
+        A.ann_ingest_delta(spark, root, part, f"b{i}")
+    df = A.ann_incremental_topk(spark, root, qvec, exclude_id=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "bucket" in m.group(1)
+    # all batches committed ⇒ invisible set empty ⇒ no batch filter
+    assert "batch_id IN" not in m.group(1)
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
