@@ -301,6 +301,82 @@ def _compact_ann_batches(spark: SparkSession, root: str,
     return cid
 
 
+def verify_ann_index(spark: SparkSession, root: str) -> dict:
+    """Consistency fsck for the incremental ANN index — the
+    similarity-side analog of plans/corpus.verify_corpus. Invariants:
+
+    - **ledger**: every live batch holds exactly its manifest's
+      ``n_admitted`` vectors (a missing data directory under live
+      manifests is a per-batch violation, never a silent skip);
+    - **uniqueness**: ``vec_id`` is globally unique across the live
+      index (the id-dedup admission guarantee);
+    - **bucketing**: every stored row's partition bucket equals the
+      bucket recomputed from its own embedding under the ``_meta``
+      planes — the drift the sidecar can't catch (e.g. a partition
+      directory moved/renamed out-of-band);
+    - **orphans**: unmanifested/superseded partitions still on disk.
+
+    One aggregate scan each; nothing collected row-wise."""
+    from ..fs import list_dir, path_exists
+
+    meta = _load_meta(spark, root)
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    live = sorted(b for b in ms if b not in gone)
+    violations: list[str] = []
+
+    path = f"{root}/{ANN_TABLE}"
+    ix = (_visible_scan(spark, path, live, _ann_schema(meta["dim"]))
+          if live and path_exists(spark, path) else None)
+    n_rows = 0
+    if ix is None and live:
+        for bid in live:
+            want = ms[bid].get("n_admitted", 0)
+            if want:
+                violations.append(
+                    f"ledger: batch {bid} manifest says {want} "
+                    f"vectors but {path} is missing")
+    if ix is not None:
+        per_batch = {r.batch_id: r.n for r in
+                     ix.groupBy("batch_id")
+                     .agg(F.count("*").alias("n")).collect()}
+        n_rows = sum(per_batch.values())
+        for bid in live:
+            want = ms[bid].get("n_admitted", 0)
+            got = per_batch.get(bid, 0)
+            if want != got:
+                violations.append(
+                    f"ledger: batch {bid} has {got} vectors, "
+                    f"manifest says {want}")
+        n_dupes = (ix.groupBy("vec_id")
+                   .agg(F.count("*").alias("n"))
+                   .filter(F.col("n") > 1).count())
+        if n_dupes:
+            violations.append(
+                f"uniqueness: {n_dupes} vec_ids appear in more than "
+                f"one live index row")
+        expected = lsh_buckets(ix.select("vec_id", "embedding"),
+                               "vec_id", "embedding",
+                               meta["num_planes"], meta["dim"])
+        n_drift = (ix.select("vec_id", "bucket")
+                   .join(expected.withColumnRenamed("bucket", "_want"),
+                         "vec_id")
+                   .filter(F.col("bucket") != F.col("_want")).count())
+        if n_drift:
+            violations.append(
+                f"bucketing: {n_drift} rows sit in a partition whose "
+                f"bucket != the bucket of their own embedding")
+
+    live_set = set(live)
+    orphans = sorted(
+        child[len("batch_id="):]
+        for child in list_dir(spark, path)
+        if child.startswith("batch_id=")
+        and child[len("batch_id="):] not in live_set)
+    return {"live_batches": len(live), "index_rows": n_rows,
+            "orphans": orphans, "violations": violations}
+
+
 def delete_vector_batch(spark: SparkSession, root: str,
                         batch_id: str) -> None:
     """RETENTION: de-commit a live vector batch — manifest deleted

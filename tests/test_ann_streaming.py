@@ -1,0 +1,134 @@
+"""Streaming vector ingestion into the incremental ANN index
+(streaming/vectors.py) plus the ANN fsck (verify_ann_index): drain
+semantics, cross-drain id dedup, lost-checkpoint recovery, and
+violation detection."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+    ann_index as A)
+from light_redistribution_in_3dptf_data_pipeline_spark.streaming import (
+    vectors as V)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>")
+        .alias("embedding"))
+
+
+def _drop(emb, pred, src_dir, name):
+    """Land one parquet FILE in the drop directory (the file-stream
+    source lists files, not nested dataset directories)."""
+    import glob
+    import os
+    import shutil as sh
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="vecdrop_")
+    try:
+        (emb.filter(pred).coalesce(1)
+         .write.mode("overwrite").parquet(staging))
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        os.makedirs(src_dir, exist_ok=True)
+        sh.copy(part, os.path.join(src_dir, f"{name}.parquet"))
+    finally:
+        sh.rmtree(staging, ignore_errors=True)
+
+
+def test_stream_drains_into_index(spark, emb, tmp_path):
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ix")
+    _drop(emb, F.col("vec_id") < 100, src, "f0")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    got = A.read_ann_index(spark, root)
+    assert got.count() == emb.filter("vec_id < 100").count()
+    # second drain: only the NEW file's vectors are processed
+    _drop(emb, (F.col("vec_id") >= 100) & (F.col("vec_id") < 150),
+          src, "f1")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    assert (A.read_ann_index(spark, root).count()
+            == emb.filter("vec_id < 150").count())
+    rep = A.verify_ann_index(spark, root)
+    assert rep["violations"] == [] and rep["orphans"] == []
+
+
+def test_lost_checkpoint_new_files_still_admitted(spark, emb,
+                                                  tmp_path):
+    """The r7 hazard, vector edition: checkpoint lost, a NEW file
+    lands, the restarted stream's epoch 0 re-lists everything — the
+    fresh nonce gives it a fresh batch id and the id-dedup gate (not
+    id collision) suppresses the re-read vectors while the new file's
+    vectors are admitted exactly once."""
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ix")
+    _drop(emb, F.col("vec_id") < 80, src, "f0")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    n0 = A.read_ann_index(spark, root).count()
+    assert n0 == emb.filter("vec_id < 80").count()
+
+    shutil.rmtree(f"{root}/_stream_checkpoint")
+    _drop(emb, (F.col("vec_id") >= 80) & (F.col("vec_id") < 120),
+          src, "f1")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    got = A.read_ann_index(spark, root)
+    assert got.count() == emb.filter("vec_id < 120").count()
+    assert (got.select("vec_id").distinct().count()
+            == emb.filter("vec_id < 120").count())
+    assert A.verify_ann_index(spark, root)["violations"] == []
+
+
+def test_fsck_detects_tampering(spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    A.ann_ingest_delta(spark, root,
+                       emb.filter("vec_id < 100"), "b0")
+    rep = A.verify_ann_index(spark, root)
+    assert rep["violations"] == [] and rep["index_rows"] == 100
+
+    # ledger violation: delete one bucket directory out-of-band
+    import glob
+    import shutil as sh
+
+    victim = sorted(glob.glob(f"{root}/{A.ANN_TABLE}/batch_id=b0/"
+                              f"bucket=*"))[0]
+    sh.rmtree(victim)
+    rep = A.verify_ann_index(spark, root)
+    assert any(v.startswith("ledger:") for v in rep["violations"])
+
+    # bucketing violation: move a bucket directory to a wrong bucket
+    dirs = sorted(glob.glob(f"{root}/{A.ANN_TABLE}/batch_id=b0/"
+                            f"bucket=*"))
+    taken = {int(d.rsplit("=", 1)[1]) for d in dirs}
+    free = next(b for b in range(256) if b not in taken)
+    sh.move(dirs[0], f"{root}/{A.ANN_TABLE}/batch_id=b0/bucket={free}")
+    rep = A.verify_ann_index(spark, root)
+    assert any(v.startswith("bucketing:") for v in rep["violations"])
+
+
+def test_fsck_missing_table_and_orphans(spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    A.ann_ingest_delta(spark, root, emb.filter("vec_id < 50"), "b0")
+    # orphan: a crashed ingest's unmanifested partition
+    with pytest.raises(RuntimeError, match="injected crash"):
+        A.ann_ingest_delta(spark, root,
+                           emb.filter("vec_id >= 50"), "b1",
+                           _crash_after=A.ANN_TABLE)
+    rep = A.verify_ann_index(spark, root)
+    assert rep["orphans"] == ["b1"] and rep["violations"] == []
+
+    # missing data directory under a live manifest = per-batch
+    # violation, not a silent clean pass
+    import shutil as sh
+
+    sh.rmtree(f"{root}/{A.ANN_TABLE}")
+    rep = A.verify_ann_index(spark, root)
+    assert any("missing" in v for v in rep["violations"])
