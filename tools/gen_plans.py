@@ -190,6 +190,34 @@ def main() -> None:
         lines.append("")
         print("# passage gate done", file=sys.stderr)
 
+    # Incremental ANN index (r8): the committed-batches probe must
+    # prune on BOTH partition levels — bucket IN (J+1 literals) with
+    # no growing batch IN-list — and stay exchange-free.
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ann_index as AI)
+
+    with tempfile.TemporaryDirectory() as td:
+        for i in range(3):
+            AI.ann_ingest_delta(
+                spark, f"{td}/ix",
+                emb.filter(F.pmod(F.col("vec_id"), 3) == i), f"b{i}")
+        df = AI.ann_incremental_topk(spark, f"{td}/ix", qvec,
+                                     exclude_id=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ann_incremental_topk "
+                     "(incrementally-maintained index, 3 batches)")
+        m = _re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        if m:
+            lines.append(f"- `{m.group(0)}` — two-level directory "
+                         "pruning (bucket probes; batch visibility "
+                         "adds no IN-list when nothing is invisible)")
+        assert "Exchange" not in plan
+        lines.append("- no Exchange (TakeOrderedAndProject over the "
+                     "pruned scan)")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# incremental ann done", file=sys.stderr)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
