@@ -145,8 +145,18 @@ def create_exclusive(spark: SparkSession, path: str,
         return False
     try:
         out = fs.create(p, False)
-    except Exception:   # raced: the other writer's create won
-        return False
+    except Exception:   # noqa: BLE001 — classified below
+        # Only a lost RACE means False — and the one observable that
+        # distinguishes it (FS-agnostically, since Hadoop raises
+        # FileAlreadyExistsException for unrelated faults too, e.g.
+        # parent-path-is-a-file names the PARENT) is that the lock
+        # path itself now exists. Anything else (permissions,
+        # connectivity, parent-not-a-directory) re-raises: swallowing
+        # it would surface as a bogus ConcurrentWriterError after the
+        # caller's retry loop instead of naming the real fault.
+        if fs.exists(p):
+            return False
+        raise
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
@@ -159,3 +169,13 @@ def file_mtime_ms(spark: SparkSession, path: str) -> int:
     absent) — the lease-staleness clock."""
     fs, p = _fs(spark, path)
     return int(fs.getFileStatus(p).getModificationTime())
+
+
+def touch_mtime(spark: SparkSession, path: str) -> None:
+    """Advance ``path``'s mtime to now (raises if absent) — the lease
+    heartbeat: a long-running holder renews between expensive stages
+    so an in-TTL observer never reads it as stale."""
+    import time
+
+    fs, p = _fs(spark, path)
+    fs.setTimes(p, int(time.time() * 1000), -1)

@@ -717,29 +717,45 @@ def passage_delta_gate(new_docs: DataFrame, index: DataFrame,
     on the fingerprint value sized by the MATCHING rows (directory-
     pruned index scan, never all-pairs); the in-delta check is the
     delta-sized self-join. ``max_doc_freq`` drops fingerprints whose
-    index fan-out exceeds the bound — measured on the join result, so
-    the boilerplate guard costs nothing extra and the gate's data
-    cost stays O(delta + matches), never O(corpus). In-delta policy
-    (deterministic, iteration-free): any lower-id delta doc — itself
-    admitted or dropped — kills a higher-id doc sharing the passage,
-    collapsing a copied-passage family to its first-seen member."""
+    COMBINED (index + delta) document frequency exceeds the bound —
+    the same corpus-wide guard :func:`passage_dup_candidates` applies,
+    because to this gate "the corpus" is committed docs PLUS the delta
+    itself: a boilerplate template shared only among delta documents
+    (a crawl batch from one site) must not kill every doc after the
+    first. Both frequencies are measured on delta-sized frames (the
+    index side from the join result, never a corpus scan), so the
+    guard keeps the gate's data cost O(delta + matches), never
+    O(corpus). In-delta policy (deterministic, iteration-free): any
+    lower-id delta doc — itself admitted or dropped — kills a
+    higher-id doc sharing the passage, collapsing a copied-passage
+    family to its first-seen member."""
     fp_new = winnow_fingerprint_rows(
         new_docs.select(id_col, text_col), text_col,
         id_col).localCheckpoint()
 
     ix = index.select(F.col(id_col).alias("_ix_doc"), "fp")
     j = fp_new.join(ix, "fp")
+    fp_kept = fp_new
     if max_doc_freq is not None:
-        hot = (j.groupBy("fp")
-               .agg(F.count_distinct("_ix_doc").alias("_df"))
-               .filter(F.col("_df") > max_doc_freq).select("fp"))
+        # fp rows are distinct per document (winnow emits a set), so
+        # count(*) per fp IS its delta document frequency; the index
+        # frequency is counted on the join result only.
+        ix_df = (j.groupBy("fp")
+                 .agg(F.count_distinct("_ix_doc").alias("_ixdf")))
+        new_df = (fp_new.groupBy("fp")
+                  .agg(F.count("*").alias("_newdf")))
+        hot = (new_df.join(ix_df, "fp", "left")
+               .filter(F.coalesce(F.col("_ixdf"), F.lit(0))
+                       + F.col("_newdf") > max_doc_freq)
+               .select("fp"))
         j = j.join(F.broadcast(hot), "fp", "left_anti")
+        fp_kept = fp_new.join(F.broadcast(hot), "fp", "left_anti")
     hit_ix = (j.groupBy(id_col, "_ix_doc")
               .agg(F.count("*").alias("_n"))
               .filter(F.col("_n") >= min_shared)
               .select(id_col).distinct())
 
-    a, b = fp_new.alias("a"), fp_new.alias("b")
+    a, b = fp_kept.alias("a"), fp_kept.alias("b")
     hit_delta = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                         & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))
                  .groupBy(F.col(f"a.{id_col}").alias(id_col),

@@ -130,16 +130,18 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     if batch_id.startswith(("compact-", "retain-")):
         raise ValueError(
             f"batch_id {batch_id!r} uses a reserved maintenance prefix")
-    with corpus_writer_lock(spark, root, op=f"ann_ingest:{batch_id}"):
+    with corpus_writer_lock(spark, root,
+                            op=f"ann_ingest:{batch_id}") as lease:
         return _ann_ingest_delta(spark, root, emb, batch_id, id_col,
                                  vec_col, num_planes, dim, dedup_ids,
-                                 _crash_after)
+                                 _crash_after, lease)
 
 
 def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       batch_id: str, id_col: str, vec_col: str,
                       num_planes: int, dim: int, dedup_ids: bool,
-                      _crash_after: str | None) -> dict:
+                      _crash_after: str | None,
+                      lease=None) -> dict:
     if path_exists(spark, _meta_path(root)):
         _check_meta(_load_meta(spark, root), num_planes, dim, root,
                     "ingest")
@@ -162,7 +164,12 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                        F.col(vec_col).cast("array<float>")
                        .alias("embedding"))
     n_input = delta.count()
-    if dedup_ids and committed:
+    # path_exists guard: committed batches that all admitted zero
+    # vectors (e.g. an empty first micro-batch) leave no buckets/
+    # directory at all — the anti-join is then a no-op, not a crash
+    # (same reasoning as read_ann_index / corpus._read_index).
+    if (dedup_ids and committed
+            and path_exists(spark, f"{root}/{ANN_TABLE}")):
         ids = _visible_scan(spark, f"{root}/{ANN_TABLE}", committed,
                             _ann_schema(dim)).select("vec_id")
         delta = delta.join(ids, "vec_id", "left_anti")
@@ -185,6 +192,8 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     manifest = {"batch_id": batch_id, "n_input": n_input,
                 "n_id_dupes": n_input - n_admitted,
                 "n_admitted": n_admitted}
+    if lease is not None:   # fence: no zombie commit after takeover
+        lease.fence()
     write_text_atomic(spark, _manifest_path(root, batch_id),
                       json.dumps(manifest, sort_keys=True))
     _write_snapshot(spark, root, {**ms, batch_id: manifest})
@@ -250,14 +259,15 @@ def compact_ann_batches(spark: SparkSession, root: str,
     invisible until its manifest (carrying the transitive
     ``replaces``) lands; superseded partitions are pruned after;
     crash anywhere leaves only invisible garbage."""
-    with corpus_writer_lock(spark, root, op="ann_compact"):
+    with corpus_writer_lock(spark, root, op="ann_compact") as lease:
         return _compact_ann_batches(spark, root, batch_ids,
-                                    n_files_per_bucket)
+                                    n_files_per_bucket, lease)
 
 
 def _compact_ann_batches(spark: SparkSession, root: str,
                          batch_ids: list[str] | None,
-                         n_files_per_bucket: int) -> str:
+                         n_files_per_bucket: int,
+                         lease=None) -> str:
     meta = _load_meta(spark, root)
     ms = _load_manifests(spark, root)
     gone = _superseded(ms)
@@ -292,12 +302,14 @@ def _compact_ann_batches(spark: SparkSession, root: str,
         **{k: sum(ms[b].get(k, 0) for b in ids)
            for k in ("n_input", "n_id_dupes", "n_admitted")},
     }
+    if lease is not None:
+        lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),
                       json.dumps(manifest, sort_keys=True))
     _write_snapshot(spark, root, {**ms, cid: manifest})
 
     from .corpus import _prune_superseded
-    _prune_superseded(spark, root, tables=(ANN_TABLE,))
+    _prune_superseded(spark, root, tables=(ANN_TABLE,), lease=lease)
     return cid
 
 
@@ -377,18 +389,130 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
             "orphans": orphans, "violations": violations}
 
 
+def delete_vectors(spark: SparkSession, root: str,
+                   vec_ids: "list[int] | DataFrame",
+                   n_files_per_bucket: int = 1,
+                   _crash_after: str | None = None) -> str:
+    """ROW-LEVEL vector takedown — the operation
+    :func:`delete_vector_batch` cannot perform once batches are
+    compacted, and the ANN-side analog of
+    ``plans/corpus.delete_documents`` (a corpus takedown's embedding
+    must leave the index too; ``verify_linked`` names the orphan
+    until this runs). Filter-and-rewrite of ONLY the affected
+    batches under a fresh ``retain-N`` batch, committed by
+    manifest-supersession:
+
+    1. Locate the live batches holding any target vec_id (one
+       semi-join over the visible scan).
+    2. Rewrite those batches' SURVIVING rows under ``retain-N`` —
+       buckets ride along unchanged (the partition column is stored
+       per row), so no re-hashing happens and placement invariants
+       hold by construction.
+    3. The ``retain-N`` manifest lands LAST with transitive
+       ``replaces`` plus an ``n_deleted`` audit field; superseded
+       partitions are pruned after; a crash before the manifest
+       leaves only an invisible partition that the re-minted same-id
+       retry sweeps first.
+
+    Deleted ids are RE-ADMITTABLE through the id-dedup gate (their
+    rows are gone from every committed batch). Unaffected batches
+    are never rewritten: cost is proportional to the batches
+    touched, never the index. ``vec_ids`` is a Python list
+    (takedown-notice convenience) or a one-column DataFrame of ids
+    (the at-scale shape — joined, never expanded into an IN-list).
+    Returns the new batch id. Takes the writer lease."""
+    with corpus_writer_lock(spark, root, op="ann_retain") as lease:
+        return _retain_vectors(spark, root, ANN_TABLE, "bucket",
+                               _ann_schema(_load_meta(spark,
+                                                      root)["dim"]),
+                               vec_ids, n_files_per_bucket, lease,
+                               _crash_after)
+
+
+def _retain_vectors(spark: SparkSession, root: str, table: str,
+                    part_col: str, schema: str,
+                    vec_ids: "list[int] | DataFrame",
+                    n_files_per_part: int, lease,
+                    _crash_after: str | None) -> str:
+    """Generic row-level retention for a manifest-committed vector
+    table partitioned ``batch_id={b}/{part_col}={n}`` — shared by the
+    LSH index (``buckets``/``bucket``) and the IVF index
+    (``postings``/``cell``). Lease already held."""
+    from .corpus import _next_seq_id, _prune_superseded
+
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    live = sorted(b for b in ms if b not in gone)
+    if not live:
+        raise ValueError(f"no committed batches under {root}")
+
+    if isinstance(vec_ids, DataFrame):
+        first = vec_ids.columns[0]
+        targets = (vec_ids.select(F.col(first).cast("bigint")
+                                  .alias("vec_id")).distinct())
+        label = f"<DataFrame {first}>"
+    else:
+        targets = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id LONG")
+        label = repr(list(vec_ids))
+
+    path = f"{root}/{table}"
+    ix = (_visible_scan(spark, path, live, schema)
+          if path_exists(spark, path)
+          else spark.createDataFrame([], schema))
+    affected = sorted(
+        r.batch_id for r in
+        ix.join(targets, "vec_id", "left_semi")
+        .select("batch_id").distinct().collect())
+    if not affected:
+        raise ValueError(
+            f"no live batch contains any of vec_ids {label}")
+
+    cid = _next_seq_id(ms, "retain")
+    delete_path(spark, f"{path}/batch_id={cid}")
+    surv = (ix.filter(F.col("batch_id").isin(affected))
+            .join(targets, "vec_id", "left_anti")
+            .withColumn("batch_id", F.lit(cid))
+            .localCheckpoint())
+    n_before = sum(ms[b].get("n_admitted", 0) for b in affected)
+    n_after = surv.count()
+    if n_after:
+        (surv.repartition(n_files_per_part, F.col(part_col))
+         .write.mode("append").partitionBy("batch_id", part_col)
+         .parquet(path))
+    if _crash_after == table:
+        raise RuntimeError(
+            f"injected crash after {table} rewrite (batch {cid})")
+
+    replaces = sorted(set(affected) | {r for b in affected
+                                       for r in ms[b].get("replaces",
+                                                          ())})
+    manifest = {"batch_id": cid, "replaces": replaces,
+                "n_deleted": n_before - n_after,
+                "n_admitted": n_after}
+    if lease is not None:
+        lease.fence()
+    write_text_atomic(spark, _manifest_path(root, cid),
+                      json.dumps(manifest, sort_keys=True))
+    _write_snapshot(spark, root, {**ms, cid: manifest})
+    _prune_superseded(spark, root, tables=(table,), lease=lease)
+    return cid
+
+
 def delete_vector_batch(spark: SparkSession, root: str,
                         batch_id: str) -> None:
     """RETENTION: de-commit a live vector batch — manifest deleted
     first (the atomic de-commit), partition swept after. Deleted ids
     become re-admittable through the id-dedup gate, exactly like the
     corpus delete (plans/corpus.delete_batch)."""
-    with corpus_writer_lock(spark, root, op=f"ann_delete:{batch_id}"):
+    with corpus_writer_lock(spark, root,
+                            op=f"ann_delete:{batch_id}") as lease:
         ms = _load_manifests(spark, root)
         if batch_id not in ms or batch_id in _superseded(ms):
             raise ValueError(
                 f"batch_id {batch_id!r} is not a live committed batch "
                 f"under {root}")
+        lease.fence()   # before the de-commit
         delete_path(spark, _manifest_path(root, batch_id))
         _write_snapshot(spark, root,
                         {b: m for b, m in ms.items() if b != batch_id})

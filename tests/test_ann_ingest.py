@@ -94,6 +94,18 @@ def test_crash_before_manifest_is_invisible_then_retryable(
             == first.count() + second.count())
 
 
+def test_empty_first_batch_then_ingest(spark, emb, tmp_path):
+    """ADVICE r8: committed batches that all admitted zero vectors
+    leave no buckets/ directory at all — the id-dedup gate must skip
+    its anti-join, not crash on the missing path."""
+    root = str(tmp_path / "ix")
+    m = A.ann_ingest_delta(spark, root, emb.filter("vec_id < 0"), "b0")
+    assert m["n_admitted"] == 0
+    first = _thirds(emb)[0]
+    m = A.ann_ingest_delta(spark, root, first, "b1")
+    assert m["n_admitted"] == first.count()
+
+
 def test_meta_drift_raises(spark, emb, tmp_path):
     root = str(tmp_path / "ix")
     first, second, _ = _thirds(emb)
@@ -135,6 +147,89 @@ def test_delete_vector_batch(spark, emb, qvec, tmp_path):
     assert m["n_id_dupes"] == 0
     with pytest.raises(ValueError, match="not a live committed"):
         A.delete_vector_batch(spark, root, "nope")
+
+
+def test_delete_vectors_row_level(spark, emb, qvec, tmp_path):
+    """Row-level vector takedown inside a COMPACTED batch — the case
+    batch-level retention cannot serve: only the affected batch
+    rewrites, the probe stops returning the vector, deleted ids are
+    re-admittable, and the fsck stays clean."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        read_manifest)
+
+    root = str(tmp_path / "ix")
+    first, second, third = _thirds(emb)
+    for i, part in enumerate(_thirds(emb)):
+        A.ann_ingest_delta(spark, root, part, f"b{i}")
+    A.compact_ann_batches(spark, root, ["b0", "b1"])
+
+    # target: a vector inside the compacted batch
+    tid = int(first.filter("vec_id > 0")
+              .agg(F.min("vec_id")).head()[0])
+    cid = A.delete_vectors(spark, root, [tid])
+    assert cid == "retain-000000"
+    # only the affected (compacted) batch was rewritten; b2 survives
+    assert A.committed_ann_batches(spark, root) == ["b2", cid]
+    assert (A.read_ann_index(spark, root).count()
+            == emb.count() - 1)
+    assert not (A.read_ann_index(spark, root)
+                .filter(F.col("vec_id") == tid).count())
+    m = read_manifest(spark, root, cid)
+    assert m["n_deleted"] == 1
+    assert "compact-000000" in m["replaces"]
+    v = A.verify_ann_index(spark, root)
+    assert v["violations"] == [] and v["orphans"] == []
+    # probe results no longer contain the deleted vector
+    got = {r.vec_id for r in
+           A.ann_incremental_topk(spark, root, qvec,
+                                  exclude_id=0).collect()}
+    assert tid not in got
+    # deleted id is re-admittable through the id-dedup gate
+    m2 = A.ann_ingest_delta(spark, root,
+                            emb.filter(F.col("vec_id") == tid),
+                            "readd")
+    assert m2["n_id_dupes"] == 0 and m2["n_admitted"] == 1
+
+    # DataFrame-of-ids route (the at-scale shape): same semantics
+    tid2 = int(third.filter("vec_id > 0")
+               .agg(F.min("vec_id")).head()[0])
+    targets = (spark.range(10_000_000, 10_001_000)
+               .selectExpr("id AS vec_id")
+               .unionByName(spark.createDataFrame([(tid2,)],
+                                                  "vec_id LONG")))
+    A.delete_vectors(spark, root, targets)
+    assert not (A.read_ann_index(spark, root)
+                .filter(F.col("vec_id") == tid2).count())
+    assert A.verify_ann_index(spark, root)["violations"] == []
+    with pytest.raises(ValueError, match="no live batch contains"):
+        A.delete_vectors(spark, root, [999_999_999])
+
+
+def test_delete_vectors_crash_is_invisible_then_retryable(
+        spark, emb, tmp_path):
+    """A half-finished retain rewrite (crash before the manifest) is
+    invisible to readers, NAMED by the fsck as an orphan, and healed
+    by the retry, which re-mints the same retain id and sweeps."""
+    root = str(tmp_path / "ix")
+    first, second, _ = _thirds(emb)
+    A.ann_ingest_delta(spark, root, first, "b0")
+    A.ann_ingest_delta(spark, root, second, "b1")
+    n = first.count() + second.count()
+    tid = int(first.filter("vec_id > 0")
+              .agg(F.min("vec_id")).head()[0])
+    with pytest.raises(RuntimeError, match="injected crash"):
+        A.delete_vectors(spark, root, [tid],
+                         _crash_after=A.ANN_TABLE)
+    # nothing changed for readers; the fsck names the orphan
+    assert A.read_ann_index(spark, root).count() == n
+    v = A.verify_ann_index(spark, root)
+    assert v["violations"] == []
+    assert v["orphans"] == ["retain-000000"]
+    cid = A.delete_vectors(spark, root, [tid])
+    assert cid == "retain-000000"
+    assert A.read_ann_index(spark, root).count() == n - 1
+    v = A.verify_ann_index(spark, root)
+    assert v["violations"] == [] and v["orphans"] == []
 
 
 def test_writer_lease_excludes_second_writer(spark, emb, tmp_path):

@@ -560,6 +560,62 @@ class TestWriterLease:
                             batch_id="d1")
         assert corpus.committed_batches(spark, root) == ["d1"]
 
+    def test_takeover_fences_zombie_commit(self, spark, tmp_path):
+        """VERDICT r8 #5: a writer that ran past the TTL and was
+        taken over must NOT land its manifest — the fence turns the
+        split-brain double-commit into a loud error, and the zombie's
+        unmanifested data never becomes visible."""
+        import json
+
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "lk6")
+        lock = f"{root}/{corpus.LOCK_NAME}"
+
+        def steal():
+            # simulate: writer A exceeded the TTL mid-flight, writer
+            # B judged the lease stale, took it over, and now holds it
+            fs.write_text(spark, lock, json.dumps(
+                {"owner": "writer-b", "op": "ingest:d1", "pid": 0}))
+
+        with pytest.raises(corpus.ConcurrentWriterError,
+                           match="fenced zombie"):
+            corpus.ingest_delta(spark, root, self._one(spark, 1),
+                                batch_id="d1", _pre_commit=steal)
+        # nothing committed; the taken-over lease was NOT un-done by
+        # the zombie's release path (owner token mismatch)
+        assert corpus.committed_batches(spark, root) == []
+        assert json.loads(fs.read_text(spark, lock))["owner"] == \
+            "writer-b"
+        fs.delete_path(spark, lock)
+        # the real owner's retry under the same id sweeps and lands
+        corpus.ingest_delta(spark, root, self._one(spark, 1),
+                            batch_id="d1")
+        assert corpus.committed_batches(spark, root) == ["d1"]
+        assert corpus.verify_corpus(spark, root)["violations"] == []
+
+    def test_lease_renew_and_takeover_reverify(self, spark, tmp_path):
+        """renew() advances the staleness clock, and the takeover
+        path re-verifies (owner, mtime) before deleting — a lease
+        renewed between the stale judgment and the delete survives."""
+        import os
+        import time
+
+        from light_redistribution_in_3dptf_data_pipeline_spark import fs
+
+        root = str(tmp_path / "lk7")
+        with corpus.corpus_writer_lock(spark, root, op="held") as lease:
+            lock = lease.path
+            os.utime(lock, (0, 0))   # pretend it aged out
+            lease.renew()            # heartbeat: fresh again
+            assert (time.time()
+                    - fs.file_mtime_ms(spark, lock) / 1000) < 60
+            with pytest.raises(corpus.ConcurrentWriterError,
+                               match="locked by another writer"):
+                with corpus.corpus_writer_lock(spark, root, op="b"):
+                    pass
+            lease.fence()            # still the owner
+
     def test_reserved_prefixes_rejected(self, spark, tmp_path):
         root = str(tmp_path / "lk4")
         for bad in ("compact-000001", "retain-x", "compact-final"):
@@ -939,6 +995,53 @@ class TestCompactionAndRetention:
         # unknown target raises
         with pytest.raises(ValueError, match="no live batch contains"):
             corpus.delete_documents(spark, root, [999])
+
+    def test_delete_documents_dataframe_route(self, spark, tmp_path):
+        """The at-scale takedown shape (r7 brief #6, completed r9): a
+        DataFrame-of-ids deletion set. Survivors must match the list
+        route exactly, and the rewrite plan must carry the target set
+        as a JOIN — a million-row deletion set must never expand into
+        a million-literal ``doc_id IN (...)`` expression."""
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "rowdel_df")
+        self._seed(spark, root)              # d1..d3: docs 1,2,3
+        corpus.compact_batches(spark, root)
+
+        # a LARGE deletion set (100k ids, of which only doc 2 exists)
+        # with a recognizable sentinel id — an IN-list plan would
+        # embed it; a join plan cannot
+        sentinel = 987_654_321
+        targets = (spark.range(10_000, 110_000)
+                   .select(F.col("id").alias("doc_id"))
+                   .unionByName(spark.createDataFrame(
+                       [(2,), (sentinel,)], "doc_id LONG")))
+        sink: list = []
+        cid = corpus.delete_documents(spark, root, targets,
+                                      _plan_sink=sink)
+        assert sorted(r.doc_id for r in
+                      corpus.read_corpus(spark, root).collect()) \
+            == [1, 3]
+        m = corpus.read_manifest(spark, root, cid)
+        assert m["n_deleted"] == 1 and m["n_admitted"] == 2
+        # plan pin: anti-JOIN against the target relation, no literal
+        # expansion of the deletion set
+        (plan,) = sink
+        assert "Join LeftAnti" in plan, plan
+        assert str(sentinel) not in plan, plan
+        assert "doc_id IN" not in plan and "INSET" not in plan, plan
+        assert corpus.verify_corpus(spark, root)["violations"] == []
+
+        # both routes agree: replay the same takedown as a list on a
+        # sibling root and compare survivors
+        root2 = str(tmp_path / "rowdel_list")
+        self._seed(spark, root2)
+        corpus.compact_batches(spark, root2)
+        corpus.delete_documents(spark, root2, [2])
+        assert ({r.doc_id for r in
+                 corpus.read_corpus(spark, root).collect()}
+                == {r.doc_id for r in
+                    corpus.read_corpus(spark, root2).collect()})
 
 
 class TestTrainingShardSink:

@@ -62,6 +62,19 @@ def test_create_exclusive_single_winner(spark, tmp_path):
     assert fs.read_text(spark, p) == "owner-a"
 
 
+def test_create_exclusive_reraises_real_io_errors(spark, tmp_path):
+    """ADVICE r8: only the already-exists failure means "lost the
+    race" — a genuine IO fault (here: the parent path is a FILE) must
+    surface as itself, not be misreported as a lost lease."""
+    import pytest
+
+    parent = tmp_path / "afile"
+    parent.write_text("x")
+    with pytest.raises(Exception) as ei:
+        fs.create_exclusive(spark, str(parent / "child"), "t")
+    assert "already exists" not in str(ei.value).lower()
+
+
 def test_file_mtime_ms(spark, tmp_path):
     p = str(tmp_path / "t.txt")
     fs.write_text(spark, p, "x")

@@ -1,0 +1,231 @@
+"""Incrementally-maintained IVF index (plans/ivf_index.py): frozen
+quantizer, one-shot equivalence, nearest-centroid assignment,
+exactly-once commits, crash recovery, id dedup, digest drift,
+compaction identity, row-level retention, and the pruned-scan plan
+pin — mirroring test_ann_ingest.py for the LSH index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+from light_redistribution_in_3dptf_data_pipeline_spark.operators import (
+    similarity as S)
+from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+    ivf_index as I)
+from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+    BatchAlreadyIngested, ConcurrentWriterError, read_manifest)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter("vec_id = 0").select("embedding").collect()[0]
+    return [float(x) for x in row[0]]
+
+
+def _thirds(emb):
+    return [emb.filter(F.pmod(F.col("vec_id"), 3) == i)
+            for i in range(3)]
+
+
+def _topk(spark, root, qvec):
+    return [(r.vec_id, r.cosine, r.cell) for r in
+            I.ivf_incremental_topk(spark, root, qvec,
+                                   exclude_id=0).collect()]
+
+
+def test_incremental_equals_one_shot(spark, emb, qvec, tmp_path):
+    """Quantizer frozen from the labeled set + three label-carrying
+    deltas return exactly the one-shot stored index's top-k (same
+    centroid table ⇒ same driver-side cell ranking ⇒ same probe set
+    ⇒ identical exact re-rank)."""
+    root = str(tmp_path / "inc")
+    I.init_ivf_index(spark, root, emb)
+    for i, part in enumerate(_thirds(emb)):
+        m = I.ivf_ingest_delta(spark, root, part, f"b{i}",
+                               cell_col="label")
+        assert m["n_admitted"] == m["n_input"] > 0
+        assert m["cell_source"] == "provided"
+    one = str(tmp_path / "oneshot")
+    S.write_ivf_index(emb, one)
+    expect = [(r.vec_id, r.cosine, r.cell) for r in
+              S.ivf_indexed_topk(spark, one, qvec,
+                                 exclude_id=0).collect()]
+    assert _topk(spark, root, qvec) == expect
+    assert I.read_ivf_postings(spark, root).count() == emb.count()
+    assert I.verify_ivf_index(spark, root)["violations"] == []
+
+
+def test_assignment_routes_to_nearest_frozen_centroid(
+        spark, emb, qvec, tmp_path):
+    """The production path: deltas WITHOUT labels are routed by the
+    frozen quantizer. Placement must equal the driver-side ranking
+    rule exactly (the fsck re-derives it), assignment must be
+    deterministic, and the probe must find a vector placed in the
+    probed cells."""
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    for i, part in enumerate(_thirds(emb)):
+        m = I.ivf_ingest_delta(spark, root, part, f"b{i}")
+        assert m["cell_source"] == "assigned"
+    v = I.verify_ivf_index(spark, root)
+    assert v["violations"] == [] and v["orphans"] == []
+    assert v["index_rows"] == emb.count()
+    # deterministic: re-assigning the same vectors agrees with the
+    # stored placement
+    again = I.assign_cells(spark, root,
+                           emb.select("vec_id", "embedding"))
+    stored = I.read_ivf_postings(spark, root).select("vec_id", "cell")
+    assert (stored.join(again.withColumnRenamed("cell", "c2"),
+                        "vec_id")
+            .filter(F.col("cell") != F.col("c2")).count()) == 0
+    # the query's own cell is ranked first, so its nearest neighbors
+    # (assigned to the same region) surface
+    got = I.ivf_incremental_topk(spark, root, qvec,
+                                 exclude_id=0).collect()
+    assert len(got) == 10
+    assert got == sorted(got, key=lambda r: (-r.cosine, r.vec_id))
+
+
+def test_batch_identity_and_id_dedup(spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    first, second, _ = _thirds(emb)
+    I.ivf_ingest_delta(spark, root, first, "day0")
+    with pytest.raises(BatchAlreadyIngested):
+        I.ivf_ingest_delta(spark, root, first, "day0")
+    m = I.ivf_ingest_delta(spark, root,
+                           first.unionByName(second), "day1")
+    assert m["n_id_dupes"] == first.count()
+    assert m["n_admitted"] == second.count()
+
+
+def test_crash_before_manifest_is_invisible_then_retryable(
+        spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    first, second, _ = _thirds(emb)
+    I.ivf_ingest_delta(spark, root, first, "day0")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        I.ivf_ingest_delta(spark, root, second, "day1",
+                           _crash_after=I.IVF_TABLE)
+    assert (I.read_ivf_postings(spark, root)
+            .select("batch_id").distinct().collect() == [("day0",)])
+    assert I.verify_ivf_index(spark, root)["orphans"] == ["day1"]
+    m = I.ivf_ingest_delta(spark, root, second, "day1")
+    assert m["n_admitted"] == second.count()
+    v = I.verify_ivf_index(spark, root)
+    assert v["violations"] == [] and v["orphans"] == []
+
+
+def test_quantizer_is_frozen_and_digest_guarded(spark, emb, qvec,
+                                                tmp_path):
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    with pytest.raises(ValueError, match="already initialized"):
+        I.init_ivf_index(spark, root, emb)
+    with pytest.raises(ValueError, match="64-dim"):
+        I.ivf_incremental_topk(spark, root, [0.0] * 10)
+    with pytest.raises(ValueError, match="no _meta.json"):
+        I.read_ivf_postings(spark, str(tmp_path / "nowhere"))
+    # unknown provided cell: stored-but-never-probed data loss
+    bad = emb.limit(3).withColumn("badcell", F.lit(10_000))
+    with pytest.raises(ValueError, match="outside the frozen"):
+        I.ivf_ingest_delta(spark, root, bad, "b0",
+                           cell_col="badcell")
+    # out-of-band centroid tamper: every loader refuses on digest
+    I.ivf_ingest_delta(spark, root, emb, "b0")
+    cents = spark.read.parquet(f"{root}/{I.CENTROIDS_TABLE}")
+    (cents.withColumn("nv", F.col("nv") + 1)
+     .write.mode("overwrite")
+     .parquet(f"{root}/{I.CENTROIDS_TABLE}"))
+    with pytest.raises(ValueError, match="does not match the frozen"):
+        I.ivf_incremental_topk(spark, root, qvec)
+    with pytest.raises(ValueError, match="does not match the frozen"):
+        I.ivf_ingest_delta(spark, root, emb, "b1")
+
+
+def test_compaction_preserves_results(spark, emb, qvec, tmp_path):
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    for i, part in enumerate(_thirds(emb)):
+        I.ivf_ingest_delta(spark, root, part, f"b{i}")
+    before = _topk(spark, root, qvec)
+    cid = I.compact_ivf_batches(spark, root, ["b0", "b1"])
+    assert _topk(spark, root, qvec) == before
+    assert I.committed_ivf_batches(spark, root) == ["b2", cid]
+    assert read_manifest(spark, root, cid)["cell_source"] == "assigned"
+    with pytest.raises(BatchAlreadyIngested):
+        I.ivf_ingest_delta(spark, root, _thirds(emb)[0], "b0")
+    cid2 = I.compact_ivf_batches(spark, root)
+    assert _topk(spark, root, qvec) == before
+    assert I.committed_ivf_batches(spark, root) == [cid2]
+    v = I.verify_ivf_index(spark, root)
+    assert v["violations"] == [] and v["orphans"] == []
+
+
+def test_delete_ivf_vectors_row_level(spark, emb, qvec, tmp_path):
+    """Row-level takedown inside a compacted batch via the shared
+    retain rewrite; deleted ids re-admittable; fsck stays clean."""
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    first, second, third = _thirds(emb)
+    for i, part in enumerate((first, second, third)):
+        I.ivf_ingest_delta(spark, root, part, f"b{i}")
+    I.compact_ivf_batches(spark, root, ["b0", "b1"])
+    tid = int(first.filter("vec_id > 0")
+              .agg(F.min("vec_id")).head()[0])
+    cid = I.delete_ivf_vectors(spark, root, [tid])
+    assert cid == "retain-000000"
+    assert I.committed_ivf_batches(spark, root) == ["b2", cid]
+    assert (I.read_ivf_postings(spark, root).count()
+            == emb.count() - 1)
+    assert read_manifest(spark, root, cid)["n_deleted"] == 1
+    v = I.verify_ivf_index(spark, root)
+    assert v["violations"] == [] and v["orphans"] == []
+    # re-admittable through the id gate
+    m = I.ivf_ingest_delta(spark, root,
+                           emb.filter(F.col("vec_id") == tid),
+                           "readd")
+    assert m["n_id_dupes"] == 0 and m["n_admitted"] == 1
+    # batch-level retention too
+    I.delete_ivf_batch(spark, root, "readd")
+    assert I.committed_ivf_batches(spark, root) == ["b2", cid]
+
+
+def test_writer_lease_excludes_second_writer(spark, emb, tmp_path):
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    from light_redistribution_in_3dptf_data_pipeline_spark.fs import write_text
+    write_text(spark, f"{root}/_lock",
+               '{"owner": "x", "op": "other", "pid": 1}')
+    with pytest.raises(ConcurrentWriterError):
+        I.ivf_ingest_delta(spark, root, emb, "b0")
+
+
+def test_probe_scan_is_partition_pruned(spark, emb, qvec, tmp_path):
+    """The plan pin: the probe prunes on BOTH partition levels —
+    cell IN (nprobe literals) directory pruning, no growing batch
+    IN-list — and stays a single TakeOrderedAndProject stage with no
+    Exchange before it."""
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    for i, part in enumerate(_thirds(emb)):
+        I.ivf_ingest_delta(spark, root, part, f"b{i}")
+    df = I.ivf_incremental_topk(spark, root, qvec, exclude_id=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "cell" in m.group(1)
+    assert "batch_id IN" not in m.group(1)
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan

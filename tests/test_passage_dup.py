@@ -104,6 +104,59 @@ def test_min_shared_threshold(spark):
                                          min_shared=n + 1)) == {}
 
 
+def test_delta_gate_in_delta_boilerplate_not_dropped(spark):
+    """ADVICE r8 (high): a header shared among MORE than max_doc_freq
+    DELTA documents is boilerplate even when the index has never seen
+    it. Before the combined-frequency guard, the in-delta self-join
+    counted unfiltered fingerprints and silently dropped every doc
+    after the first — data loss the batch form never had."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        passage_delta_gate)
+
+    header = "standard license header do not remove this notice ever "
+    bodies = [BODY_A, BODY_B, BODY_C, "vwxyz12 " * 40, "3456789 " * 40]
+    docs = _docs(spark, [(i + 1, header + b)
+                         for i, b in enumerate(bodies)])
+    empty_ix = spark.createDataFrame([], "doc_id bigint, fp bigint")
+    surv, fps = passage_delta_gate(docs, empty_ix, min_shared=2,
+                                   max_doc_freq=4)
+    assert sorted(r.doc_id for r in surv.collect()) == [1, 2, 3, 4, 5]
+    # the survivors' INDEX rows still carry every fingerprint
+    # (hotness is re-measured per ingest, not baked into the index)
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprint_rows)
+    want = winnow_fingerprint_rows(docs.filter("doc_id = 1")).count()
+    assert fps.filter("doc_id = 1").count() == want
+
+
+def test_delta_gate_combined_frequency_guard(spark):
+    """Neither the index side nor the delta side alone exceeds
+    max_doc_freq, but their COMBINED document frequency does — the
+    corpus to this gate is committed docs PLUS the delta, so the
+    header must stop counting while a genuinely copied passage
+    (pair-local frequency) still gates."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        passage_delta_gate, winnow_fingerprint_rows)
+
+    header = "standard license header do not remove this notice ever "
+    ix_docs = _docs(spark, [
+        (100, header + BODY_A),
+        (101, header + BODY_B),
+        (102, BODY_C + PASSAGE + BODY_C),
+    ])
+    ix = winnow_fingerprint_rows(ix_docs).select("doc_id", "fp")
+    delta = _docs(spark, [
+        (1, header + "vwxyz12 " * 40),
+        (2, header + "3456789 " * 40),
+        (3, "JKLMNOP " * 40 + PASSAGE + "JKLMNOP " * 40),
+    ])
+    surv, _ = passage_delta_gate(delta, ix, min_shared=2,
+                                 max_doc_freq=3)
+    # header: combined df = 2 (index) + 2 (delta) = 4 > 3 → ignored,
+    # docs 1/2 survive; PASSAGE: df 2 ≤ 3 → doc 3 gated by index 102
+    assert sorted(r.doc_id for r in surv.collect()) == [1, 2]
+
+
 def test_fingerprint_rows_match_column_form(spark):
     """The Arrow fps path behind winnow_fingerprint_rows emits exactly
     the (doc, fp) set of the oracle-pinned Column form — on real
