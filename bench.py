@@ -177,6 +177,52 @@ def main() -> None:
     finally:
         shutil.rmtree(ingest_root, ignore_errors=True)
 
+    # Incremental-ANN legs: the vector-side production shape (delta
+    # bucketing + manifest-last commit, then a partition-pruned
+    # probe), so protocol-cost regressions in the similarity layer
+    # are tracked round-over-round like the corpus ingest. Setup
+    # (standing 80% index) is untimed; the two timed ingest legs are
+    # equal-shaped 10% deltas; the probe leg is the same query twice
+    # (first/warm).
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
+        ann_incremental_topk, ann_ingest_delta)
+
+    ann_root = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        embt = load_table(spark, SF_DIR, "embeddings")
+        base = embt.filter(F.pmod(F.col("vec_id"), 10) < 8)
+        ann_ingest_delta(spark, ann_root, base, "base")
+        legs = []
+        for i, mod in enumerate((8, 9)):
+            delta = embt.filter(F.pmod(F.col("vec_id"), 10) == mod)
+            t0 = time.perf_counter()
+            ann_ingest_delta(spark, ann_root, delta, f"delta{i}")
+            legs.append(time.perf_counter() - t0)
+        per_query["ann_ingest"] = round(legs[0], 3)
+        per_query_warm["ann_ingest"] = round(legs[1], 3)
+        total += legs[0]
+        total_warm += legs[1]
+        print(f"# ann_ingest: {legs[0]:.3f}s (warm {legs[1]:.3f}s)",
+              file=sys.stderr)
+
+        qvec = [float(x) for x in
+                embt.filter("vec_id = 0").select("embedding")
+                .head()[0]]
+        probe = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (ann_incremental_topk(spark, ann_root, qvec, exclude_id=0)
+             .write.format("noop").mode("overwrite").save())
+            probe.append(time.perf_counter() - t0)
+        per_query["ann_topk"] = round(probe[0], 3)
+        per_query_warm["ann_topk"] = round(probe[1], 3)
+        total += probe[0]
+        total_warm += probe[1]
+        print(f"# ann_topk: {probe[0]:.3f}s (warm {probe[1]:.3f}s)",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(ann_root, ignore_errors=True)
+
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),

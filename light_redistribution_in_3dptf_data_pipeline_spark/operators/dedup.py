@@ -729,13 +729,28 @@ def passage_delta_gate(new_docs: DataFrame, index: DataFrame,
     lower-id delta doc — itself admitted or dropped — kills a
     higher-id doc sharing the passage, collapsing a copied-passage
     family to its first-seen member."""
+    p = _passage_gate_parts(new_docs, index, min_shared, text_col,
+                            id_col, max_doc_freq)
+    survivors = new_docs.join(p["killed"], id_col, "left_anti")
+    surv_fps = p["fp_new"].join(p["killed"], id_col, "left_anti")
+    return survivors, surv_fps
+
+
+def _passage_gate_parts(new_docs: DataFrame, index: DataFrame,
+                        min_shared: int, text_col: str, id_col: str,
+                        max_doc_freq: int | None) -> dict:
+    """The passage gate's intermediate frames, shared verbatim by
+    :func:`passage_delta_gate` (the decision) and
+    :func:`winnow_dedup_accounting` (the ledger) so the two can never
+    drift — the same single-source-of-algebra discipline as
+    ``quality_predicate`` in plans/corpus."""
     fp_new = winnow_fingerprint_rows(
         new_docs.select(id_col, text_col), text_col,
         id_col).localCheckpoint()
 
     ix = index.select(F.col(id_col).alias("_ix_doc"), "fp")
     j = fp_new.join(ix, "fp")
-    fp_kept = fp_new
+    fp_kept, hot = fp_new, None
     if max_doc_freq is not None:
         # fp rows are distinct per document (winnow emits a set), so
         # count(*) per fp IS its delta document frequency; the index
@@ -750,24 +765,91 @@ def passage_delta_gate(new_docs: DataFrame, index: DataFrame,
                .select("fp"))
         j = j.join(F.broadcast(hot), "fp", "left_anti")
         fp_kept = fp_new.join(F.broadcast(hot), "fp", "left_anti")
-    hit_ix = (j.groupBy(id_col, "_ix_doc")
-              .agg(F.count("*").alias("_n"))
-              .filter(F.col("_n") >= min_shared)
-              .select(id_col).distinct())
+    pairs_ix = (j.groupBy(id_col, "_ix_doc")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") >= min_shared))
+    hit_ix = pairs_ix.select(id_col).distinct()
 
     a, b = fp_kept.alias("a"), fp_kept.alias("b")
-    hit_delta = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))
-                 .groupBy(F.col(f"a.{id_col}").alias(id_col),
-                          F.col(f"b.{id_col}").alias("_other"))
-                 .agg(F.count("*").alias("_n"))
-                 .filter(F.col("_n") >= min_shared)
-                 .select(id_col).distinct())
+    pairs_delta = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                          & (F.col(f"b.{id_col}")
+                             < F.col(f"a.{id_col}")))
+                   .groupBy(F.col(f"a.{id_col}").alias(id_col),
+                            F.col(f"b.{id_col}").alias("_other"))
+                   .agg(F.count("*").alias("_n"))
+                   .filter(F.col("_n") >= min_shared))
+    hit_delta = pairs_delta.select(id_col).distinct()
 
     killed = hit_ix.unionByName(hit_delta).distinct()
-    survivors = new_docs.join(killed, id_col, "left_anti")
-    surv_fps = fp_new.join(killed, id_col, "left_anti")
-    return survivors, surv_fps
+    return {"fp_new": fp_new, "fp_kept": fp_kept, "hot": hot,
+            "j": j, "pairs_ix": pairs_ix, "pairs_delta": pairs_delta,
+            "killed": killed}
+
+
+def winnow_dedup_accounting(new_docs: DataFrame, index: DataFrame,
+                            min_shared: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_doc_freq: int | None = None
+                            ) -> DataFrame:
+    """One-row ledger for the PASSAGE gate — the observability
+    parity row next to :func:`lsh_dedup_accounting` and
+    :func:`simhash_dedup_accounting`, built on the gate's own
+    intermediate frames (:func:`_passage_gate_parts`) so it
+    reconciles EXACTLY with a gated ingest's manifest
+    ``n_passage_dropped``.
+
+    Columns: n_delta_docs, n_fps_emitted (delta fp rows before the
+    guard), n_hot_fps (distinct fingerprints the combined-frequency
+    boilerplate guard ignored), n_fp_rows_ignored (delta fp rows
+    carrying those fingerprints), n_index_candidate_pairs /
+    n_delta_candidate_pairs (≥ min_shared pairs per side),
+    n_docs_dropped (killed delta docs — the manifest number), and
+    max_fp_fanout (the skew canary: the largest post-guard combined
+    document count on a single fingerprint — by construction
+    ≤ max_doc_freq when the guard is on, so a larger value means the
+    guard is OFF while the corpus is boilerplate-heavy)."""
+    p = _passage_gate_parts(new_docs, index, min_shared, text_col,
+                            id_col, max_doc_freq)
+
+    n_docs = new_docs.agg(
+        F.count("*").cast("bigint").alias("n_delta_docs"))
+    n_fps = p["fp_new"].agg(
+        F.count("*").cast("bigint").alias("n_fps_emitted"))
+    n_hot = (p["hot"].agg(F.count("*").cast("bigint")
+                          .alias("n_hot_fps"))
+             if p["hot"] is not None else None)
+    n_kept = p["fp_kept"].agg(
+        F.count("*").cast("bigint").alias("_n_kept"))
+    n_pix = p["pairs_ix"].agg(
+        F.count("*").cast("bigint").alias("n_index_candidate_pairs"))
+    n_pdl = p["pairs_delta"].agg(
+        F.count("*").cast("bigint").alias("n_delta_candidate_pairs"))
+    n_kill = p["killed"].agg(
+        F.count("*").cast("bigint").alias("n_docs_dropped"))
+    fanout = (p["fp_kept"].groupBy("fp")
+              .agg(F.count("*").alias("_nd"))
+              .join(p["j"].groupBy("fp")
+                    .agg(F.count_distinct("_ix_doc").alias("_ni")),
+                    "fp", "left")
+              .select((F.col("_nd")
+                       + F.coalesce(F.col("_ni"), F.lit(0)))
+                      .alias("_k"))
+              .agg(F.coalesce(F.max("_k"), F.lit(0)).cast("bigint")
+                   .alias("max_fp_fanout")))
+
+    row = (n_docs.crossJoin(n_fps)
+           .crossJoin(n_kept).crossJoin(n_pix).crossJoin(n_pdl)
+           .crossJoin(n_kill).crossJoin(fanout))
+    row = (row.crossJoin(n_hot) if n_hot is not None
+           else row.withColumn("n_hot_fps",
+                               F.lit(0).cast("bigint")))
+    return row.select(
+        "n_delta_docs", "n_fps_emitted", "n_hot_fps",
+        (F.col("n_fps_emitted") - F.col("_n_kept")).cast("bigint")
+        .alias("n_fp_rows_ignored"),
+        "n_index_candidate_pairs", "n_delta_candidate_pairs",
+        "n_docs_dropped", "max_fp_fanout")
 
 
 # Registered thresholds, measured on the synthetic fixture: the

@@ -112,6 +112,7 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      vec_col: str = "embedding",
                      num_planes: int = NUM_PLANES, dim: int = EMB_DIM,
                      dedup_ids: bool = True,
+                     corpus_batch: str | None = None,
                      _crash_after: str | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Returns the committed manifest (the ingest ledger row).
@@ -122,6 +123,10 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
       committed (anti-join against the column-pruned id scan) — the
       at-scale idempotence for re-delivered upstream rows. Batch-level
       exactly-once is by manifest identity regardless.
+    - ``corpus_batch``: PROVENANCE — the corpus batch these vectors
+      embed, recorded in the manifest so the cross-root fsck
+      (plans/linkage.verify_linked) can name vector batches whose
+      source documents were never committed or were later removed.
     - Crash recovery is the corpus protocol verbatim: an unmanifested
       partition is swept on same-id retry, readers never see it, the
       manifest write IS the commit. ``_crash_after="buckets"`` is the
@@ -134,12 +139,13 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                             op=f"ann_ingest:{batch_id}") as lease:
         return _ann_ingest_delta(spark, root, emb, batch_id, id_col,
                                  vec_col, num_planes, dim, dedup_ids,
-                                 _crash_after, lease)
+                                 corpus_batch, _crash_after, lease)
 
 
 def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       batch_id: str, id_col: str, vec_col: str,
                       num_planes: int, dim: int, dedup_ids: bool,
+                      corpus_batch: str | None,
                       _crash_after: str | None,
                       lease=None) -> dict:
     if path_exists(spark, _meta_path(root)):
@@ -192,6 +198,8 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     manifest = {"batch_id": batch_id, "n_input": n_input,
                 "n_id_dupes": n_input - n_admitted,
                 "n_admitted": n_admitted}
+    if corpus_batch is not None:
+        manifest["corpus_batch"] = corpus_batch
     if lease is not None:   # fence: no zombie commit after takeover
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, batch_id),

@@ -209,12 +209,14 @@ def ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      vec_col: str = "embedding",
                      cell_col: str | None = None,
                      dedup_ids: bool = True,
+                     corpus_batch: str | None = None,
                      _crash_after: str | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Cells come from the frozen quantizer (``cell_col=None``, the
     production default) or from a caller-provided column (an upstream
-    clustering owns placement — values must be known cells). Returns
-    the committed manifest."""
+    clustering owns placement — values must be known cells).
+    ``corpus_batch`` records provenance for the cross-root fsck
+    (plans/linkage.verify_linked). Returns the committed manifest."""
     if batch_id.startswith(("compact-", "retain-")):
         raise ValueError(
             f"batch_id {batch_id!r} uses a reserved maintenance prefix")
@@ -222,12 +224,13 @@ def ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                             op=f"ivf_ingest:{batch_id}") as lease:
         return _ivf_ingest_delta(spark, root, emb, batch_id, id_col,
                                  vec_col, cell_col, dedup_ids,
-                                 _crash_after, lease)
+                                 corpus_batch, _crash_after, lease)
 
 
 def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       batch_id: str, id_col: str, vec_col: str,
                       cell_col: str | None, dedup_ids: bool,
+                      corpus_batch: str | None,
                       _crash_after: str | None, lease) -> dict:
     meta = _load_meta(spark, root)
     cent_rows = _load_centroids(spark, root, meta)
@@ -294,6 +297,8 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                 "n_admitted": n_admitted,
                 "cell_source": ("provided" if cell_col is not None
                                 else "assigned")}
+    if corpus_batch is not None:
+        manifest["corpus_batch"] = corpus_batch
     lease.fence()
     write_text_atomic(spark, _manifest_path(root, batch_id),
                       json.dumps(manifest, sort_keys=True))

@@ -1,0 +1,141 @@
+"""Cross-root corpus ⇆ embedding-index consistency (VERDICT r8
+"What's missing" #4): documents and their vectors commit under
+SEPARATE roots and leases, so by design there are windows where one
+side is ahead of the other — a training join must be able to ASK
+whether the two roots agree before it trusts them together.
+
+Failure classes this fsck names:
+
+- **coverage gap**: committed documents with no committed vector —
+  the embedding job is behind (or its batch crashed pre-manifest). A
+  doc⋈vector training join would silently drop these rows.
+- **orphan vectors**: committed vectors whose document is gone —
+  the corpus-side takedown ran (``delete_documents``) but the
+  vector-side one (``delete_vectors``/``delete_ivf_vectors``)
+  hasn't. For a RIGHT-TO-BE-FORGOTTEN takedown this is the
+  dangerous direction: the embedding still leaks a representation
+  of the removed text, so it is reported as a violation, not a lag.
+- **stale provenance**: vector manifests whose recorded
+  ``corpus_batch`` is unknown to the corpus root (never committed,
+  or deleted without a superseding rewrite) — the lineage contract
+  drifted even if the id sets happen to overlap.
+
+The id contract is ``vec_id == doc_id`` (the embedding of document
+D carries its id). Both scans are COLUMN-PRUNED to the single id
+column — the fsck never reads text or vectors — and every check is
+one distributed anti-join/aggregate; only bounded samples are
+collected for the report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fs import path_exists
+from .corpus import _load_manifests, _superseded, _visible_scan
+
+ORPHAN_SAMPLE = 10
+
+
+def _committed_vec_ids(spark: SparkSession,
+                       index_root: str) -> DataFrame:
+    """(vec_id) of every committed vector under an incremental
+    vector-index root, LSH or IVF — dispatched on the ``_meta.json``
+    kind so the caller doesn't care which index family it links."""
+    import json
+
+    from ..fs import read_text
+
+    meta_path = f"{index_root}/_meta.json"
+    if not path_exists(spark, meta_path):
+        raise ValueError(
+            f"{index_root} has no _meta.json — not an initialized "
+            f"incremental vector index")
+    kind = json.loads(read_text(spark, meta_path)).get("kind")
+    if kind == "ann_lsh_incremental":
+        from .ann_index import read_ann_index
+
+        return read_ann_index(spark, index_root).select("vec_id")
+    if kind == "ivf_incremental":
+        from .ivf_index import read_ivf_postings
+
+        return read_ivf_postings(spark, index_root).select("vec_id")
+    raise ValueError(
+        f"{index_root} holds index kind {kind!r} — not an "
+        f"incremental vector index this fsck understands")
+
+
+def verify_linked(spark: SparkSession, corpus_root: str,
+                  index_root: str) -> dict:
+    """Cross-root fsck. Returns a report dict:
+
+    - ``n_docs`` / ``n_vectors`` — committed id counts per root;
+    - ``docs_without_vectors`` — coverage-gap count (+ sample);
+    - ``orphan_vectors`` — count of vectors whose doc is gone
+      (+ sample), each also listed in ``violations``;
+    - ``stale_provenance`` — vector batches whose ``corpus_batch``
+      the corpus root does not know;
+    - ``violations`` — human-readable list; empty = linked."""
+    violations: list[str] = []
+
+    cms = _load_manifests(spark, corpus_root)
+    committed_docs = sorted(b for b in cms
+                            if b not in _superseded(cms))
+    corpus_path = f"{corpus_root}/corpus"
+    if committed_docs and path_exists(spark, corpus_path):
+        doc_ids = (_visible_scan(spark, corpus_path, committed_docs)
+                   .select("doc_id"))
+    else:
+        doc_ids = spark.createDataFrame([], "doc_id BIGINT")
+    vec_ids = _committed_vec_ids(spark, index_root)
+
+    n_docs = doc_ids.count()
+    n_vectors = vec_ids.count()
+
+    gap = doc_ids.join(vec_ids,
+                       doc_ids.doc_id == vec_ids.vec_id, "left_anti")
+    n_gap = gap.count()
+    gap_sample = ([int(r.doc_id) for r in
+                   gap.orderBy("doc_id").limit(ORPHAN_SAMPLE)
+                   .collect()] if n_gap else [])
+
+    orphans = vec_ids.join(doc_ids,
+                           vec_ids.vec_id == doc_ids.doc_id,
+                           "left_anti")
+    n_orphans = orphans.count()
+    orphan_sample = ([int(r.vec_id) for r in
+                      orphans.orderBy("vec_id").limit(ORPHAN_SAMPLE)
+                      .collect()] if n_orphans else [])
+    if n_orphans:
+        violations.append(
+            f"orphan_vectors: {n_orphans} committed vectors have no "
+            f"committed document (sample vec_ids {orphan_sample}) — "
+            f"a corpus takedown has not reached the vector index; "
+            f"run delete_vectors/delete_ivf_vectors")
+
+    # provenance: every corpus_batch a vector manifest records must
+    # be KNOWN to the corpus root — committed, or superseded by a
+    # rewrite that remembers it (compaction/retention identity
+    # memory). An id known to neither was never committed or was
+    # batch-deleted outright.
+    vms = _load_manifests(spark, index_root)
+    live_vec_batches = sorted(b for b in vms
+                              if b not in _superseded(vms))
+    corpus_known = set(cms) | _superseded(cms)
+    stale = sorted(
+        (b, vms[b]["corpus_batch"]) for b in live_vec_batches
+        if "corpus_batch" in vms[b]
+        and vms[b]["corpus_batch"] not in corpus_known)
+    if stale:
+        violations.append(
+            f"stale_provenance: vector batches {stale} record a "
+            f"corpus_batch unknown to {corpus_root}")
+
+    return {"n_docs": n_docs, "n_vectors": n_vectors,
+            "docs_without_vectors": n_gap,
+            "docs_without_vectors_sample": gap_sample,
+            "orphan_vectors": n_orphans,
+            "orphan_vectors_sample": orphan_sample,
+            "stale_provenance": [list(t) for t in stale],
+            "violations": violations}

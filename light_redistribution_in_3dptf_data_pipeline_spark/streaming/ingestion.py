@@ -86,6 +86,41 @@ def run_ingestion(spark: SparkSession, src_path: str, out_root: str,
             .start())
 
 
+def reconcile_replay(spark: SparkSession, root: str, batch_id: str,
+                     n_replayed: int) -> bool:
+    """Post-commit replay reconciliation: when a micro-batch hits the
+    :class:`BatchAlreadyIngested` no-op path, the replayed input
+    count must equal the committed manifest's ``n_input`` — for a
+    file source that holds by WAL construction (offsets precede
+    execution), so a mismatch means the SOURCE broke the contract
+    (files mutated in place, or a non-file source replaying different
+    data under the same epoch). The committed batch stays committed
+    (first write won — rewriting history on a suspect replay would be
+    worse), but the mismatch is surfaced as a loud RuntimeWarning
+    for the operator. A batch already folded by compaction has no
+    per-batch manifest left to compare against; that replay window is
+    bounded by the checkpoint's WAL and skipped. Returns True when
+    consistent."""
+    from ..fs import path_exists
+    from ..plans.corpus import _manifest_path, read_manifest
+
+    if not path_exists(spark, _manifest_path(root, batch_id)):
+        return True   # superseded by compaction: counts were folded
+    want = read_manifest(spark, root, batch_id).get("n_input")
+    if want != n_replayed:
+        import warnings
+
+        warnings.warn(
+            f"replayed micro-batch {batch_id} carries {n_replayed} "
+            f"rows but its committed manifest recorded n_input="
+            f"{want}: the source violated same-epoch-same-data; the "
+            f"committed batch was kept, the divergent replay was "
+            f"DROPPED — audit the source", RuntimeWarning,
+            stacklevel=2)
+        return False
+    return True
+
+
 def run_ingestion_with_dedup(spark: SparkSession, src_path: str,
                              corpus_root: str,
                              langs: tuple[str, ...] | None = None,
@@ -179,7 +214,15 @@ def run_ingestion_with_dedup(spark: SparkSession, src_path: str,
                 # Same checkpoint incarnation ⇒ same epoch = same
                 # file set (offsets WAL precedes execution), so this
                 # is a genuine post-commit replay — exactly-once.
-                pass
+                # Defense-in-depth (ADVICE r8 residual): verify the
+                # replay really does carry the committed batch's
+                # input, so a future source where "same epoch = same
+                # data" no longer holds by WAL construction fails
+                # LOUDLY here instead of silently dropping rows.
+                reconcile_replay(
+                    spark, corpus_root,
+                    f"stream-{nonce()}-{int(epoch_id):08d}",
+                    clean.count())
         finally:
             batch.unpersist()
 

@@ -143,10 +143,13 @@ def test_quantizer_is_frozen_and_digest_guarded(spark, emb, qvec,
                            cell_col="badcell")
     # out-of-band centroid tamper: every loader refuses on digest
     I.ivf_ingest_delta(spark, root, emb, "b0")
-    cents = spark.read.parquet(f"{root}/{I.CENTROIDS_TABLE}")
-    (cents.withColumn("nv", F.col("nv") + 1)
-     .write.mode("overwrite")
-     .parquet(f"{root}/{I.CENTROIDS_TABLE}"))
+    rows = (spark.read.parquet(f"{root}/{I.CENTROIDS_TABLE}")
+            .select("cell", "csum", "nv").collect())
+    tampered = spark.createDataFrame(
+        [(int(r.cell), [int(s) for s in r.csum], int(r.nv) + 1)
+         for r in rows], "cell BIGINT, csum ARRAY<BIGINT>, nv BIGINT")
+    tampered.write.mode("overwrite").parquet(
+        f"{root}/{I.CENTROIDS_TABLE}")
     with pytest.raises(ValueError, match="does not match the frozen"):
         I.ivf_incremental_topk(spark, root, qvec)
     with pytest.raises(ValueError, match="does not match the frozen"):

@@ -1,0 +1,118 @@
+"""Cross-root corpus ⇆ vector-index consistency
+(plans/linkage.verify_linked): coverage gaps are reported, orphaned
+vectors after a corpus takedown are VIOLATIONS until the vector-side
+takedown runs, and provenance drift is named. VERDICT r8 #4."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+    ann_index as A)
+from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+    ivf_index as I)
+from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+    verify_linked)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _docs(spark, ids):
+    # per-doc token vocabularies are pairwise (mostly) disjoint so
+    # the ingest's simhash near-dup gate does not collapse them
+    return spark.createDataFrame(
+        [(int(i), " ".join(f"w{i}x{j}q{(i * 7 + j * 13) % 997}"
+                           for j in range(14)), "en", "s", 1)
+         for i in ids],
+        "doc_id LONG, text STRING, lang STRING, "
+        "source STRING, n_chars LONG")
+
+
+def test_linked_roots_takedown_and_provenance(spark, emb, tmp_path):
+    croot = str(tmp_path / "corpus")
+    vroot = str(tmp_path / "ann")
+
+    got1 = corpus.ingest_delta(spark, croot,
+                               _docs(spark, range(1, 31)),
+                               batch_id="d1")
+    ids1 = sorted(r.doc_id for r in got1.select("doc_id").collect())
+    assert len(ids1) >= 10   # the gates must not eat the fixture
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id").isin(ids1)),
+                       "v1", corpus_batch="d1")
+
+    rep = verify_linked(spark, croot, vroot)
+    assert rep["n_docs"] == rep["n_vectors"] == len(ids1)
+    assert rep["docs_without_vectors"] == 0
+    assert rep["orphan_vectors"] == 0
+    assert rep["violations"] == []
+
+    # docs committed ahead of their embeddings: a LAG, not a violation
+    got2 = corpus.ingest_delta(spark, croot,
+                               _docs(spark, [100, 101]),
+                               batch_id="d2")
+    ids2 = sorted(r.doc_id for r in got2.select("doc_id").collect())
+    assert ids2
+    rep = verify_linked(spark, croot, vroot)
+    assert rep["docs_without_vectors"] == len(ids2)
+    assert rep["docs_without_vectors_sample"] == ids2
+    assert rep["violations"] == []
+
+    # corpus takedown: the doc's vector is now an ORPHAN — the
+    # dangerous direction (the embedding still encodes removed text)
+    tid = ids1[0]
+    corpus.delete_documents(spark, croot, [tid])
+    rep = verify_linked(spark, croot, vroot)
+    assert rep["orphan_vectors"] == 1
+    assert rep["orphan_vectors_sample"] == [tid]
+    assert any("delete_vectors" in v for v in rep["violations"])
+
+    # the vector-side takedown clears it
+    A.delete_vectors(spark, vroot, [tid])
+    rep = verify_linked(spark, croot, vroot)
+    assert rep["orphan_vectors"] == 0
+    assert rep["violations"] == []
+    assert rep["n_vectors"] == len(ids1) - 1
+
+    # provenance drift: a vector batch claiming an unknown corpus
+    # batch is named even when its ids happen to exist
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id").isin([100, 101])),
+                       "v2", corpus_batch="never-committed")
+    rep = verify_linked(spark, croot, vroot)
+    assert rep["stale_provenance"] == [["v2", "never-committed"]]
+    assert any("stale_provenance" in v for v in rep["violations"])
+
+    # ...and corpus-side compaction does NOT trip provenance: the
+    # identity memory (transitive replaces) still knows d1/d2
+    corpus.compact_batches(spark, croot)
+    rep = verify_linked(spark, croot, vroot)
+    assert [s for s in rep["stale_provenance"]
+            if s[1] in ("d1", "d2")] == []
+
+
+def test_linkage_dispatches_on_index_kind(spark, emb, tmp_path):
+    croot = str(tmp_path / "corpus")
+    ivroot = str(tmp_path / "ivf")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 11)),
+                              batch_id="d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert ids
+    I.init_ivf_index(spark, ivroot, emb)
+    I.ivf_ingest_delta(spark, ivroot,
+                       emb.filter(F.col("vec_id").isin(ids)),
+                       "v1", corpus_batch="d1")
+    rep = verify_linked(spark, croot, ivroot)
+    assert rep["n_docs"] == rep["n_vectors"] == len(ids)
+    assert rep["violations"] == []
+    with pytest.raises(ValueError, match="no _meta.json"):
+        verify_linked(spark, croot, str(tmp_path / "nowhere"))

@@ -157,6 +157,66 @@ def test_delta_gate_combined_frequency_guard(spark):
     assert sorted(r.doc_id for r in surv.collect()) == [1, 2]
 
 
+def test_winnow_accounting_reconciles_with_gated_ingest(spark,
+                                                        tmp_path):
+    """The passage ledger (winnow_dedup_accounting) is built on the
+    gate's own intermediate frames, so its n_docs_dropped reconciles
+    EXACTLY with a gated ingest's manifest n_passage_dropped —
+    observability parity with the LSH/SimHash ledgers."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.dedup import (
+        winnow_dedup_accounting)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+    def cdocs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id LONG, text STRING, lang STRING, "
+            "source STRING, n_chars LONG")
+
+    P2 = ("meanwhile seventeen violet umbrellas drifted calmly "
+          "beneath wooden bridges nine kilometers north")
+    root = str(tmp_path / "ledger")
+    corpus.ingest_delta(spark, root,
+                        cdocs([(1, BODY_A + PASSAGE + BODY_A)]),
+                        batch_id="d1", passage_min_shared=2,
+                        passage_max_doc_freq=3)
+    delta = cdocs([
+        (10, BODY_B + PASSAGE + BODY_B),   # index kill (shares P1)
+        (11, BODY_C + P2 + BODY_C),        # first-seen: admitted
+        (12, "zyxwvut " * 40 + P2),        # in-delta kill (shares P2)
+    ])
+    corpus.ingest_delta(spark, root, delta, batch_id="d2",
+                        passage_min_shared=2, passage_max_doc_freq=3)
+    m = corpus.read_manifest(spark, root, "d2")
+    assert m["n_passage_dropped"] == 2
+
+    # replay the ledger over the same delta vs the SAME committed
+    # index state the gate saw (batch d1 only)
+    ix = (spark.read.parquet(f"{root}/index_winnow_fp")
+          .filter(F.col("batch_id") == "d1").select("doc_id", "fp"))
+    row = winnow_dedup_accounting(delta, ix, min_shared=2,
+                                  max_doc_freq=3).head()
+    assert row.n_docs_dropped == m["n_passage_dropped"] == 2
+    assert row.n_delta_docs == 3
+    assert row.n_index_candidate_pairs >= 1
+    assert row.n_delta_candidate_pairs >= 1
+    assert row.n_hot_fps == 0 and row.n_fp_rows_ignored == 0
+    # post-guard fanout is bounded by the guard by construction
+    assert row.max_fp_fanout <= 3
+
+    # boilerplate round: the guard ignores the shared header, the
+    # ledger shows WHAT it ignored and that nothing was dropped
+    header = "standard license header do not remove this notice ever "
+    bodies = [BODY_A, BODY_B, BODY_C, "vwxyz12 " * 40, "3456789 " * 40]
+    boiler = cdocs([(i + 1, header + b) for i, b in enumerate(bodies)])
+    empty_ix = spark.createDataFrame([], "doc_id bigint, fp bigint")
+    row2 = winnow_dedup_accounting(boiler, empty_ix, min_shared=2,
+                                   max_doc_freq=4).head()
+    assert row2.n_docs_dropped == 0
+    assert row2.n_hot_fps > 0 and row2.n_fp_rows_ignored > 0
+    assert row2.max_fp_fanout <= 4
+
+
 def test_fingerprint_rows_match_column_form(spark):
     """The Arrow fps path behind winnow_fingerprint_rows emits exactly
     the (doc, fp) set of the oracle-pinned Column form — on real

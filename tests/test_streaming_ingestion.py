@@ -246,6 +246,31 @@ def test_compaction_between_drains_keeps_dedup_and_identity(
                   corpus.read_corpus(spark, root).collect()) == [1, 2, 11]
 
 
+def test_reconcile_replay_warns_on_divergent_source(spark, tmp_path):
+    """Defense-in-depth on the exactly-once no-op path (ADVICE r8
+    residual): a replayed micro-batch whose row count diverges from
+    the committed manifest's n_input means the source broke
+    same-epoch-same-data — loud RuntimeWarning, committed batch kept.
+    A batch folded by compaction has no manifest left and is
+    skipped."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+    root = str(tmp_path / "root")
+    docs = spark.createDataFrame(
+        [(i, f"replay reconciliation doc {i} alpha beta gamma delta",
+          "en", "s", 1) for i in (1, 2, 3)],
+        "doc_id LONG, text STRING, lang STRING, "
+        "source STRING, n_chars LONG")
+    corpus.ingest_delta(spark, root, docs, batch_id="b1")
+
+    assert ingestion.reconcile_replay(spark, root, "b1", 3) is True
+    with pytest.warns(RuntimeWarning, match="same-epoch-same-data"):
+        assert ingestion.reconcile_replay(spark, root, "b1", 5) \
+            is False
+    corpus.compact_batches(spark, root)
+    assert ingestion.reconcile_replay(spark, root, "b1", 5) is True
+
+
 def test_gate_stream_batch_parity(spark, tmp_path):
     src = tmp_path / "drop3"
     src.mkdir()

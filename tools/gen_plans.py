@@ -218,6 +218,38 @@ def main() -> None:
         lines.append("")
         print("# incremental ann done", file=sys.stderr)
 
+    # Incremental IVF index (r9): same two-level pruning contract —
+    # cell IN (nprobe literals) against the frozen quantizer, no
+    # batch IN-list, exchange-free probe.
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as IV)
+
+    with tempfile.TemporaryDirectory() as td:
+        IV.init_ivf_index(spark, f"{td}/ix", emb)
+        for i in range(3):
+            IV.ivf_ingest_delta(
+                spark, f"{td}/ix",
+                emb.filter(F.pmod(F.col("vec_id"), 3) == i), f"b{i}")
+        df = IV.ivf_incremental_topk(spark, f"{td}/ix", qvec,
+                                     exclude_id=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ivf_incremental_topk "
+                     "(incrementally-maintained index, 3 batches, "
+                     "frozen quantizer)")
+        m = _re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        if m:
+            lines.append(f"- `{m.group(0)}` — two-level directory "
+                         "pruning (nprobe cells ranked driver-side "
+                         "against the frozen centroids; batch "
+                         "visibility adds no IN-list when nothing "
+                         "is invisible)")
+        assert "Exchange" not in plan
+        lines.append("- no Exchange (TakeOrderedAndProject over the "
+                     "pruned scan)")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# incremental ivf done", file=sys.stderr)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
