@@ -397,6 +397,21 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
             "orphans": orphans, "violations": violations}
 
 
+def prune_ann_uncommitted(spark: SparkSession, root: str) -> list[str]:
+    """Garbage-collect bucket partitions with NO manifest that are
+    not superseded — crashed ingests never retried under the same
+    batch id. ``verify_ann_index`` NAMES these orphans; this sweeps
+    them (the corpus ``prune_uncommitted`` under this root's tables).
+    Takes the writer lease, so an in-flight ingest can never have its
+    unmanifested batch swept out from under it."""
+    from .corpus import _prune_uncommitted
+
+    with corpus_writer_lock(spark, root,
+                            op="ann_prune_uncommitted") as lease:
+        return _prune_uncommitted(spark, root, lease=lease,
+                                  tables=(ANN_TABLE,))
+
+
 def delete_vectors(spark: SparkSession, root: str,
                    vec_ids: "list[int] | DataFrame",
                    n_files_per_bucket: int = 1,

@@ -1016,8 +1016,12 @@ def prune_uncommitted(spark: SparkSession, root: str) -> list[str]:
 
 
 def _prune_uncommitted(spark: SparkSession, root: str,
-                       lease: "WriterLease | None" = None
+                       lease: "WriterLease | None" = None,
+                       tables: tuple[str, ...] = INGEST_TABLES
                        ) -> list[str]:
+    # `tables` parametrizes the data-directory set exactly like
+    # _prune_superseded: corpus ingest tables by default, or a
+    # vector-index layout sharing this manifest protocol.
     from ..fs import delete_path, list_dir
 
     ms = _load_manifests(spark, root)
@@ -1025,14 +1029,14 @@ def _prune_uncommitted(spark: SparkSession, root: str,
     if lease is not None:   # fence before the destructive sweep
         lease.fence()
     orphans: set[str] = set()
-    for table in INGEST_TABLES:
+    for table in tables:
         for child in list_dir(spark, f"{root}/{table}"):
             if child.startswith("batch_id="):
                 bid = child[len("batch_id="):]
                 if bid not in known:
                     orphans.add(bid)
     for bid in sorted(orphans):
-        for table in INGEST_TABLES:
+        for table in tables:
             delete_path(spark, f"{root}/{table}/batch_id={bid}")
     # abandoned write_text_atomic staging files (crashed mid-publish):
     # inert — no reader matches the .tmp- suffix — but swept here

@@ -437,6 +437,19 @@ def delete_ivf_vectors(spark: SparkSession, root: str,
             vec_ids, n_files_per_cell, lease, _crash_after)
 
 
+def prune_ivf_uncommitted(spark: SparkSession, root: str) -> list[str]:
+    """Garbage-collect cell partitions with NO manifest that are not
+    superseded — crashed ingests never retried under the same batch
+    id. ``verify_ivf_index`` NAMES these orphans; this sweeps them.
+    Takes the writer lease."""
+    from .corpus import _prune_uncommitted
+
+    with corpus_writer_lock(spark, root,
+                            op="ivf_prune_uncommitted") as lease:
+        return _prune_uncommitted(spark, root, lease=lease,
+                                  tables=(IVF_TABLE,))
+
+
 def delete_ivf_batch(spark: SparkSession, root: str,
                      batch_id: str) -> None:
     """RETENTION: de-commit a live vector batch — manifest deleted

@@ -232,6 +232,25 @@ def test_delete_vectors_crash_is_invisible_then_retryable(
     assert v["violations"] == [] and v["orphans"] == []
 
 
+def test_prune_uncommitted_sweeps_never_retried_crash(spark, emb,
+                                                      tmp_path):
+    """A crashed ingest that is NEVER retried leaves an invisible
+    orphan forever; prune_ann_uncommitted sweeps it and the batch id
+    stays free (no manifest was ever written)."""
+    root = str(tmp_path / "ix")
+    first, second, _ = _thirds(emb)
+    A.ann_ingest_delta(spark, root, first, "b0")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        A.ann_ingest_delta(spark, root, second, "b1",
+                           _crash_after=A.ANN_TABLE)
+    assert A.verify_ann_index(spark, root)["orphans"] == ["b1"]
+    assert A.prune_ann_uncommitted(spark, root) == ["b1"]
+    v = A.verify_ann_index(spark, root)
+    assert v["orphans"] == [] and v["violations"] == []
+    m = A.ann_ingest_delta(spark, root, second, "b1")
+    assert m["n_admitted"] == second.count()
+
+
 def test_writer_lease_excludes_second_writer(spark, emb, tmp_path):
     root = str(tmp_path / "ix")
     first = _thirds(emb)[0]

@@ -204,6 +204,23 @@ def test_delete_ivf_vectors_row_level(spark, emb, qvec, tmp_path):
     assert I.committed_ivf_batches(spark, root) == ["b2", cid]
 
 
+def test_prune_uncommitted_sweeps_never_retried_crash(spark, emb,
+                                                      tmp_path):
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    first, second, _ = _thirds(emb)
+    I.ivf_ingest_delta(spark, root, first, "b0")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        I.ivf_ingest_delta(spark, root, second, "b1",
+                           _crash_after=I.IVF_TABLE)
+    assert I.verify_ivf_index(spark, root)["orphans"] == ["b1"]
+    assert I.prune_ivf_uncommitted(spark, root) == ["b1"]
+    v = I.verify_ivf_index(spark, root)
+    assert v["orphans"] == [] and v["violations"] == []
+    m = I.ivf_ingest_delta(spark, root, second, "b1")
+    assert m["n_admitted"] == second.count()
+
+
 def test_writer_lease_excludes_second_writer(spark, emb, tmp_path):
     root = str(tmp_path / "ix")
     I.init_ivf_index(spark, root, emb)
