@@ -1,13 +1,19 @@
 """Streaming vector ingestion: an embeddings drop directory drained
-into the incrementally-maintained ANN index (plans/ann_index.py) with
-the corpus loop's exactly-once discipline (streaming/ingestion.py's
+into an incrementally-maintained vector index with the corpus loop's
+exactly-once discipline (streaming/ingestion.py's
 checkpoint-incarnation batch identity, reused verbatim).
 
-Each micro-batch commits through :func:`plans.ann_index.
-ann_ingest_delta` — manifest-last, so a crash replay re-runs the
-batch and a post-commit replay no-ops by identity; a LOST checkpoint
-mints a fresh nonce and the id-dedup gate (not id collision) absorbs
-the re-read vectors while genuinely new ones are admitted.
+The target index KIND is read from the root's ``_meta.json``: an
+``ivf_incremental`` root (plans/ivf_index.py — quantizer frozen by
+``init_ivf_index``) receives batches through
+:func:`plans.ivf_index.ivf_ingest_delta`; anything else — including
+an empty root, where the first micro-batch freezes the hyperplanes —
+goes through :func:`plans.ann_index.ann_ingest_delta`. Both commit
+manifest-last, so a crash replay re-runs the batch and a post-commit
+replay no-ops by identity (reconciled against the committed
+``n_input`` like the corpus stream); a LOST checkpoint mints a fresh
+nonce and the id-dedup gate (not id collision) absorbs the re-read
+vectors while genuinely new ones are admitted.
 """
 
 from __future__ import annotations
@@ -40,18 +46,26 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
                          num_planes: int | None = None,
                          dim: int | None = None,
                          max_files_per_trigger: int | None = None):
-    """Drain the drop directory into the incremental ANN index
-    (availableNow: everything currently present, then stop; re-invoke
-    to pick up only NEW files via the checkpoint). ``batch_id =
-    stream-{nonce}-{epoch}`` with the nonce scoped to the checkpoint
-    incarnation — see streaming/ingestion.run_ingestion_with_dedup
-    for why an epoch-only id silently drops data after checkpoint
-    loss. ``num_planes``/``dim`` default to the module constants on
-    the FIRST ingest and to the stored ``_meta.json`` afterwards."""
+    """Drain the drop directory into the root's incremental vector
+    index (availableNow: everything currently present, then stop;
+    re-invoke to pick up only NEW files via the checkpoint).
+    ``batch_id = stream-{nonce}-{epoch}`` with the nonce scoped to
+    the checkpoint incarnation — see streaming/ingestion.
+    run_ingestion_with_dedup for why an epoch-only id silently drops
+    data after checkpoint loss. The index kind is the root's
+    ``_meta.json`` ``kind`` (``ivf_incremental`` → IVF postings;
+    absent/LSH → ANN, where ``num_planes``/``dim`` default to the
+    module constants on the FIRST ingest and to the stored meta
+    afterwards). ``num_planes`` is an LSH parameter and is rejected
+    loudly on an IVF root rather than silently ignored."""
+    import json
+
     from ..fs import path_exists, read_text
     from ..operators.similarity import EMB_DIM, NUM_PLANES
     from ..plans.ann_index import (_meta_path, ann_ingest_delta)
     from ..plans.corpus import BatchAlreadyIngested
+    from ..plans.ivf_index import ivf_ingest_delta
+    from .ingestion import reconcile_replay
 
     stream = stream_embeddings(
         spark, src_path, max_files_per_trigger=max_files_per_trigger)
@@ -60,34 +74,41 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
 
     def nonce() -> str:
         if "v" not in nonce_cache:
-            import json
-
             meta = json.loads(read_text(spark,
                                         f"{checkpoint}/metadata"))
             nonce_cache["v"] = meta["id"].replace("-", "")[:8]
         return nonce_cache["v"]
 
-    def params() -> tuple[int, int]:
-        if num_planes is not None and dim is not None:
-            return num_planes, dim
+    def stored_meta() -> dict:
         if path_exists(spark, _meta_path(index_root)):
-            import json
-
-            m = json.loads(read_text(spark, _meta_path(index_root)))
-            return (num_planes or m["num_planes"], dim or m["dim"])
-        return (num_planes or NUM_PLANES, dim or EMB_DIM)
+            return json.loads(read_text(spark, _meta_path(index_root)))
+        return {}
 
     def drain(batch: DataFrame, epoch_id: int) -> None:
-        np_, d = params()
+        meta = stored_meta()
+        batch_id = f"stream-{nonce()}-{int(epoch_id):08d}"
         try:
-            ann_ingest_delta(
-                spark, index_root, batch,
-                batch_id=f"stream-{nonce()}-{int(epoch_id):08d}",
-                num_planes=np_, dim=d)
+            if meta.get("kind") == "ivf_incremental":
+                if num_planes is not None:
+                    raise ValueError(
+                        f"num_planes={num_planes} passed for the "
+                        f"IVF-kind index root {index_root} — it is "
+                        f"an LSH parameter; the frozen quantizer "
+                        f"owns IVF placement")
+                ivf_ingest_delta(spark, index_root, batch,
+                                 batch_id=batch_id)
+            else:
+                ann_ingest_delta(
+                    spark, index_root, batch, batch_id=batch_id,
+                    num_planes=(num_planes or meta.get("num_planes")
+                                or NUM_PLANES),
+                    dim=dim or meta.get("dim") or EMB_DIM)
         except BatchAlreadyIngested:
             # same incarnation ⇒ same epoch = same file set (offsets
-            # WAL precedes execution): genuine post-commit replay
-            pass
+            # WAL precedes execution): genuine post-commit replay —
+            # but verify the source held that contract
+            reconcile_replay(spark, index_root, batch_id,
+                             batch.count())
 
     return (stream.writeStream
             .foreachBatch(drain)

@@ -87,6 +87,58 @@ def test_lost_checkpoint_new_files_still_admitted(spark, emb,
     assert A.verify_ann_index(spark, root)["violations"] == []
 
 
+def test_stream_drains_into_ivf_index(spark, emb, tmp_path):
+    """Kind dispatch: the same drop-directory stream drains into an
+    IVF root (quantizer frozen beforehand by init_ivf_index) through
+    ivf_ingest_delta — batches are placed by the frozen quantizer
+    (cell_source=assigned), cross-drain id dedup holds, and the IVF
+    fsck stays clean."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as I)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        read_manifest)
+
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ivf")
+    train = load_table(spark, SF_DIR, "embeddings")
+    I.init_ivf_index(spark, root, train)
+
+    _drop(emb, F.col("vec_id") < 100, src, "f0")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    assert (I.read_ivf_postings(spark, root).count()
+            == emb.filter("vec_id < 100").count())
+    (bid,) = I.committed_ivf_batches(spark, root)
+    assert read_manifest(spark, root, bid)["cell_source"] == "assigned"
+
+    # second drain: only the NEW file's vectors are processed
+    _drop(emb, (F.col("vec_id") >= 100) & (F.col("vec_id") < 150),
+          src, "f1")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    got = I.read_ivf_postings(spark, root)
+    assert got.count() == emb.filter("vec_id < 150").count()
+    assert (got.select("vec_id").distinct().count()
+            == emb.filter("vec_id < 150").count())
+    rep = I.verify_ivf_index(spark, root)
+    assert rep["violations"] == [] and rep["orphans"] == []
+
+
+def test_stream_rejects_lsh_params_on_ivf_root(spark, emb, tmp_path):
+    """num_planes is an LSH knob; passing it for an IVF root must
+    fail the micro-batch loudly instead of being silently ignored."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as I)
+
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root,
+                     load_table(spark, SF_DIR, "embeddings"))
+    _drop(emb, F.col("vec_id") < 20, src, "f0")
+    with pytest.raises(Exception, match="LSH parameter"):
+        (V.run_vector_ingestion(spark, src, root, num_planes=8)
+         .awaitTermination(120))
+    assert I.read_ivf_postings(spark, root).count() == 0
+
+
 def test_fsck_detects_tampering(spark, emb, tmp_path):
     root = str(tmp_path / "ix")
     A.ann_ingest_delta(spark, root,
