@@ -38,11 +38,9 @@ from .corpus import _load_manifests, _superseded, _visible_scan
 ORPHAN_SAMPLE = 10
 
 
-def _committed_vec_ids(spark: SparkSession,
-                       index_root: str) -> DataFrame:
-    """(vec_id) of every committed vector under an incremental
-    vector-index root, LSH or IVF — dispatched on the ``_meta.json``
-    kind so the caller doesn't care which index family it links."""
+def _index_kind(spark: SparkSession, index_root: str) -> str:
+    """The incremental vector-index family stored under a root, from
+    its ``_meta.json`` — loud on anything that is not one."""
     import json
 
     from ..fs import read_text
@@ -53,17 +51,80 @@ def _committed_vec_ids(spark: SparkSession,
             f"{index_root} has no _meta.json — not an initialized "
             f"incremental vector index")
     kind = json.loads(read_text(spark, meta_path)).get("kind")
-    if kind == "ann_lsh_incremental":
+    if kind not in ("ann_lsh_incremental", "ivf_incremental"):
+        raise ValueError(
+            f"{index_root} holds index kind {kind!r} — not an "
+            f"incremental vector index this fsck understands")
+    return kind
+
+
+def _committed_vec_ids(spark: SparkSession,
+                       index_root: str) -> DataFrame:
+    """(vec_id) of every committed vector under an incremental
+    vector-index root, LSH or IVF — dispatched on the ``_meta.json``
+    kind so the caller doesn't care which index family it links."""
+    if _index_kind(spark, index_root) == "ann_lsh_incremental":
         from .ann_index import read_ann_index
 
         return read_ann_index(spark, index_root).select("vec_id")
-    if kind == "ivf_incremental":
-        from .ivf_index import read_ivf_postings
+    from .ivf_index import read_ivf_postings
 
-        return read_ivf_postings(spark, index_root).select("vec_id")
-    raise ValueError(
-        f"{index_root} holds index kind {kind!r} — not an "
-        f"incremental vector index this fsck understands")
+    return read_ivf_postings(spark, index_root).select("vec_id")
+
+
+def takedown_documents(spark: SparkSession, corpus_root: str,
+                       index_roots: "list[str]",
+                       doc_ids: "list[int] | DataFrame") -> dict:
+    """Cross-root right-to-be-forgotten takedown: remove documents
+    AND their embeddings (id contract ``vec_id == doc_id``) from the
+    corpus and every linked vector index in ONE call — the manual
+    ``delete_documents`` → ``delete_vectors``/``delete_ivf_vectors``
+    sequence :func:`verify_linked`'s orphan report prescribes,
+    ordered so a crash can only leave the BENIGN inconsistency.
+
+    Vector indexes are cleaned FIRST, the corpus LAST: dying between
+    roots leaves documents without vectors — a coverage *lag*
+    :func:`verify_linked` reports without violation — never an
+    orphan embedding that still encodes removed text. Each root's
+    deletion is its own lease-held manifest-supersession commit
+    (there is deliberately no cross-root transaction; the ordering IS
+    the consistency story, and :func:`verify_linked` is the fsck for
+    the crash window).
+
+    A root where none of the ids remain is recorded under
+    ``skipped`` instead of raising, so a replayed takedown notice —
+    or a re-run after a mid-sequence crash — is idempotent: already-
+    clean roots no-op, the rest are cleaned. Unknown/uninitialized
+    index roots still raise (a typo'd root must not silently "pass").
+
+    Returns ``{"indexes": {root: retain-batch-id | None},
+    "corpus": retain-batch-id | None, "skipped": [reason, ...]}``.
+    """
+    report: dict = {"indexes": {}, "corpus": None, "skipped": []}
+    for iroot in index_roots:
+        kind = _index_kind(spark, iroot)   # loud on a bad root
+        try:
+            if kind == "ivf_incremental":
+                from .ivf_index import delete_ivf_vectors
+
+                report["indexes"][iroot] = delete_ivf_vectors(
+                    spark, iroot, doc_ids)
+            else:
+                from .ann_index import delete_vectors
+
+                report["indexes"][iroot] = delete_vectors(
+                    spark, iroot, doc_ids)
+        except ValueError as e:   # no live batch holds any target
+            report["indexes"][iroot] = None
+            report["skipped"].append(f"{iroot}: {e}")
+    try:
+        from .corpus import delete_documents
+
+        report["corpus"] = delete_documents(spark, corpus_root,
+                                            doc_ids)
+    except ValueError as e:
+        report["skipped"].append(f"{corpus_root}: {e}")
+    return report
 
 
 def verify_linked(spark: SparkSession, corpus_root: str,

@@ -99,6 +99,76 @@ def test_linked_roots_takedown_and_provenance(spark, emb, tmp_path):
             if s[1] in ("d1", "d2")] == []
 
 
+def test_takedown_cascade_across_roots(spark, emb, tmp_path):
+    """One call removes a document and its embeddings from the corpus
+    plus BOTH index families, verify_linked comes back clean on each,
+    and a replayed takedown notice is an idempotent no-op."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        takedown_documents)
+
+    croot = str(tmp_path / "corpus")
+    aroot = str(tmp_path / "ann")
+    ivroot = str(tmp_path / "ivf")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 21)),
+                              batch_id="d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert len(ids) >= 5
+    vecs = emb.filter(F.col("vec_id").isin(ids))
+    A.ann_ingest_delta(spark, aroot, vecs, "v1", corpus_batch="d1")
+    I.init_ivf_index(spark, ivroot, emb)
+    I.ivf_ingest_delta(spark, ivroot, vecs, "v1", corpus_batch="d1")
+
+    tid = ids[0]
+    rep = takedown_documents(spark, croot, [aroot, ivroot], [tid])
+    assert rep["corpus"] and rep["indexes"][aroot]
+    assert rep["indexes"][ivroot] and rep["skipped"] == []
+    for iroot in (aroot, ivroot):
+        linked = verify_linked(spark, croot, iroot)
+        assert linked["violations"] == []
+        assert linked["orphan_vectors"] == 0
+        assert linked["n_docs"] == linked["n_vectors"] == len(ids) - 1
+    assert (corpus.read_corpus(spark, croot)
+            .filter(F.col("doc_id") == tid).count() == 0)
+
+    # replayed notice: every root no-ops, nothing raises
+    rep2 = takedown_documents(spark, croot, [aroot, ivroot], [tid])
+    assert rep2["corpus"] is None
+    assert rep2["indexes"] == {aroot: None, ivroot: None}
+    assert len(rep2["skipped"]) == 3
+
+    # a typo'd index root stays loud — no silent "pass"
+    with pytest.raises(ValueError, match="no _meta.json"):
+        takedown_documents(spark, croot, [str(tmp_path / "nope")],
+                           [ids[1]])
+
+
+def test_takedown_heals_partial_crash_window(spark, emb, tmp_path):
+    """Corpus-side takedown already ran (the dangerous direction:
+    orphan embeddings remain) — the cascade replay cleans the vector
+    roots and reports the corpus as already clean."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        takedown_documents)
+
+    croot = str(tmp_path / "corpus")
+    aroot = str(tmp_path / "ann")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 21)),
+                              batch_id="d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, aroot,
+                       emb.filter(F.col("vec_id").isin(ids)),
+                       "v1", corpus_batch="d1")
+    tid = ids[0]
+    corpus.delete_documents(spark, croot, [tid])
+    assert verify_linked(spark, croot, aroot)["orphan_vectors"] == 1
+
+    rep = takedown_documents(spark, croot, [aroot], [tid])
+    assert rep["indexes"][aroot] and rep["corpus"] is None
+    linked = verify_linked(spark, croot, aroot)
+    assert linked["orphan_vectors"] == 0 and linked["violations"] == []
+
+
 def test_linkage_dispatches_on_index_kind(spark, emb, tmp_path):
     croot = str(tmp_path / "corpus")
     ivroot = str(tmp_path / "ivf")
