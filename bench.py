@@ -223,6 +223,52 @@ def main() -> None:
     finally:
         shutil.rmtree(ann_root, ignore_errors=True)
 
+    # Incremental-IVF legs, same shape as the ANN pair: quantizer
+    # training + standing 80% index untimed, two timed 10% deltas
+    # placed by the frozen quantizer (the production path — no
+    # labels), then the pruned cell-probe twice (first/warm).
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
+        init_ivf_index, ivf_incremental_topk, ivf_ingest_delta)
+
+    ivf_root = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        embt = load_table(spark, SF_DIR, "embeddings")
+        init_ivf_index(spark, ivf_root, embt)
+        ivf_ingest_delta(spark, ivf_root,
+                         embt.filter(F.pmod(F.col("vec_id"), 10) < 8)
+                         .drop("label"), "base")
+        legs = []
+        for i, mod in enumerate((8, 9)):
+            delta = (embt.filter(F.pmod(F.col("vec_id"), 10) == mod)
+                     .drop("label"))
+            t0 = time.perf_counter()
+            ivf_ingest_delta(spark, ivf_root, delta, f"delta{i}")
+            legs.append(time.perf_counter() - t0)
+        per_query["ivf_ingest"] = round(legs[0], 3)
+        per_query_warm["ivf_ingest"] = round(legs[1], 3)
+        total += legs[0]
+        total_warm += legs[1]
+        print(f"# ivf_ingest: {legs[0]:.3f}s (warm {legs[1]:.3f}s)",
+              file=sys.stderr)
+
+        qvec = [float(x) for x in
+                embt.filter("vec_id = 0").select("embedding")
+                .head()[0]]
+        probe = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (ivf_incremental_topk(spark, ivf_root, qvec, exclude_id=0)
+             .write.format("noop").mode("overwrite").save())
+            probe.append(time.perf_counter() - t0)
+        per_query["ivf_topk"] = round(probe[0], 3)
+        per_query_warm["ivf_topk"] = round(probe[1], 3)
+        total += probe[0]
+        total_warm += probe[1]
+        print(f"# ivf_topk: {probe[0]:.3f}s (warm {probe[1]:.3f}s)",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(ivf_root, ignore_errors=True)
+
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
