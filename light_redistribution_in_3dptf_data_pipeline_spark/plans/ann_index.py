@@ -415,6 +415,7 @@ def prune_ann_uncommitted(spark: SparkSession, root: str) -> list[str]:
 def delete_vectors(spark: SparkSession, root: str,
                    vec_ids: "list[int] | DataFrame",
                    n_files_per_bucket: int = 1,
+                   release_conflicting_pins: bool = False,
                    _crash_after: str | None = None) -> str:
     """ROW-LEVEL vector takedown — the operation
     :func:`delete_vector_batch` cannot perform once batches are
@@ -449,14 +450,16 @@ def delete_vectors(spark: SparkSession, root: str,
                                _ann_schema(_load_meta(spark,
                                                       root)["dim"]),
                                vec_ids, n_files_per_bucket, lease,
-                               _crash_after)
+                               _crash_after,
+                               release_conflicting_pins)
 
 
 def _retain_vectors(spark: SparkSession, root: str, table: str,
                     part_col: str, schema: str,
                     vec_ids: "list[int] | DataFrame",
                     n_files_per_part: int, lease,
-                    _crash_after: str | None) -> str:
+                    _crash_after: str | None,
+                    release_conflicting_pins: bool = False) -> str:
     """Generic row-level retention for a manifest-committed vector
     table partitioned ``batch_id={b}/{part_col}={n}`` — shared by the
     LSH index (``buckets``/``bucket``) and the IVF index
@@ -491,6 +494,26 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
         raise ValueError(
             f"no live batch contains any of vec_ids {label}")
 
+    # a pin covering an affected batch would keep the deleted
+    # embeddings readable (GC honors pins) — same takedown-wins
+    # policy as corpus._delete_documents
+    from .snapshots import PinConflictError, _pin_path, list_pins
+    conflicting = sorted(
+        d for d, p in list_pins(spark, root).items()
+        if set(p["batches"]) & set(affected))
+    released: list[str] = []
+    if conflicting:
+        if not release_conflicting_pins:
+            raise PinConflictError(
+                f"pins {conflicting} cover batches affected by this "
+                f"vector takedown and would keep the deleted "
+                f"embeddings readable (snapshots.read_pinned_table). "
+                f"Release them or pass release_conflicting_pins=True.")
+        from ..fs import delete_path as _dp
+        for d in conflicting:
+            _dp(spark, _pin_path(root, d))
+        released = conflicting
+
     cid = _next_seq_id(ms, "retain")
     delete_path(spark, f"{path}/batch_id={cid}")
     surv = (ix.filter(F.col("batch_id").isin(affected))
@@ -513,6 +536,8 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
     manifest = {"batch_id": cid, "replaces": replaces,
                 "n_deleted": n_before - n_after,
                 "n_admitted": n_after}
+    if released:
+        manifest["released_pins"] = released   # takedown audit trail
     if lease is not None:
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),
@@ -535,6 +560,13 @@ def delete_vector_batch(spark: SparkSession, root: str,
             raise ValueError(
                 f"batch_id {batch_id!r} is not a live committed batch "
                 f"under {root}")
+        from .snapshots import PinConflictError, list_pins
+        holders = sorted(d for d, p in list_pins(spark, root).items()
+                         if batch_id in p["batches"])
+        if holders:
+            raise PinConflictError(
+                f"batch {batch_id!r} is held by pins {holders} — "
+                f"release them before the batch-level delete")
         lease.fence()   # before the de-commit
         delete_path(spark, _manifest_path(root, batch_id))
         _write_snapshot(spark, root,

@@ -979,13 +979,18 @@ def _prune_superseded(spark: SparkSession, root: str,
     # ingest tables by default, or another batch-partitioned layout
     # sharing this manifest protocol (plans/ann_index.py).
     from ..fs import delete_path
+    from .snapshots import pinned_batches
 
     ms = _load_manifests(spark, root)
     gone = _superseded(ms)
+    # snapshot pins HOLD superseded batches (manifest + data): a
+    # pinned training view stays re-readable until release_pin +
+    # the next sweep. Normal readers never see them either way.
+    pinned = pinned_batches(spark, root) & gone
     if lease is not None:   # fence before the destructive sweep
         lease.fence()
     pruned = []
-    for bid in sorted(gone):
+    for bid in sorted(gone - pinned):
         removed = delete_path(spark, _manifest_path(root, bid))
         for table in tables:
             removed |= delete_path(spark,
@@ -994,7 +999,8 @@ def _prune_superseded(spark: SparkSession, root: str,
             pruned.append(bid)
     if pruned:
         _write_snapshot(spark, root,
-                        {b: m for b, m in ms.items() if b not in gone})
+                        {b: m for b, m in ms.items()
+                         if b not in gone or b in pinned})
     return pruned
 
 
@@ -1073,6 +1079,14 @@ def delete_batch(spark: SparkSession, root: str, batch_id: str) -> None:
             raise ValueError(
                 f"batch_id {batch_id!r} is not a live committed batch "
                 f"under {root}")
+        from .snapshots import PinConflictError, list_pins
+        holders = sorted(d for d, p in list_pins(spark, root).items()
+                         if batch_id in p["batches"])
+        if holders:
+            raise PinConflictError(
+                f"batch {batch_id!r} is held by pins {holders} — "
+                f"release them (snapshots.release_pin) before the "
+                f"batch-level delete")
         lease.fence()   # before the de-commit (a destructive delete)
         delete_path(spark, _manifest_path(root, batch_id))
         _write_snapshot(spark, root,
@@ -1084,6 +1098,7 @@ def delete_batch(spark: SparkSession, root: str, batch_id: str) -> None:
 def delete_documents(spark: SparkSession, root: str,
                      doc_ids: "list[int] | DataFrame",
                      n_files: int = 1,
+                     release_conflicting_pins: bool = False,
                      _plan_sink: "list | None" = None) -> str:
     """ROW-LEVEL retention (per-document takedown) — the operation
     :func:`delete_batch` cannot perform once batches are compacted.
@@ -1114,17 +1129,28 @@ def delete_documents(spark: SparkSession, root: str,
     deletion set joins instead of becoming a million-literal IN
     expression in every plan; both routes go through the same
     semi/anti joins).
+
+    Snapshot pins (plans/snapshots.py) conflict with takedown: a pin
+    covering an affected batch would keep the deleted document
+    readable through :func:`snapshots.read_corpus_pinned`. The
+    default is to REFUSE with :class:`snapshots.PinConflictError`
+    (naming the pins); ``release_conflicting_pins=True`` deletes the
+    conflicting pins instead and records them in the retain
+    manifest's ``released_pins`` for audit — takedown wins over
+    reproducibility, but only explicitly.
     """
     with corpus_writer_lock(spark, root, op="retain") as lease:
         return _delete_documents(spark, root, doc_ids, n_files,
-                                 lease, _plan_sink)
+                                 lease, _plan_sink,
+                                 release_conflicting_pins)
 
 
 def _delete_documents(spark: SparkSession, root: str,
                       doc_ids: "list[int] | DataFrame",
                       n_files: int,
                       lease: "WriterLease | None" = None,
-                      _plan_sink: "list | None" = None) -> str:
+                      _plan_sink: "list | None" = None,
+                      release_conflicting_pins: bool = False) -> str:
     """:func:`delete_documents` body, lease already held."""
     import json
 
@@ -1154,6 +1180,25 @@ def _delete_documents(spark: SparkSession, root: str,
     if not affected:
         raise ValueError(
             f"no live batch contains any of doc_ids {label}")
+
+    # pins referencing an affected batch would keep the deleted rows
+    # readable (GC honors pins) — refuse, or release them explicitly
+    from .snapshots import PinConflictError, _pin_path, list_pins
+    conflicting = sorted(
+        d for d, p in list_pins(spark, root).items()
+        if set(p["batches"]) & set(affected))
+    released: list[str] = []
+    if conflicting:
+        if not release_conflicting_pins:
+            raise PinConflictError(
+                f"pins {conflicting} cover batches affected by this "
+                f"takedown and would keep the deleted documents "
+                f"readable (snapshots.read_corpus_pinned). Release "
+                f"them (snapshots.release_pin) or pass "
+                f"release_conflicting_pins=True.")
+        for d in conflicting:
+            delete_path(spark, _pin_path(root, d))
+        released = conflicting
 
     cid = _next_seq_id(ms, "retain")
     for table in INGEST_TABLES:
@@ -1204,6 +1249,8 @@ def _delete_documents(spark: SparkSession, root: str,
         "n_admitted": sum(ms[b].get("n_admitted", 0)
                           for b in affected) - n_deleted,
     }
+    if released:
+        manifest["released_pins"] = released   # takedown audit trail
     if lease is not None:
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),
@@ -1301,8 +1348,14 @@ def verify_corpus(spark: SparkSession, root: str) -> dict:
                 bid = child[len("batch_id="):]
                 if bid not in live_set:
                     orphans.add(bid)
+    # batches deliberately HELD by snapshot pins are not sweepable
+    # garbage — report them separately so "orphans" stays the
+    # actionable run-prune list
+    from .snapshots import pinned_batches
+    pinned = orphans & pinned_batches(spark, root)
     return {"live_batches": len(live), "corpus_rows": n_rows,
-            "orphans": sorted(orphans), "violations": violations}
+            "orphans": sorted(orphans - pinned),
+            "pinned_held": sorted(pinned), "violations": violations}
 
 
 def corpus_stats(spark: SparkSession, p: Pipeline) -> dict[str, int]:

@@ -422,6 +422,7 @@ def _compact_ivf_batches(spark: SparkSession, root: str,
 def delete_ivf_vectors(spark: SparkSession, root: str,
                        vec_ids: "list[int] | DataFrame",
                        n_files_per_cell: int = 1,
+                       release_conflicting_pins: bool = False,
                        _crash_after: str | None = None) -> str:
     """ROW-LEVEL vector takedown for the IVF index — the shared
     retain-N filter-and-rewrite (plans/ann_index._retain_vectors):
@@ -434,7 +435,8 @@ def delete_ivf_vectors(spark: SparkSession, root: str,
         return _retain_vectors(
             spark, root, IVF_TABLE, "cell",
             _ivf_schema(_load_meta(spark, root)["dim"]),
-            vec_ids, n_files_per_cell, lease, _crash_after)
+            vec_ids, n_files_per_cell, lease, _crash_after,
+            release_conflicting_pins)
 
 
 def prune_ivf_uncommitted(spark: SparkSession, root: str) -> list[str]:
@@ -461,6 +463,13 @@ def delete_ivf_batch(spark: SparkSession, root: str,
             raise ValueError(
                 f"batch_id {batch_id!r} is not a live committed batch "
                 f"under {root}")
+        from .snapshots import PinConflictError, list_pins
+        holders = sorted(d for d, p in list_pins(spark, root).items()
+                         if batch_id in p["batches"])
+        if holders:
+            raise PinConflictError(
+                f"batch {batch_id!r} is held by pins {holders} — "
+                f"release them before the batch-level delete")
         lease.fence()
         delete_path(spark, _manifest_path(root, batch_id))
         _write_snapshot(spark, root,

@@ -74,7 +74,8 @@ def _committed_vec_ids(spark: SparkSession,
 
 def takedown_documents(spark: SparkSession, corpus_root: str,
                        index_roots: "list[str]",
-                       doc_ids: "list[int] | DataFrame") -> dict:
+                       doc_ids: "list[int] | DataFrame",
+                       release_conflicting_pins: bool = False) -> dict:
     """Cross-root right-to-be-forgotten takedown: remove documents
     AND their embeddings (id contract ``vec_id == doc_id``) from the
     corpus and every linked vector index in ONE call — the manual
@@ -95,7 +96,12 @@ def takedown_documents(spark: SparkSession, corpus_root: str,
     ``skipped`` instead of raising, so a replayed takedown notice —
     or a re-run after a mid-sequence crash — is idempotent: already-
     clean roots no-op, the rest are cleaned. Unknown/uninitialized
-    index roots still raise (a typo'd root must not silently "pass").
+    index roots still raise (a typo'd root must not silently "pass"),
+    and so does a snapshot-pin conflict
+    (:class:`snapshots.PinConflictError` is NOT a ValueError,
+    precisely so this cascade cannot mistake "still pinned" for
+    "already clean") unless ``release_conflicting_pins=True``
+    releases the covering pins per root.
 
     Returns ``{"indexes": {root: retain-batch-id | None},
     "corpus": retain-batch-id | None, "skipped": [reason, ...]}``.
@@ -108,20 +114,23 @@ def takedown_documents(spark: SparkSession, corpus_root: str,
                 from .ivf_index import delete_ivf_vectors
 
                 report["indexes"][iroot] = delete_ivf_vectors(
-                    spark, iroot, doc_ids)
+                    spark, iroot, doc_ids,
+                    release_conflicting_pins=release_conflicting_pins)
             else:
                 from .ann_index import delete_vectors
 
                 report["indexes"][iroot] = delete_vectors(
-                    spark, iroot, doc_ids)
+                    spark, iroot, doc_ids,
+                    release_conflicting_pins=release_conflicting_pins)
         except ValueError as e:   # no live batch holds any target
             report["indexes"][iroot] = None
             report["skipped"].append(f"{iroot}: {e}")
     try:
         from .corpus import delete_documents
 
-        report["corpus"] = delete_documents(spark, corpus_root,
-                                            doc_ids)
+        report["corpus"] = delete_documents(
+            spark, corpus_root, doc_ids,
+            release_conflicting_pins=release_conflicting_pins)
     except ValueError as e:
         report["skipped"].append(f"{corpus_root}: {e}")
     return report

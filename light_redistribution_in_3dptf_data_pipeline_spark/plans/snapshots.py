@@ -1,0 +1,245 @@
+"""Content-addressed snapshot PINS: reproducible reads over the
+manifest-committed tables (plans/corpus.py and the vector indexes
+sharing its protocol).
+
+A training run that reports a loss curve must be able to name — and
+later RE-READ — the exact corpus it saw. The committed view alone
+cannot do that: compaction and retention supersede batches, and
+``_prune_superseded`` (invoked eagerly at the end of both) deletes
+their files. A PIN closes the gap:
+
+- :func:`pin_snapshot` captures the current committed batch set plus
+  a digest over the batches' manifest contents, and persists it as
+  ``{root}/_pins/{digest}.json``. The digest is the snapshot's
+  identity: two pins taken over identical committed content collide
+  onto the SAME file (idempotent), any committed change yields a new
+  digest — so "did these two runs train on the same data?" is a
+  string comparison, not a data diff.
+- While a pin exists, garbage collection HONORS it:
+  ``corpus._prune_superseded`` skips pinned batch ids (manifest and
+  data files both), so a pinned batch superseded by later compaction
+  remains readable. Normal readers are unaffected — superseded means
+  invisible to them regardless of whether files remain.
+- :func:`read_pinned_table` re-reads exactly the pinned batch set by
+  SELECTING THE PINNED PARTITION DIRECTORIES as read paths (with
+  ``basePath`` so ``batch_id`` stays a column). No growing
+  ``batch_id IN (...)`` literal and no dependence on the live
+  committed set: the cost is O(|pin|) at plan time, however many
+  batches land after the pin.
+- :func:`release_pin` + the next prune reclaims the space.
+
+Pins versus takedown: a right-to-be-forgotten deletion
+(``corpus.delete_documents``) must WIN over reproducibility — a pin
+that kept the pre-retention batches readable would keep the deleted
+document readable too. ``delete_documents`` therefore refuses while
+a pin covers any affected batch, unless told to release the
+conflicting pins (recorded in the retain manifest for audit).
+
+Everything here is control-plane: pin files are small JSON listings,
+all validation is driver-side file existence + digest checks sized
+by the pin (never a data scan), and the read path is a plain
+partition-pruned Parquet scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fs import delete_path, list_dir, path_exists, read_text, \
+    write_text_atomic
+from .corpus import (_load_manifests, _superseded, corpus_writer_lock)
+
+PIN_DIR = "_pins"
+
+
+class PinConflictError(RuntimeError):
+    """A destructive retention op would leave deleted content
+    readable through a snapshot pin. Deliberately NOT a ValueError:
+    the takedown cascade treats ValueError as the benign
+    "nothing left to remove here" no-op, and a pin conflict is the
+    opposite — the content is still there and still pinned."""
+
+
+def _pin_path(root: str, digest: str) -> str:
+    return f"{root}/{PIN_DIR}/{digest}.json"
+
+
+def _snapshot_digest(manifests: dict[str, dict],
+                     batches: list[str]) -> str:
+    """sha256 over the pinned batches' manifest CONTENTS (canonical
+    JSON, sorted ids). Manifests are written once and never mutated,
+    so equal digests ⇔ equal committed content + equal ledgers."""
+    canon = json.dumps([[b, manifests[b]] for b in sorted(batches)],
+                       sort_keys=True)
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()[:32]
+
+
+def pin_snapshot(spark: SparkSession, root: str,
+                 note: str | None = None) -> dict:
+    """Pin the CURRENT committed view of a manifest-protocol root.
+    Returns the pin document (also persisted under
+    ``{root}/_pins/``). Takes the writer lease: pinning mutates
+    GC-relevant state, and racing an in-flight prune could otherwise
+    pin a batch whose files were just swept."""
+    with corpus_writer_lock(spark, root, op="pin_snapshot") as lease:
+        ms = _load_manifests(spark, root)
+        gone = _superseded(ms)
+        batches = sorted(b for b in ms if b not in gone)
+        if not batches:
+            raise ValueError(f"nothing to pin: no committed batches "
+                             f"under {root}")
+        digest = _snapshot_digest(ms, batches)
+        pin = {"snapshot_digest": digest, "batches": batches,
+               "manifest_digests": {
+                   b: hashlib.sha256(
+                       json.dumps(ms[b], sort_keys=True)
+                       .encode("utf-8")).hexdigest()[:32]
+                   for b in batches}}
+        if note is not None:
+            pin["note"] = note
+        lease.fence()
+        # content-addressed name ⇒ re-pinning identical content is a
+        # byte-identical rewrite of the same file, not a second pin
+        write_text_atomic(spark, _pin_path(root, digest),
+                          json.dumps(pin, sort_keys=True))
+        return pin
+
+
+def list_pins(spark: SparkSession, root: str) -> dict[str, dict]:
+    """All persisted pins, keyed by snapshot digest."""
+    pins: dict[str, dict] = {}
+    for n in list_dir(spark, f"{root}/{PIN_DIR}"):
+        if n.endswith(".json") and ".tmp-" not in n:
+            doc = json.loads(read_text(spark, f"{root}/{PIN_DIR}/{n}"))
+            pins[doc["snapshot_digest"]] = doc
+    return pins
+
+
+def pinned_batches(spark: SparkSession, root: str) -> set[str]:
+    """Union of every persisted pin's batch ids — the set GC must
+    not touch. O(pins) small JSON reads, no data access."""
+    out: set[str] = set()
+    for pin in list_pins(spark, root).values():
+        out |= set(pin["batches"])
+    return out
+
+
+def release_pin(spark: SparkSession, root: str, digest: str) -> bool:
+    """Delete a pin; its batches become reclaimable by the NEXT
+    ``prune_superseded`` (release never deletes data itself).
+    Returns False if no such pin existed."""
+    with corpus_writer_lock(spark, root,
+                            op=f"release_pin:{digest}") as lease:
+        lease.fence()
+        return delete_path(spark, _pin_path(root, digest))
+
+
+def _resolve_pin(spark: SparkSession, root: str,
+                 pin: "dict | str") -> dict:
+    if isinstance(pin, str):
+        path = _pin_path(root, pin)
+        if not path_exists(spark, path):
+            raise ValueError(f"no pin {pin!r} under {root}/{PIN_DIR}")
+        return json.loads(read_text(spark, path))
+    return pin
+
+
+def read_pinned_table(spark: SparkSession, root: str,
+                      pin: "dict | str", table: str,
+                      schema: str | None = None) -> DataFrame:
+    """Read one batch-partitioned table EXACTLY as the pin saw it:
+    the read paths are the pinned partition directories themselves
+    (``basePath`` keeps ``batch_id`` as a column), so the plan never
+    depends on what was committed, compacted, or ingested since.
+    Batches whose manifest admitted zero rows have no directory and
+    are skipped by construction. Raises — naming the batches — when
+    pinned data has been swept (pin released then pruned, or an
+    out-of-band delete): a reproducibility claim must fail loudly,
+    not silently shrink."""
+    doc = _resolve_pin(spark, root, pin)
+    base = f"{root}/{table}"
+    ms = _load_manifests(spark, root)
+    paths, missing = [], []
+    for b in doc["batches"]:
+        p = f"{base}/batch_id={b}"
+        if path_exists(spark, p):
+            paths.append(p)
+        elif ms.get(b, {}).get("n_admitted", None) == 0:
+            continue    # an all-gated batch never had a directory
+        else:
+            missing.append(b)
+    if missing:
+        raise FileNotFoundError(
+            f"pin {doc['snapshot_digest']} is no longer readable "
+            f"under {base}: batches {missing} have been removed "
+            f"(released+pruned, or deleted out-of-band). "
+            f"verify_pin(...) reports per-batch state.")
+    if not paths:
+        raise FileNotFoundError(
+            f"pin {doc['snapshot_digest']} references no non-empty "
+            f"batches in {base}")
+    reader = spark.read.option("basePath", base)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+def read_corpus_pinned(spark: SparkSession, root: str,
+                       pin: "dict | str") -> DataFrame:
+    """The pinned corpus — :func:`read_pinned_table` over the
+    ``corpus`` table (document rows; the dedup-index tables pin the
+    same way when needed)."""
+    return read_pinned_table(spark, root, pin, "corpus")
+
+
+def verify_pin(spark: SparkSession, root: str,
+               pin: "dict | str", table: str = "corpus") -> dict:
+    """Pin fsck: is the snapshot still readable and UNCHANGED?
+
+    - ``missing_data``: pinned batches whose partition directory is
+      gone (and whose manifest says rows were admitted);
+    - ``missing_manifests``: pinned batches whose manifest file was
+      deleted (identity survives only inside the pin);
+    - ``digest_drift``: pinned batches whose CURRENT manifest content
+      no longer hashes to the pinned digest — a rewritten commit
+      record, which manifests-are-immutable forbids;
+    - ``violations``: human-readable summary; empty = reproducible.
+    """
+    doc = _resolve_pin(spark, root, pin)
+    ms = _load_manifests(spark, root)
+    missing_data, missing_manifests, drift = [], [], []
+    for b in doc["batches"]:
+        have_manifest = b in ms
+        if not have_manifest:
+            missing_manifests.append(b)
+        else:
+            want = doc.get("manifest_digests", {}).get(b)
+            got = hashlib.sha256(
+                json.dumps(ms[b], sort_keys=True)
+                .encode("utf-8")).hexdigest()[:32]
+            if want is not None and got != want:
+                drift.append(b)
+        n_admitted = ms[b].get("n_admitted") if have_manifest else None
+        if n_admitted == 0:
+            continue
+        if not path_exists(spark, f"{root}/{table}/batch_id={b}"):
+            missing_data.append(b)
+    violations = []
+    if missing_data:
+        violations.append(f"missing_data: batches {missing_data} of "
+                          f"pin {doc['snapshot_digest']} are gone")
+    if missing_manifests:
+        violations.append(f"missing_manifests: {missing_manifests}")
+    if drift:
+        violations.append(
+            f"digest_drift: manifests {drift} were rewritten after "
+            f"the pin — commit records are immutable by contract")
+    return {"snapshot_digest": doc["snapshot_digest"],
+            "n_batches": len(doc["batches"]),
+            "missing_data": missing_data,
+            "missing_manifests": missing_manifests,
+            "digest_drift": drift,
+            "violations": violations}
