@@ -567,6 +567,26 @@ def build_training_pipeline(root: str, source: DataFrame,
     Every stage writes Parquet; reruns skip completed stages
     (path-existence memoization through the Hadoop FS helper).
     """
+    p = build_corpus_pipeline(root, source, langs=langs,
+                              min_tokens=min_tokens,
+                              est_jaccard=est_jaccard,
+                              cluster_dedup=cluster_dedup,
+                              redact=redact, verify_exact=verify_exact)
+    add_mixture_pack_stages(p, weights, stratum_col=stratum_col,
+                            mixture_salt=mixture_salt)
+    return p
+
+
+def add_mixture_pack_stages(p: Pipeline, weights: dict,
+                            stratum_col: str = "source",
+                            mixture_salt: str = TRAINING_MIXTURE_SALT
+                            ) -> Pipeline:
+    """Append the mixture → packed stages onto a pipeline whose
+    ``corpus`` stage is already defined — shared by
+    :func:`build_training_pipeline` (one-shot curation) and
+    ``plans/snapshots.training_build_pinned`` (pinned committed
+    corpus), so the leakage-proof packing semantics cannot drift
+    between the two entry points."""
     from ..queries.sampling import mixture_sample
     from ..queries.text import pack_documents
 
@@ -575,12 +595,6 @@ def build_training_pipeline(root: str, source: DataFrame,
         raise ValueError(
             f"mixture rates must be < MAX_EPOCH_COPIES="
             f"{MAX_EPOCH_COPIES} (surrogate-id headroom): {bad}")
-
-    p = build_corpus_pipeline(root, source, langs=langs,
-                              min_tokens=min_tokens,
-                              est_jaccard=est_jaccard,
-                              cluster_dedup=cluster_dedup,
-                              redact=redact, verify_exact=verify_exact)
 
     def mixture_stage(s: SparkSession) -> DataFrame:
         docs = s.read.parquet(p.path("corpus"))

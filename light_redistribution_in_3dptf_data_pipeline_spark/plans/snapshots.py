@@ -195,6 +195,75 @@ def read_corpus_pinned(spark: SparkSession, root: str,
     return read_pinned_table(spark, root, pin, "corpus")
 
 
+def training_build_pinned(spark: SparkSession, corpus_root: str,
+                          build_root: str, weights: dict,
+                          pin: "dict | str | None" = None,
+                          n_shards: int = 8,
+                          stratum_col: str = "source",
+                          mixture_salt: str | None = None) -> dict:
+    """A training build whose input is a PINNED committed corpus —
+    the reproducibility loop closed end-to-end:
+
+    1. Pin the corpus now (or reuse ``pin``): GC holds the pinned
+       batches for as long as the pin exists.
+    2. Run mixture → leakage-proof packing → shard export over
+       :func:`read_corpus_pinned` (the SAME stage code as
+       ``corpus.build_training_pipeline`` — shared via
+       ``add_mixture_pack_stages``). The mixture gate is a salted
+       deterministic hash, so pin + params fully determine every
+       shard byte.
+    3. Record ``{build_root}/build_manifest.json`` naming the
+       snapshot digest and parameters — a finished build ANSWERS
+       "what data was this model trained on", and two builds trained
+       on the same data iff their digests match.
+
+    The pipeline memoizes per stage; re-running the same build_root
+    with a DIFFERENT pin raises instead of silently serving the old
+    memoized stages under the new pin's name."""
+    from .corpus import (TRAINING_MIXTURE_SALT, add_mixture_pack_stages,
+                         run_training_build)
+    from .pipeline import Pipeline
+
+    salt = (TRAINING_MIXTURE_SALT if mixture_salt is None
+            else mixture_salt)
+    if pin is None:
+        doc = pin_snapshot(spark, corpus_root,
+                           note=f"training_build:{build_root}")
+    else:
+        doc = _resolve_pin(spark, corpus_root, pin)
+    digest = doc["snapshot_digest"]
+
+    mpath = f"{build_root.rstrip('/')}/build_manifest.json"
+    if path_exists(spark, mpath):
+        existing = json.loads(read_text(spark, mpath))
+        if existing["snapshot_digest"] != digest:
+            raise ValueError(
+                f"build root {build_root} already holds a build over "
+                f"snapshot {existing['snapshot_digest']} — its "
+                f"memoized stages would be silently served for "
+                f"snapshot {digest}. Use a fresh build root per "
+                f"snapshot.")
+
+    p = Pipeline(build_root)
+    p.add("corpus",
+          lambda s: read_corpus_pinned(s, corpus_root, doc))
+    add_mixture_pack_stages(p, weights, stratum_col=stratum_col,
+                            mixture_salt=salt)
+    shards = run_training_build(spark, p, n_shards)
+
+    manifest = {"snapshot_digest": digest,
+                "corpus_root": corpus_root,
+                "n_pinned_batches": len(doc["batches"]),
+                "weights": dict(sorted(weights.items())),
+                "stratum_col": stratum_col,
+                "mixture_salt": salt,
+                "n_shards": n_shards,
+                "n_rows": shards.count()}
+    write_text_atomic(spark, mpath,
+                      json.dumps(manifest, sort_keys=True))
+    return manifest
+
+
 def verify_pin(spark: SparkSession, root: str,
                pin: "dict | str", table: str = "corpus") -> dict:
     """Pin fsck: is the snapshot still readable and UNCHANGED?

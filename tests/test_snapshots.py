@@ -167,6 +167,49 @@ def test_vector_root_pins(spark, tmp_path):
     assert A.verify_ann_index(spark, root)["violations"] == []
 
 
+def test_training_build_pinned_reproducible(spark, tmp_path):
+    """The closed loop: a build names its snapshot digest; the same
+    pin rebuilt in a fresh root yields byte-identical training rows
+    even after the corpus moved on; a different snapshot cannot
+    silently reuse a build root's memoized stages."""
+    root = str(tmp_path / "c")
+    docs = _docs(spark, range(1, 31))
+    corpus.ingest_delta(spark, root, docs, "d1")
+    w = {"s": 1.0}
+
+    b1 = str(tmp_path / "build1")
+    m1 = SN.training_build_pinned(spark, root, b1, w, n_shards=2)
+    assert m1["snapshot_digest"] in SN.list_pins(spark, root)
+    assert m1["n_rows"] > 0
+    rows1 = sorted(map(tuple,
+                       spark.read.parquet(f"{b1}/shards").collect()))
+
+    # corpus moves on: new batch + compaction (pin holds d1)
+    corpus.ingest_delta(spark, root, _docs(spark, range(50, 61)),
+                        "d2")
+    corpus.compact_batches(spark, root)
+
+    # the same pin in a FRESH build root reproduces the exact rows
+    b2 = str(tmp_path / "build2")
+    m2 = SN.training_build_pinned(spark, root, b2, w,
+                                  pin=m1["snapshot_digest"],
+                                  n_shards=2)
+    assert m2["snapshot_digest"] == m1["snapshot_digest"]
+    rows2 = sorted(map(tuple,
+                       spark.read.parquet(f"{b2}/shards").collect()))
+    assert rows2 == rows1
+
+    # re-running the SAME root with the same pin is a memoized no-op
+    m1b = SN.training_build_pinned(spark, root, b1, w,
+                                   pin=m1["snapshot_digest"],
+                                   n_shards=2)
+    assert m1b["n_rows"] == m1["n_rows"]
+
+    # ...but a new snapshot in an old build root must refuse
+    with pytest.raises(ValueError, match="fresh build root"):
+        SN.training_build_pinned(spark, root, b1, w, n_shards=2)
+
+
 def test_digest_drift_detected(spark, tmp_path):
     root = str(tmp_path / "c")
     corpus.ingest_delta(spark, root, _docs(spark, range(1, 6)), "d1")
