@@ -195,6 +195,146 @@ def read_corpus_pinned(spark: SparkSession, root: str,
     return read_pinned_table(spark, root, pin, "corpus")
 
 
+LINKED_PIN_DIR = "_linked_pins"
+
+
+def read_vectors_pinned(spark: SparkSession, index_root: str,
+                        pin: "dict | str") -> DataFrame:
+    """The pinned committed vectors of an incremental index root —
+    :func:`read_pinned_table` over the kind's data table (LSH
+    ``buckets`` / IVF ``postings``, dispatched on ``_meta.json``
+    like every other cross-family entry point)."""
+    from .linkage import _index_kind
+
+    table = ("buckets"
+             if _index_kind(spark, index_root) == "ann_lsh_incremental"
+             else "postings")
+    return read_pinned_table(spark, index_root, pin, table)
+
+
+def pin_linked(spark: SparkSession, corpus_root: str,
+               index_roots: "list[str]",
+               note: str | None = None) -> dict:
+    """Pin a corpus AND its vector indexes as one linked training
+    view: each root gets its own pin (GC on every root holds its
+    batches), and the linked document — content-addressed over the
+    per-root digests — lands under ``{corpus_root}/_linked_pins/``.
+    Two linked pins with equal digests saw identical documents AND
+    identical vectors on every root: the reproducibility contract a
+    multimodal training join needs, since the roots commit under
+    separate leases.
+
+    The roots are pinned sequentially (there is deliberately no
+    cross-root transaction — same design as the takedown cascade), so
+    a writer landing between two pins can leave the linked view with
+    a coverage gap; :func:`verify_linked_pin` measures exactly that
+    instead of pretending atomicity."""
+    cpin = pin_snapshot(spark, corpus_root, note=note)
+    ipins = {r: pin_snapshot(spark, r, note=note)
+             for r in index_roots}
+    ident = {"corpus": cpin["snapshot_digest"],
+             "indexes": {r: p["snapshot_digest"]
+                         for r, p in ipins.items()}}
+    digest = hashlib.sha256(
+        json.dumps(ident, sort_keys=True)
+        .encode("utf-8")).hexdigest()[:32]
+    doc = {"linked_digest": digest, "corpus_root": corpus_root,
+           "corpus_pin": cpin["snapshot_digest"],
+           "index_pins": ident["indexes"]}
+    if note is not None:
+        doc["note"] = note
+    write_text_atomic(
+        spark, f"{corpus_root}/{LINKED_PIN_DIR}/{digest}.json",
+        json.dumps(doc, sort_keys=True))
+    return doc
+
+
+def _resolve_linked(spark: SparkSession, corpus_root: str,
+                    linked: "dict | str") -> dict:
+    if isinstance(linked, str):
+        path = f"{corpus_root}/{LINKED_PIN_DIR}/{linked}.json"
+        if not path_exists(spark, path):
+            raise ValueError(
+                f"no linked pin {linked!r} under "
+                f"{corpus_root}/{LINKED_PIN_DIR}")
+        return json.loads(read_text(spark, path))
+    return linked
+
+
+def release_linked_pin(spark: SparkSession, corpus_root: str,
+                       linked: "dict | str") -> None:
+    """Release every underlying per-root pin, then the linked
+    document itself. Idempotent: already-released parts no-op."""
+    doc = _resolve_linked(spark, corpus_root, linked)
+    for iroot, d in sorted(doc["index_pins"].items()):
+        release_pin(spark, iroot, d)
+    release_pin(spark, corpus_root, doc["corpus_pin"])
+    delete_path(spark, f"{corpus_root}/{LINKED_PIN_DIR}/"
+                       f"{doc['linked_digest']}.json")
+
+
+def verify_linked_pin(spark: SparkSession, corpus_root: str,
+                      linked: "dict | str") -> dict:
+    """Linked-pin fsck: every per-root pin must verify clean, and the
+    PINNED id sets must agree (``vec_id == doc_id``) — the pinned
+    analog of ``linkage.verify_linked``. Coverage gaps (pinned docs
+    without pinned vectors, e.g. a writer landed between the two
+    pins) are reported as counts; pinned ORPHAN vectors are
+    violations exactly like the live fsck, since a pinned training
+    join would read an embedding whose document the view does not
+    contain."""
+    doc = _resolve_linked(spark, corpus_root, linked)
+    report: dict = {"linked_digest": doc["linked_digest"],
+                    "pins": {}, "coverage": {}, "violations": []}
+    try:
+        cpin_rep = verify_pin(spark, corpus_root, doc["corpus_pin"])
+    except ValueError:
+        # underlying pin released (e.g. by a takedown with
+        # release_conflicting_pins) — the linked view is dead
+        report["violations"].append(
+            f"{corpus_root}: underlying pin {doc['corpus_pin']} is "
+            f"gone — the linked view is no longer reproducible")
+        return report
+    report["pins"][corpus_root] = cpin_rep
+    report["violations"] += [f"{corpus_root}: {v}"
+                             for v in cpin_rep["violations"]]
+    doc_ids = (read_corpus_pinned(spark, corpus_root,
+                                  doc["corpus_pin"])
+               .select("doc_id"))
+    from .linkage import _index_kind
+
+    for iroot, d in sorted(doc["index_pins"].items()):
+        table = ("buckets"
+                 if _index_kind(spark, iroot) == "ann_lsh_incremental"
+                 else "postings")
+        try:
+            irep = verify_pin(spark, iroot, d, table=table)
+        except ValueError:
+            report["violations"].append(
+                f"{iroot}: underlying pin {d} is gone — the linked "
+                f"view is no longer reproducible")
+            continue
+        report["pins"][iroot] = irep
+        report["violations"] += [f"{iroot}: {v}"
+                                 for v in irep["violations"]]
+        vec_ids = (read_vectors_pinned(spark, iroot, d)
+                   .select("vec_id"))
+        gap = doc_ids.join(vec_ids,
+                           doc_ids.doc_id == vec_ids.vec_id,
+                           "left_anti").count()
+        orphans = vec_ids.join(doc_ids,
+                               vec_ids.vec_id == doc_ids.doc_id,
+                               "left_anti").count()
+        report["coverage"][iroot] = {"docs_without_vectors": gap,
+                                     "orphan_vectors": orphans}
+        if orphans:
+            report["violations"].append(
+                f"{iroot}: {orphans} pinned vectors have no pinned "
+                f"document — the linked view would leak embeddings "
+                f"of documents it does not contain")
+    return report
+
+
 def training_build_pinned(spark: SparkSession, corpus_root: str,
                           build_root: str, weights: dict,
                           pin: "dict | str | None" = None,

@@ -210,6 +210,85 @@ def test_training_build_pinned_reproducible(spark, tmp_path):
         SN.training_build_pinned(spark, root, b1, w, n_shards=2)
 
 
+def test_linked_pin_multiroot(spark, tmp_path):
+    """One linked digest covers corpus + both index families; the
+    pinned views survive later writes and compaction on every root;
+    coverage gaps are lag, pinned orphan vectors are violations, and
+    a takedown that releases an underlying pin kills the linked view
+    loudly."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as I)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import linkage
+
+    croot = str(tmp_path / "c")
+    aroot = str(tmp_path / "ann")
+    ivroot = str(tmp_path / "ivf")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 21)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    vecs = emb.filter(F.col("vec_id").isin(ids))
+    A.ann_ingest_delta(spark, aroot, vecs, "v1", corpus_batch="d1")
+    I.init_ivf_index(spark, ivroot, emb)
+    I.ivf_ingest_delta(spark, ivroot, vecs, "v1", corpus_batch="d1")
+
+    lp = SN.pin_linked(spark, croot, [aroot, ivroot], note="run 7")
+    rep = SN.verify_linked_pin(spark, croot, lp)
+    assert rep["violations"] == []
+    assert all(c == {"docs_without_vectors": 0, "orphan_vectors": 0}
+               for c in rep["coverage"].values())
+    n_doc = SN.read_corpus_pinned(spark, croot,
+                                  lp["corpus_pin"]).count()
+    assert (SN.read_vectors_pinned(
+        spark, aroot, lp["index_pins"][aroot]).count() == n_doc)
+
+    # every root moves on; the linked view must not
+    corpus.ingest_delta(spark, croot, _docs(spark, range(40, 46)),
+                        "d2")
+    corpus.compact_batches(spark, croot)
+    A.ann_ingest_delta(spark, aroot,
+                       emb.filter(F.col("vec_id").isin([100, 101])),
+                       "v2")
+    A.compact_ann_batches(spark, aroot)
+    rep = SN.verify_linked_pin(spark, croot, lp["linked_digest"])
+    assert rep["violations"] == []
+    assert (SN.read_vectors_pinned(
+        spark, aroot, lp["index_pins"][aroot]).count() == n_doc)
+
+    # a takedown releasing the pins leaves the linked view DEAD loud
+    linkage.takedown_documents(spark, croot, [aroot, ivroot],
+                               [ids[0]],
+                               release_conflicting_pins=True)
+    rep = SN.verify_linked_pin(spark, croot, lp)
+    assert any("no longer reproducible" in v
+               for v in rep["violations"])
+    SN.release_linked_pin(spark, croot, lp)   # idempotent cleanup
+    assert SN.list_pins(spark, croot) == {}
+
+
+def test_linked_pin_orphan_vector_violation(spark, tmp_path):
+    """A pinned vector whose doc is not in the pinned corpus is a
+    violation (the linked view leaks an embedding); a pinned doc
+    without a vector is only a counted gap."""
+    croot = str(tmp_path / "c")
+    aroot = str(tmp_path / "ann")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 11)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    # vectors: all but one pinned doc, plus one id with no doc at
+    # all (vec_id 0 exists in the fixture; docs start at 1)
+    A.ann_ingest_delta(
+        spark, aroot,
+        emb.filter(F.col("vec_id").isin(ids[1:] + [0])), "v1")
+    lp = SN.pin_linked(spark, croot, [aroot])
+    rep = SN.verify_linked_pin(spark, croot, lp)
+    cov = rep["coverage"][aroot]
+    assert cov["docs_without_vectors"] == 1
+    assert cov["orphan_vectors"] == 1
+    assert any("no pinned document" in v for v in rep["violations"])
+
+
 def test_digest_drift_detected(spark, tmp_path):
     root = str(tmp_path / "c")
     corpus.ingest_delta(spark, root, _docs(spark, range(1, 6)), "d1")
