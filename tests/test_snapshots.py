@@ -64,6 +64,16 @@ def test_pin_survives_compaction(spark, tmp_path):
     assert set(rep["pinned_held"]) == {"d1", "d2"}
     assert "d1" not in rep["orphans"] and "d2" not in rep["orphans"]
 
+    # structural pin: the pinned scan reads ONLY the pinned batch
+    # directories — the compacted (live) partition is not even in the
+    # file index, because the read is path selection, not a filter
+    # (inputFiles() reflects the file index BEFORE filters, so this
+    # holds only because pinned reads select paths, not filter rows)
+    files = SN.read_corpus_pinned(spark, root, pin).inputFiles()
+    assert files
+    assert all("batch_id=d1" in f or "batch_id=d2" in f
+               for f in files)
+
 
 def test_pin_idempotent_and_content_addressed(spark, tmp_path):
     root = str(tmp_path / "c")

@@ -250,6 +250,37 @@ def main() -> None:
         lines.append("")
         print("# incremental ivf done", file=sys.stderr)
 
+    # Snapshot pins (r9): a pinned read is PATH SELECTION — the file
+    # index contains only the pinned batch directories, so there is
+    # no batch filter at all and no dependence on how many batches
+    # were committed since the pin.
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        snapshots as SNP)
+
+    with tempfile.TemporaryDirectory() as td:
+        C.ingest_delta(spark, td, docs.filter(
+            F.pmod(F.col("doc_id"), 10) < 5), batch_id="base")
+        pin = SNP.pin_snapshot(spark, td)
+        C.ingest_delta(spark, td, docs.filter(
+            F.pmod(F.col("doc_id"), 10) == 5), batch_id="later")
+        C.compact_batches(spark, td)
+        df = SNP.read_corpus_pinned(spark, td, pin)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## read_corpus_pinned (snapshot pin after "
+                     "later ingest + compaction)")
+        in_files = df.inputFiles()
+        assert in_files and all("batch_id=base" in f
+                                for f in in_files)
+        lines.append("- file index holds ONLY the pinned batch "
+                     "directories (path selection via basePath — "
+                     "no batch_id filter, no IN-list, plan cost "
+                     "O(|pin|) regardless of later commits)")
+        assert "Exchange" not in plan
+        lines.append("- no Exchange (pure pruned scan)")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# pinned read done", file=sys.stderr)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
