@@ -388,13 +388,18 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
                 f"bucket != the bucket of their own embedding")
 
     live_set = set(live)
-    orphans = sorted(
+    orphans = {
         child[len("batch_id="):]
         for child in list_dir(spark, path)
         if child.startswith("batch_id=")
-        and child[len("batch_id="):] not in live_set)
+        and child[len("batch_id="):] not in live_set}
+    # snapshot-pinned batches are deliberately held, not sweepable
+    # garbage — same split as corpus.verify_corpus
+    from .snapshots import pinned_batches
+    pinned = orphans & pinned_batches(spark, root)
     return {"live_batches": len(live), "index_rows": n_rows,
-            "orphans": orphans, "violations": violations}
+            "orphans": sorted(orphans - pinned),
+            "pinned_held": sorted(pinned), "violations": violations}
 
 
 def prune_ann_uncommitted(spark: SparkSession, root: str) -> list[str]:
@@ -494,13 +499,16 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
         raise ValueError(
             f"no live batch contains any of vec_ids {label}")
 
-    # a pin covering an affected batch would keep the deleted
-    # embeddings readable (GC honors pins) — same takedown-wins
-    # policy as corpus._delete_documents
+    # a pin covering an affected batch — or anything it transitively
+    # replaced, whose pinned files still hold the rows — would keep
+    # the deleted embeddings readable (GC honors pins): same
+    # takedown-wins policy and closure as corpus._delete_documents
     from .snapshots import PinConflictError, _pin_path, list_pins
+    closure = set(affected) | {r for b in affected
+                               for r in ms[b].get("replaces", ())}
     conflicting = sorted(
         d for d, p in list_pins(spark, root).items()
-        if set(p["batches"]) & set(affected))
+        if set(p["batches"]) & closure)
     released: list[str] = []
     if conflicting:
         if not release_conflicting_pins:
@@ -561,12 +569,16 @@ def delete_vector_batch(spark: SparkSession, root: str,
                 f"batch_id {batch_id!r} is not a live committed batch "
                 f"under {root}")
         from .snapshots import PinConflictError, list_pins
+        # closure: see corpus.delete_batch — deleting the manifest
+        # would resurrect pinned-held replaced batches as live
+        closure = {batch_id} | set(ms[batch_id].get("replaces", ()))
         holders = sorted(d for d, p in list_pins(spark, root).items()
-                         if batch_id in p["batches"])
+                         if set(p["batches"]) & closure)
         if holders:
             raise PinConflictError(
-                f"batch {batch_id!r} is held by pins {holders} — "
-                f"release them before the batch-level delete")
+                f"batch {batch_id!r} (or a batch it replaced) is "
+                f"held by pins {holders} — release them before the "
+                f"batch-level delete")
         lease.fence()   # before the de-commit
         delete_path(spark, _manifest_path(root, batch_id))
         _write_snapshot(spark, root,

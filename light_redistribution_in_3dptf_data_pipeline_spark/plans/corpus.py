@@ -1094,13 +1094,18 @@ def delete_batch(spark: SparkSession, root: str, batch_id: str) -> None:
                 f"batch_id {batch_id!r} is not a live committed batch "
                 f"under {root}")
         from .snapshots import PinConflictError, list_pins
+        # closure: deleting this batch's manifest also erases its
+        # supersession record, so a pinned-held REPLACED batch would
+        # silently resurrect as live — both directions conflict
+        closure = {batch_id} | set(ms[batch_id].get("replaces", ()))
         holders = sorted(d for d, p in list_pins(spark, root).items()
-                         if batch_id in p["batches"])
+                         if set(p["batches"]) & closure)
         if holders:
             raise PinConflictError(
-                f"batch {batch_id!r} is held by pins {holders} — "
-                f"release them (snapshots.release_pin) before the "
-                f"batch-level delete")
+                f"batch {batch_id!r} (or a batch it replaced) is "
+                f"held by pins {holders} — release them "
+                f"(snapshots.release_pin) before the batch-level "
+                f"delete")
         lease.fence()   # before the de-commit (a destructive delete)
         delete_path(spark, _manifest_path(root, batch_id))
         _write_snapshot(spark, root,
@@ -1195,12 +1200,17 @@ def _delete_documents(spark: SparkSession, root: str,
         raise ValueError(
             f"no live batch contains any of doc_ids {label}")
 
-    # pins referencing an affected batch would keep the deleted rows
-    # readable (GC honors pins) — refuse, or release them explicitly
+    # pins keeping the deleted rows readable conflict — that means
+    # pins over the affected LIVE batches AND over anything those
+    # batches transitively replaced (a pinned pre-compaction batch
+    # still holds its copy of the rows on disk, because GC honors
+    # pins). The manifests' `replaces` lists are already transitive.
     from .snapshots import PinConflictError, _pin_path, list_pins
+    closure = set(affected) | {r for b in affected
+                               for r in ms[b].get("replaces", ())}
     conflicting = sorted(
         d for d, p in list_pins(spark, root).items()
-        if set(p["batches"]) & set(affected))
+        if set(p["batches"]) & closure)
     released: list[str] = []
     if conflicting:
         if not release_conflicting_pins:

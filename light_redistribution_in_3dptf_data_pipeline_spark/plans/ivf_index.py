@@ -464,12 +464,16 @@ def delete_ivf_batch(spark: SparkSession, root: str,
                 f"batch_id {batch_id!r} is not a live committed batch "
                 f"under {root}")
         from .snapshots import PinConflictError, list_pins
+        # closure: see corpus.delete_batch — deleting the manifest
+        # would resurrect pinned-held replaced batches as live
+        closure = {batch_id} | set(ms[batch_id].get("replaces", ()))
         holders = sorted(d for d, p in list_pins(spark, root).items()
-                         if batch_id in p["batches"])
+                         if set(p["batches"]) & closure)
         if holders:
             raise PinConflictError(
-                f"batch {batch_id!r} is held by pins {holders} — "
-                f"release them before the batch-level delete")
+                f"batch {batch_id!r} (or a batch it replaced) is "
+                f"held by pins {holders} — release them before the "
+                f"batch-level delete")
         lease.fence()
         delete_path(spark, _manifest_path(root, batch_id))
         _write_snapshot(spark, root,
@@ -574,10 +578,15 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
                         f"frozen centroid")
 
     live_set = set(live)
-    orphans = sorted(
+    orphans = {
         child[len("batch_id="):]
         for child in list_dir(spark, path)
         if child.startswith("batch_id=")
-        and child[len("batch_id="):] not in live_set)
+        and child[len("batch_id="):] not in live_set}
+    # snapshot-pinned batches are deliberately held, not sweepable
+    # garbage — same split as corpus.verify_corpus
+    from .snapshots import pinned_batches
+    pinned = orphans & pinned_batches(spark, root)
     return {"live_batches": len(live), "index_rows": n_rows,
-            "orphans": orphans, "violations": violations}
+            "orphans": sorted(orphans - pinned),
+            "pinned_held": sorted(pinned), "violations": violations}

@@ -139,6 +139,36 @@ def test_takedown_wins_over_pins_explicitly(spark, tmp_path):
         corpus.delete_batch(spark, root, cid2)
 
 
+def test_pinned_history_cannot_resurrect(spark, tmp_path):
+    """Deleting a compact batch whose REPLACED ancestor is pinned
+    must refuse: the compact manifest is the only supersession
+    record, and removing it would flip the pinned-held ancestor back
+    to live (silent data resurrection). Same closure applies to
+    row-level takedown — deleting a doc after compaction conflicts
+    with a pin on the pre-compaction batch that still holds it."""
+    root = str(tmp_path / "c")
+    got = corpus.ingest_delta(spark, root,
+                              _docs(spark, range(1, 11)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    pin = SN.pin_snapshot(spark, root)
+    cid = corpus.compact_batches(spark, root)   # d1 held by the pin
+
+    with pytest.raises(SN.PinConflictError, match="replaced"):
+        corpus.delete_batch(spark, root, cid)
+    with pytest.raises(SN.PinConflictError):
+        corpus.delete_documents(spark, root, [ids[0]])
+
+    # explicit release: the takedown proceeds AND the formerly-held
+    # ancestor is swept with it — the doc is gone from disk entirely
+    corpus.delete_documents(spark, root, [ids[0]],
+                            release_conflicting_pins=True)
+    from light_redistribution_in_3dptf_data_pipeline_spark.fs import path_exists
+    assert not path_exists(spark, f"{root}/corpus/batch_id=d1")
+    assert corpus.verify_corpus(spark, root)["violations"] == []
+    assert (corpus.read_corpus(spark, root)
+            .filter(F.col("doc_id") == ids[0]).count() == 0)
+
+
 def test_pin_skips_empty_batches(spark, tmp_path):
     root = str(tmp_path / "c")
     corpus.ingest_delta(spark, root, _docs(spark, range(1, 6)), "d1")
@@ -167,6 +197,13 @@ def test_vector_root_pins(spark, tmp_path):
         A.delete_vectors(spark, root, [1])
     with pytest.raises(SN.PinConflictError, match="held by pins"):
         A.delete_vector_batch(spark, root, "v1")
+
+    # while the pin holds through compaction, the fsck reports the
+    # held batch as pinned, never as a sweepable orphan
+    A.compact_ann_batches(spark, root)
+    rep = A.verify_ann_index(spark, root)
+    assert rep["violations"] == []
+    assert rep["pinned_held"] == ["v1"] and rep["orphans"] == []
 
     cid = A.delete_vectors(spark, root, [1],
                            release_conflicting_pins=True)
