@@ -232,9 +232,18 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     probes = [b] + [b ^ (1 << j) for j in range(num_planes)]
     scan = (read_ann_index(spark, root)
             .filter(F.col("bucket").isin(probes)))
+    return _cosine_rerank(scan, query_vec, k, exclude_id)
+
+
+def _cosine_rerank(scan: DataFrame, query_vec: list, k: int,
+                   exclude_id: int | None) -> DataFrame:
+    """The exact fixed-point cosine re-rank over an already-pruned
+    (vec_id, embedding, bucket) scan — shared by the committed probe
+    and the pinned probe so their scoring can never drift."""
+    import math
+
     if exclude_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_id)
-
     qci = [math.floor(float(x) * 1000000000.0 + 0.5)
            for x in query_vec]
     qsq = float(sum(c * c for c in qci)) / 1e18
@@ -256,6 +265,32 @@ def ann_incremental_topk(spark: SparkSession, root: str,
                           F.round(cosine, 9).alias("cosine"), "bucket")
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
+
+
+def ann_pinned_topk(spark: SparkSession, root: str, pin,
+                    query_vec: list, k: int = TOP_K,
+                    exclude_id: int | None = None) -> DataFrame:
+    """Top-k cosine over a PINNED view of the index
+    (plans/snapshots.pin_snapshot): the scan is the pinned batch
+    directories only (path selection — snapshots.read_pinned_table),
+    with the same driver-side ``bucket IN (J+1)`` pruning on the
+    second partition level and the same exact re-rank as
+    :func:`ann_incremental_topk`. A similarity query quoted in an
+    eval or paper can thus be re-run bit-for-bit after the live index
+    has grown, compacted, or been row-retained."""
+    meta = _load_meta(spark, root)
+    num_planes, dim = meta["num_planes"], meta["dim"]
+    _check_meta(meta, num_planes, dim, root, "query")
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"expected {dim}-dim query vector, got {len(query_vec)}")
+    from .snapshots import read_pinned_table
+
+    b = query_bucket(query_vec, num_planes, dim)
+    probes = [b] + [b ^ (1 << j) for j in range(num_planes)]
+    scan = (read_pinned_table(spark, root, pin, ANN_TABLE)
+            .filter(F.col("bucket").isin(probes)))
+    return _cosine_rerank(scan, query_vec, k, exclude_id)
 
 
 def compact_ann_batches(spark: SparkSession, root: str,

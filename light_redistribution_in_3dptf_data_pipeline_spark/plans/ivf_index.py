@@ -337,10 +337,18 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
         key=lambda t: (-t[0], t[1]))
     probe_cells = [c for _, c in ranked[:nprobe]]
 
-    from ..queries.similarity import _fixed_dot
-
     scan = (read_ivf_postings(spark, root)
             .filter(F.col("cell").isin(probe_cells)))
+    return _ivf_rerank(scan, qci, qsq, k, exclude_id)
+
+
+def _ivf_rerank(scan: DataFrame, qci: list, qsq: float, k: int,
+                exclude_id: int | None) -> DataFrame:
+    """Exact fixed-point cosine re-rank over an already cell-pruned
+    (vec_id, embedding, cell) scan — shared by the committed and the
+    pinned probe so scoring can never drift."""
+    from ..queries.similarity import _fixed_dot
+
     if exclude_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_id)
     qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
@@ -359,6 +367,41 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
                           F.col("cell").cast("bigint").alias("cell"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
+
+
+def ivf_pinned_topk(spark: SparkSession, root: str, pin,
+                    query_vec: list, k: int = TOP_K,
+                    nprobe: int = 2,
+                    exclude_id: int | None = None) -> DataFrame:
+    """Top-k cosine over a PINNED view of the IVF index — pinned
+    batch directories only (path selection), the same frozen-
+    quantizer driver-side cell ranking, and the same exact re-rank
+    as :func:`ivf_incremental_topk`: a quoted similarity result
+    re-runs bit-for-bit after the live index moves on. The quantizer
+    is frozen by contract, so the pinned probe ranks cells against
+    the same centroids the pinned vectors were placed with."""
+    import math
+
+    meta = _load_meta(spark, root)
+    if len(query_vec) != meta["dim"]:
+        raise ValueError(
+            f"expected {meta['dim']}-dim query vector, "
+            f"got {len(query_vec)}")
+    qci = [math.floor(float(x) * 1000000000.0 + 0.5)
+           for x in query_vec]
+    qsq = float(sum(c * c for c in qci)) / 1e18
+    ranked = sorted(
+        ((float(sum(int(s) * q for s, q in zip(r.csum, qci)))
+          / (r.nv * 1e18), int(r.cell))
+         for r in _load_centroids(spark, root, meta)),
+        key=lambda t: (-t[0], t[1]))
+    probe_cells = [c for _, c in ranked[:nprobe]]
+
+    from .snapshots import read_pinned_table
+
+    scan = (read_pinned_table(spark, root, pin, IVF_TABLE)
+            .filter(F.col("cell").isin(probe_cells)))
+    return _ivf_rerank(scan, qci, qsq, k, exclude_id)
 
 
 def compact_ivf_batches(spark: SparkSession, root: str,

@@ -336,6 +336,59 @@ def test_linked_pin_orphan_vector_violation(spark, tmp_path):
     assert any("no pinned document" in v for v in rep["violations"])
 
 
+def test_pinned_probes_reproduce_after_index_moves(spark, tmp_path):
+    """A similarity result quoted against a pin re-runs identically
+    after the live index ingests a better match and compacts — for
+    BOTH families; the live probe sees the new vector, the pinned
+    probe cannot."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as I)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").select("embedding").head()[0]]
+    # a NEW vector identical to the query: cosine 1.0, guaranteed
+    # to enter the live top-k once ingested
+    clone = emb.filter("vec_id = 0").select(
+        F.lit(5000).cast("bigint").alias("vec_id"), "embedding")
+
+    aroot = str(tmp_path / "ann")
+    A.ann_ingest_delta(spark, aroot, emb.filter("vec_id < 150"), "v1")
+    apin = SN.pin_snapshot(spark, aroot)
+    before = [(r.vec_id, r.cosine) for r in
+              A.ann_incremental_topk(spark, aroot, qvec,
+                                     exclude_id=0).collect()]
+    A.ann_ingest_delta(spark, aroot, clone, "v2")
+    A.compact_ann_batches(spark, aroot)
+    live = [(r.vec_id, r.cosine) for r in
+            A.ann_incremental_topk(spark, aroot, qvec,
+                                   exclude_id=0).collect()]
+    pinned = [(r.vec_id, r.cosine) for r in
+              A.ann_pinned_topk(spark, aroot, apin, qvec,
+                                exclude_id=0).collect()]
+    assert pinned == before
+    assert live != before and live[0][0] == 5000
+
+    ivroot = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, ivroot, emb)
+    I.ivf_ingest_delta(spark, ivroot, emb.filter("vec_id < 150")
+                       .drop("label"), "v1")
+    ipin = SN.pin_snapshot(spark, ivroot)
+    before = [(r.vec_id, r.cosine) for r in
+              I.ivf_incremental_topk(spark, ivroot, qvec,
+                                     exclude_id=0).collect()]
+    I.ivf_ingest_delta(spark, ivroot, clone, "v2")
+    I.compact_ivf_batches(spark, ivroot)
+    live = [(r.vec_id, r.cosine) for r in
+            I.ivf_incremental_topk(spark, ivroot, qvec,
+                                   exclude_id=0).collect()]
+    pinned = [(r.vec_id, r.cosine) for r in
+              I.ivf_pinned_topk(spark, ivroot, ipin, qvec,
+                                exclude_id=0).collect()]
+    assert pinned == before
+    assert live != before and live[0][0] == 5000
+
+
 def test_digest_drift_detected(spark, tmp_path):
     root = str(tmp_path / "c")
     corpus.ingest_delta(spark, root, _docs(spark, range(1, 6)), "d1")
