@@ -273,6 +273,40 @@ def release_linked_pin(spark: SparkSession, corpus_root: str,
                        f"{doc['linked_digest']}.json")
 
 
+def read_linked_pinned(spark: SparkSession, corpus_root: str,
+                       linked: "dict | str",
+                       index_root: str | None = None) -> DataFrame:
+    """The pinned MULTIMODAL training frame: pinned documents
+    inner-joined with their pinned embeddings (``vec_id == doc_id``)
+    — what a text+embedding training build reads. The inner join
+    drops pinned docs without a pinned vector (the coverage gap
+    :func:`verify_linked_pin` counts — check it first if silent
+    drops matter). ``index_root`` picks the embedding source when
+    the linked pin covers several; with exactly one it may be
+    omitted. Both sides are pinned path-selected scans, and the join
+    key is the id on both — at scale this is one shuffle-or-broadcast
+    equi-join, nothing else."""
+    doc = _resolve_linked(spark, corpus_root, linked)
+    roots = sorted(doc["index_pins"])
+    if index_root is None:
+        if len(roots) != 1:
+            raise ValueError(
+                f"linked pin {doc['linked_digest']} covers index "
+                f"roots {roots} — pass index_root to choose the "
+                f"embedding source")
+        index_root = roots[0]
+    elif index_root not in doc["index_pins"]:
+        raise ValueError(
+            f"linked pin {doc['linked_digest']} does not cover "
+            f"index root {index_root!r} (it has {roots})")
+    docs = read_corpus_pinned(spark, corpus_root, doc["corpus_pin"])
+    vecs = (read_vectors_pinned(spark, index_root,
+                                doc["index_pins"][index_root])
+            .select("vec_id", "embedding"))
+    return (docs.join(vecs, docs.doc_id == vecs.vec_id, "inner")
+            .drop("vec_id"))
+
+
 def verify_linked_pin(spark: SparkSession, corpus_root: str,
                       linked: "dict | str") -> dict:
     """Linked-pin fsck: every per-root pin must verify clean, and the

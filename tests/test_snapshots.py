@@ -313,6 +313,33 @@ def test_linked_pin_multiroot(spark, tmp_path):
     assert SN.list_pins(spark, croot) == {}
 
 
+def test_read_linked_pinned_joins_docs_and_vectors(spark, tmp_path):
+    """The pinned multimodal frame carries text + embedding per doc,
+    drops only the measured coverage gap, and refuses ambiguous or
+    uncovered index roots."""
+    croot = str(tmp_path / "c")
+    aroot = str(tmp_path / "ann")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 11)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    # one doc deliberately lacks a vector: the coverage gap
+    A.ann_ingest_delta(spark, aroot,
+                       emb.filter(F.col("vec_id").isin(ids[1:])),
+                       "v1")
+    lp = SN.pin_linked(spark, croot, [aroot])
+    frame = SN.read_linked_pinned(spark, croot, lp)
+    assert frame.count() == len(ids) - 1
+    assert {"doc_id", "text", "embedding"} <= set(frame.columns)
+    gap = SN.verify_linked_pin(spark, croot, lp)
+    assert (gap["coverage"][aroot]["docs_without_vectors"]
+            == len(ids) - frame.count())
+
+    with pytest.raises(ValueError, match="does not cover"):
+        SN.read_linked_pinned(spark, croot, lp,
+                              index_root="/nowhere")
+
+
 def test_linked_pin_orphan_vector_violation(spark, tmp_path):
     """A pinned vector whose doc is not in the pinned corpus is a
     violation (the linked view leaks an embedding); a pinned doc
