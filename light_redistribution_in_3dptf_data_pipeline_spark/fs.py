@@ -164,6 +164,15 @@ def create_exclusive(spark: SparkSession, path: str,
     return True
 
 
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (0 if absent) — one
+    ``getContentSummary`` call, the Hadoop-side `du`."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def file_mtime_ms(spark: SparkSession, path: str) -> int:
     """Modification time of ``path`` in epoch millis (raises if
     absent) — the lease-staleness clock."""

@@ -127,6 +127,57 @@ def pinned_batches(spark: SparkSession, root: str) -> set[str]:
     return out
 
 
+def pins_report(spark: SparkSession, root: str,
+                tables: "tuple[str, ...] | None" = None) -> dict:
+    """What is each pin COSTING? Per pin: its batches split into
+    still-live vs held-only (batches that exist on disk purely
+    because the pin holds them — superseded, would be swept on
+    release), and the held bytes across the root's batch tables.
+    The operator's answer to "which forgotten pin is retaining a
+    year of superseded batches". All control-plane: one
+    ``getContentSummary`` per held batch directory, no data scan.
+
+    ``tables`` defaults to the corpus ingest tables when the root has
+    no ``_meta.json`` (a corpus root), else the vector table of the
+    stored kind."""
+    from ..fs import dir_bytes
+    from .corpus import _load_manifests, _superseded
+
+    if tables is None:
+        if path_exists(spark, f"{root}/_meta.json"):
+            from .linkage import _index_kind
+
+            tables = (("buckets"
+                       if _index_kind(spark, root)
+                       == "ann_lsh_incremental" else "postings"),)
+        else:
+            from .corpus import INGEST_TABLES
+            tables = INGEST_TABLES
+
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    out: dict = {"pins": {}, "held_batches": [], "held_bytes": 0}
+    held_all: set[str] = set()
+    for digest, pin in sorted(list_pins(spark, root).items()):
+        held = sorted(set(pin["batches"]) & gone)
+        live = sorted(set(pin["batches"]) - gone)
+        held_all |= set(held)
+        out["pins"][digest] = {
+            "note": pin.get("note"),
+            "n_batches": len(pin["batches"]),
+            "live_batches": live,
+            "held_batches": held,
+            "held_bytes": sum(
+                dir_bytes(spark, f"{root}/{t}/batch_id={b}")
+                for b in held for t in tables),
+        }
+    out["held_batches"] = sorted(held_all)
+    out["held_bytes"] = sum(
+        dir_bytes(spark, f"{root}/{t}/batch_id={b}")
+        for b in held_all for t in tables)
+    return out
+
+
 def release_pin(spark: SparkSession, root: str, digest: str) -> bool:
     """Delete a pin; its batches become reclaimable by the NEXT
     ``prune_superseded`` (release never deletes data itself).

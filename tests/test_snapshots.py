@@ -90,6 +90,31 @@ def test_pin_idempotent_and_content_addressed(spark, tmp_path):
     assert len(SN.list_pins(spark, root)) == 2
 
 
+def test_pins_report_names_the_cost(spark, tmp_path):
+    """The report splits live from held-only batches and prices the
+    held bytes; after release+prune it goes to zero."""
+    root = str(tmp_path / "c")
+    corpus.ingest_delta(spark, root, _docs(spark, range(1, 11)), "d1")
+    pin = SN.pin_snapshot(spark, root, note="eval 3")
+    rep = SN.pins_report(spark, root)
+    entry = rep["pins"][pin["snapshot_digest"]]
+    assert entry["note"] == "eval 3"
+    assert entry["live_batches"] == ["d1"]
+    assert entry["held_batches"] == [] and rep["held_bytes"] == 0
+
+    corpus.compact_batches(spark, root)   # d1 now held-only
+    rep = SN.pins_report(spark, root)
+    entry = rep["pins"][pin["snapshot_digest"]]
+    assert entry["held_batches"] == ["d1"]
+    assert entry["held_bytes"] > 0
+    assert rep["held_bytes"] == entry["held_bytes"]
+
+    SN.release_pin(spark, root, pin["snapshot_digest"])
+    corpus.prune_superseded(spark, root)
+    rep = SN.pins_report(spark, root)
+    assert rep["pins"] == {} and rep["held_bytes"] == 0
+
+
 def test_release_then_prune_reclaims(spark, tmp_path):
     root = str(tmp_path / "c")
     corpus.ingest_delta(spark, root, _docs(spark, range(1, 11)), "d1")
