@@ -281,6 +281,38 @@ def main() -> None:
         lines.append("")
         print("# pinned read done", file=sys.stderr)
 
+    # Pinned similarity probe (r9): pinned batch dirs (path
+    # selection) PLUS the same driver-side bucket IN (J+1) pruning
+    # on the second partition level, still exchange-free.
+    with tempfile.TemporaryDirectory() as td:
+        AI.ann_ingest_delta(spark, f"{td}/ix",
+                            emb.filter("vec_id < 1000"), "b0")
+        pin = SNP.pin_snapshot(spark, f"{td}/ix")
+        AI.ann_ingest_delta(spark, f"{td}/ix",
+                            emb.filter("vec_id >= 1000"), "b1")
+        df = AI.ann_pinned_topk(spark, f"{td}/ix", pin, qvec,
+                                exclude_id=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ann_pinned_topk (pinned probe after a "
+                     "later ingest)")
+        in_files = df.inputFiles()
+        assert in_files and all("batch_id=b0" in f
+                                for f in in_files)
+        lines.append("- file index holds ONLY the pinned batch's "
+                     "directories (later batches absent by path "
+                     "selection, not filtering)")
+        m = _re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        if m:
+            lines.append(f"- `{m.group(0)}` — bucket probes still "
+                         "prune the second partition level inside "
+                         "the pinned paths")
+        assert "Exchange" not in plan
+        lines.append("- no Exchange (TakeOrderedAndProject over the "
+                     "pruned pinned scan)")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# pinned probe done", file=sys.stderr)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
