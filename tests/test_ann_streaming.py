@@ -122,6 +122,35 @@ def test_stream_drains_into_ivf_index(spark, emb, tmp_path):
     assert rep["violations"] == [] and rep["orphans"] == []
 
 
+def test_ivf_stream_lost_checkpoint_recovers(spark, emb, tmp_path):
+    """The r7 hazard on the IVF route: checkpoint lost + a NEW file —
+    the fresh incarnation nonce re-reads everything under a fresh
+    batch id, the id-dedup gate absorbs the replays, and the new
+    file's vectors are admitted exactly once."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as I)
+
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root,
+                     load_table(spark, SF_DIR, "embeddings"))
+    _drop(emb, F.col("vec_id") < 80, src, "f0")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    assert (I.read_ivf_postings(spark, root).count()
+            == emb.filter("vec_id < 80").count())
+
+    shutil.rmtree(f"{root}/_stream_checkpoint")
+    _drop(emb, (F.col("vec_id") >= 80) & (F.col("vec_id") < 120),
+          src, "f1")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    got = I.read_ivf_postings(spark, root)
+    assert got.count() == emb.filter("vec_id < 120").count()
+    assert (got.select("vec_id").distinct().count()
+            == emb.filter("vec_id < 120").count())
+    rep = I.verify_ivf_index(spark, root)
+    assert rep["violations"] == [] and rep["orphans"] == []
+
+
 def test_stream_rejects_lsh_params_on_ivf_root(spark, emb, tmp_path):
     """num_planes is an LSH knob; passing it for an IVF root must
     fail the micro-batch loudly instead of being silently ignored."""
