@@ -72,6 +72,53 @@ def _committed_vec_ids(spark: SparkSession,
     return read_ivf_postings(spark, index_root).select("vec_id")
 
 
+def verify_deployment(spark: SparkSession, corpus_root: str,
+                      index_roots: "list[str]") -> dict:
+    """The whole deployment's health in ONE call — what an operator
+    runs before a critical training build or after maintenance:
+
+    - :func:`corpus.verify_corpus` on the corpus root;
+    - the kind-matched index fsck (``verify_ann_index`` /
+      ``verify_ivf_index``) on every vector root;
+    - :func:`verify_linked` corpus⇆vectors on every pair;
+    - :func:`snapshots.pins_report` per root (held batches priced).
+
+    Returns ``{"roots": {root: fsck}, "linked": {root: report},
+    "pins": {root: report}, "violations": [...]}`` — the flat
+    ``violations`` list aggregates every sub-report's, each prefixed
+    with its root, so "is everything consistent" is one empty-list
+    check. Each sub-check stays independently callable; this adds no
+    new invariants, only the composition."""
+    from .ann_index import verify_ann_index
+    from .corpus import verify_corpus
+    from .ivf_index import verify_ivf_index
+    from .snapshots import pins_report
+
+    out: dict = {"roots": {}, "linked": {}, "pins": {},
+                 "violations": []}
+
+    rep = verify_corpus(spark, corpus_root)
+    out["roots"][corpus_root] = rep
+    out["violations"] += [f"{corpus_root}: {v}"
+                          for v in rep["violations"]]
+    out["pins"][corpus_root] = pins_report(spark, corpus_root)
+
+    for iroot in index_roots:
+        kind = _index_kind(spark, iroot)
+        fsck = (verify_ann_index if kind == "ann_lsh_incremental"
+                else verify_ivf_index)
+        rep = fsck(spark, iroot)
+        out["roots"][iroot] = rep
+        out["violations"] += [f"{iroot}: {v}"
+                              for v in rep["violations"]]
+        linked = verify_linked(spark, corpus_root, iroot)
+        out["linked"][iroot] = linked
+        out["violations"] += [f"{corpus_root}⇆{iroot}: {v}"
+                              for v in linked["violations"]]
+        out["pins"][iroot] = pins_report(spark, iroot)
+    return out
+
+
 def takedown_documents(spark: SparkSession, corpus_root: str,
                        index_roots: "list[str]",
                        doc_ids: "list[int] | DataFrame",

@@ -169,6 +169,42 @@ def test_takedown_heals_partial_crash_window(spark, emb, tmp_path):
     assert linked["orphan_vectors"] == 0 and linked["violations"] == []
 
 
+def test_verify_deployment_composes_all_fscks(spark, emb, tmp_path):
+    """One call covers corpus fsck + both index fscks + both linkage
+    checks + pin pricing; a violation anywhere surfaces in the flat
+    list with its root prefix."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as I)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        verify_deployment)
+
+    croot = str(tmp_path / "corpus")
+    aroot = str(tmp_path / "ann")
+    ivroot = str(tmp_path / "ivf")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 16)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    vecs = emb.filter(F.col("vec_id").isin(ids))
+    A.ann_ingest_delta(spark, aroot, vecs, "v1", corpus_batch="d1")
+    I.init_ivf_index(spark, ivroot, emb)
+    I.ivf_ingest_delta(spark, ivroot, vecs, "v1", corpus_batch="d1")
+
+    rep = verify_deployment(spark, croot, [aroot, ivroot])
+    assert rep["violations"] == []
+    assert set(rep["roots"]) == {croot, aroot, ivroot}
+    assert set(rep["linked"]) == {aroot, ivroot}
+    assert rep["pins"][croot]["held_bytes"] == 0
+
+    # a corpus takedown makes both vector roots orphan-dirty; every
+    # violation carries its pair prefix in the flat list
+    corpus.delete_documents(spark, croot, [ids[0]])
+    rep = verify_deployment(spark, croot, [aroot, ivroot])
+    assert len([v for v in rep["violations"]
+                if "orphan_vectors" in v]) == 2
+    assert any(v.startswith(f"{croot}⇆{aroot}")
+               for v in rep["violations"])
+
+
 def test_linkage_dispatches_on_index_kind(spark, emb, tmp_path):
     croot = str(tmp_path / "corpus")
     ivroot = str(tmp_path / "ivf")
