@@ -134,6 +134,16 @@ def write_text_atomic(spark: SparkSession, path: str,
         raise
 
 
+def _is_lost_race(msg: str, lock_path_forms: tuple) -> bool:
+    """Classify a failed exclusive create from its exception text:
+    True iff it is FileAlreadyExistsException naming the LOCK PATH
+    ITSELF (any of its string forms) — a parent-path-is-a-file fault
+    names the PARENT, never the full lock path, and any other
+    exception class is a genuine IO fault."""
+    return ("FileAlreadyExistsException" in msg
+            and any(form in msg for form in lock_path_forms))
+
+
 def create_exclusive(spark: SparkSession, path: str,
                      text: str) -> bool:
     """Create ``path`` with ``overwrite=False`` — the one-winner
@@ -145,16 +155,26 @@ def create_exclusive(spark: SparkSession, path: str,
         return False
     try:
         out = fs.create(p, False)
-    except Exception:   # noqa: BLE001 — classified below
-        # Only a lost RACE means False — and the one observable that
-        # distinguishes it (FS-agnostically, since Hadoop raises
+    except Exception as e:   # noqa: BLE001 — classified below
+        # Only a lost RACE means False — and the observables that
+        # distinguish it (FS-agnostically, since Hadoop raises
         # FileAlreadyExistsException for unrelated faults too, e.g.
-        # parent-path-is-a-file names the PARENT) is that the lock
-        # path itself now exists. Anything else (permissions,
-        # connectivity, parent-not-a-directory) re-raises: swallowing
-        # it would surface as a bogus ConcurrentWriterError after the
-        # caller's retry loop instead of naming the real fault.
+        # parent-path-is-a-file names the PARENT):
+        # 1. the lock path still exists — the winner holds it;
+        # 2. the exception is FileAlreadyExistsException naming the
+        #    LOCK PATH ITSELF — covers the winner creating AND
+        #    releasing between our failed create and the exists probe
+        #    (ADVICE r9: that window re-raised the race as a bogus
+        #    'genuine IO fault' out of corpus_writer_lock instead of
+        #    letting the caller retry).
+        # Anything else (permissions, connectivity, a parent that is
+        # a file — its message names the parent, never the full lock
+        # path) re-raises: swallowing it would surface as a bogus
+        # ConcurrentWriterError after the caller's retry loop instead
+        # of naming the real fault.
         if fs.exists(p):
+            return False
+        if _is_lost_race(str(e), (str(p), str(p.toUri().getPath()))):
             return False
         raise
     try:

@@ -112,7 +112,7 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      vec_col: str = "embedding",
                      num_planes: int = NUM_PLANES, dim: int = EMB_DIM,
                      dedup_ids: bool = True,
-                     corpus_batch: str | None = None,
+                     corpus_batch: "str | list[str] | None" = None,
                      _crash_after: str | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Returns the committed manifest (the ingest ledger row).
@@ -145,7 +145,7 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
 def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       batch_id: str, id_col: str, vec_col: str,
                       num_planes: int, dim: int, dedup_ids: bool,
-                      corpus_batch: str | None,
+                      corpus_batch: "str | list[str] | None",
                       _crash_after: str | None,
                       lease=None) -> dict:
     if path_exists(spark, _meta_path(root)):
@@ -208,19 +208,38 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     return manifest
 
 
+def _probe_set(b: int, num_planes: int, hamming: int) -> list[int]:
+    """The query's probe buckets: every bucket within Hamming
+    distance ≤ ``hamming`` of the query bucket — the LSH probe
+    FAN-OUT knob. hamming=1 (the default everywhere) probes J+1 of
+    2^J buckets; hamming=2 adds the J·(J-1)/2 two-bit flips. The
+    recall/latency trade is measured, not guessed:
+    plans/recall.measure_recall + tools/recall.py."""
+    from itertools import combinations
+
+    return [b ^ sum(1 << j for j in flips)
+            for r in range(hamming + 1)
+            for flips in combinations(range(num_planes), r)]
+
+
 def ann_incremental_topk(spark: SparkSession, root: str,
                          query_vec: list, k: int = TOP_K,
-                         exclude_id: int | None = None) -> DataFrame:
+                         exclude_id: int | None = None,
+                         hamming: int = 1) -> DataFrame:
     """Top-k cosine over the COMMITTED index: probe set (query bucket
-    + Hamming-1 neighbors) computed driver-side, so the scan carries a
-    literal ``bucket IN (...)`` — static pruning to J+1 of 2^J bucket
-    directories inside every committed batch; batch visibility adds at
-    most a NOT IN over the (normally empty) invisible set. Scoring is
-    the exact fixed-point cosine re-rank of the one-shot index
+    + Hamming-≤h neighbors, default h=1) computed driver-side, so the
+    scan carries a literal ``bucket IN (...)`` — static pruning to a
+    fixed fraction of 2^J bucket directories inside every committed
+    batch; batch visibility adds at most a NOT IN over the (normally
+    empty) invisible set. Scoring is the exact fixed-point cosine
+    re-rank of the one-shot index
     (operators/similarity.ann_indexed_topk), so for equal committed
-    content the two return identical rows."""
-    import math
+    content the two return identical rows. ``root`` may be a pointer
+    file written by a migration cutover
+    (plans/migration.set_index_pointer) — resolved transparently."""
+    from .migration import resolve_index_root
 
+    root = resolve_index_root(spark, root)
     meta = _load_meta(spark, root)
     num_planes, dim = meta["num_planes"], meta["dim"]
     _check_meta(meta, num_planes, dim, root, "query")
@@ -229,7 +248,7 @@ def ann_incremental_topk(spark: SparkSession, root: str,
             f"expected {dim}-dim query vector, got {len(query_vec)}")
 
     b = query_bucket(query_vec, num_planes, dim)
-    probes = [b] + [b ^ (1 << j) for j in range(num_planes)]
+    probes = _probe_set(b, num_planes, hamming)
     scan = (read_ann_index(spark, root)
             .filter(F.col("bucket").isin(probes)))
     return _cosine_rerank(scan, query_vec, k, exclude_id)
@@ -269,7 +288,8 @@ def _cosine_rerank(scan: DataFrame, query_vec: list, k: int,
 
 def ann_pinned_topk(spark: SparkSession, root: str, pin,
                     query_vec: list, k: int = TOP_K,
-                    exclude_id: int | None = None) -> DataFrame:
+                    exclude_id: int | None = None,
+                    hamming: int = 1) -> DataFrame:
     """Top-k cosine over a PINNED view of the index
     (plans/snapshots.pin_snapshot): the scan is the pinned batch
     directories only (path selection — snapshots.read_pinned_table),
@@ -287,7 +307,7 @@ def ann_pinned_topk(spark: SparkSession, root: str, pin,
     from .snapshots import read_pinned_table
 
     b = query_bucket(query_vec, num_planes, dim)
-    probes = [b] + [b ^ (1 << j) for j in range(num_planes)]
+    probes = _probe_set(b, num_planes, hamming)
     scan = (read_pinned_table(spark, root, pin, ANN_TABLE)
             .filter(F.col("bucket").isin(probes)))
     return _cosine_rerank(scan, query_vec, k, exclude_id)
@@ -345,6 +365,10 @@ def _compact_ann_batches(spark: SparkSession, root: str,
         **{k: sum(ms[b].get(k, 0) for b in ids)
            for k in ("n_input", "n_id_dupes", "n_admitted")},
     }
+    from .corpus import _union_provenance
+    prov = _union_provenance(ms, ids)
+    if prov is not None:   # lineage survives compaction
+        manifest["corpus_batch"] = prov
     if lease is not None:
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),
@@ -544,18 +568,21 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
     conflicting = sorted(
         d for d, p in list_pins(spark, root).items()
         if set(p["batches"]) & closure)
-    released: list[str] = []
-    if conflicting:
-        if not release_conflicting_pins:
-            raise PinConflictError(
-                f"pins {conflicting} cover batches affected by this "
-                f"vector takedown and would keep the deleted "
-                f"embeddings readable (snapshots.read_pinned_table). "
-                f"Release them or pass release_conflicting_pins=True.")
-        from ..fs import delete_path as _dp
-        for d in conflicting:
-            _dp(spark, _pin_path(root, d))
-        released = conflicting
+    if conflicting and not release_conflicting_pins:
+        raise PinConflictError(
+            f"pins {conflicting} cover batches affected by this "
+            f"vector takedown and would keep the deleted "
+            f"embeddings readable (snapshots.read_pinned_table). "
+            f"Release them or pass release_conflicting_pins=True.")
+    # conflict DETECTED here (before the expensive rewrite), but the
+    # pin files are deleted only AFTER the rewrite, immediately
+    # before the fenced manifest PUT (ADVICE r9): a crash mid-rewrite
+    # must leave the pins intact — the takedown never landed, its
+    # released_pins audit record was never written, and the next
+    # prune must not sweep the formerly-held batches of a takedown
+    # that will be retried. No new pin can land meanwhile: we hold
+    # the writer lease pin_snapshot also takes.
+    released: list[str] = list(conflicting)
 
     cid = _next_seq_id(ms, "retain")
     delete_path(spark, f"{path}/batch_id={cid}")
@@ -581,6 +608,9 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
                 "n_admitted": n_after}
     if released:
         manifest["released_pins"] = released   # takedown audit trail
+        from ..fs import delete_path as _dp
+        for d in released:   # takedown wins over EVERY holder
+            _dp(spark, _pin_path(root, d))
     if lease is not None:
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),

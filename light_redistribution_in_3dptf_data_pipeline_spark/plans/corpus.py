@@ -887,6 +887,26 @@ def compact_batches(spark: SparkSession, root: str,
                                 lease)
 
 
+def _union_provenance(ms: dict[str, dict],
+                      ids: "list[str]") -> "str | list[str] | None":
+    """Fold the ``corpus_batch`` provenance of many manifests into
+    one value for a superseding (compaction) manifest — str, list,
+    or absent per input; one distinct value stays a str. Without
+    this, compacting vector batches would silently drop the lineage
+    the cross-root fsck (plans/linkage.verify_linked) checks."""
+    provs: set[str] = set()
+    for b in ids:
+        v = ms[b].get("corpus_batch")
+        if isinstance(v, list):
+            provs |= set(v)
+        elif v is not None:
+            provs.add(v)
+    if not provs:
+        return None
+    out = sorted(provs)
+    return out[0] if len(out) == 1 else out
+
+
 def _next_seq_id(ms: dict[str, dict], prefix: str) -> str:
     """Next ``{prefix}-NNNNNN`` sequence id. Only ids matching the
     strict six-digit pattern participate in the numbering (a user-
@@ -1211,18 +1231,19 @@ def _delete_documents(spark: SparkSession, root: str,
     conflicting = sorted(
         d for d, p in list_pins(spark, root).items()
         if set(p["batches"]) & closure)
-    released: list[str] = []
-    if conflicting:
-        if not release_conflicting_pins:
-            raise PinConflictError(
-                f"pins {conflicting} cover batches affected by this "
-                f"takedown and would keep the deleted documents "
-                f"readable (snapshots.read_corpus_pinned). Release "
-                f"them (snapshots.release_pin) or pass "
-                f"release_conflicting_pins=True.")
-        for d in conflicting:
-            delete_path(spark, _pin_path(root, d))
-        released = conflicting
+    if conflicting and not release_conflicting_pins:
+        raise PinConflictError(
+            f"pins {conflicting} cover batches affected by this "
+            f"takedown and would keep the deleted documents "
+            f"readable (snapshots.read_corpus_pinned). Release "
+            f"them (snapshots.release_pin) or pass "
+            f"release_conflicting_pins=True.")
+    # detected BEFORE the rewrite, deleted only after it — right
+    # before the fenced manifest PUT (ADVICE r9): a crash in the
+    # rewrite window must leave the pins' holds intact, since the
+    # takedown never landed and will be retried. The held lease
+    # excludes new pins meanwhile.
+    released: list[str] = list(conflicting)
 
     cid = _next_seq_id(ms, "retain")
     for table in INGEST_TABLES:
@@ -1275,6 +1296,8 @@ def _delete_documents(spark: SparkSession, root: str,
     }
     if released:
         manifest["released_pins"] = released   # takedown audit trail
+        for d in released:   # takedown wins over EVERY holder
+            delete_path(spark, _pin_path(root, d))
     if lease is not None:
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),

@@ -131,7 +131,8 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
                 f"root to re-train)")
         dec = train.select(
             F.col(cell_col).cast("bigint").alias("cell"),
-            _fixed_point(F.col(vec_col)).alias("ci"))
+            _fixed_point(_checked_dim(F.col(vec_col), dim,
+                                      "init_ivf_index")).alias("ci"))
         cents = (dec.groupBy("cell")
                  .agg(F.array(*[F.sum(F.element_at("ci", i + 1))
                                 for i in range(dim)]).alias("csum"),
@@ -149,16 +150,35 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
         return meta
 
 
-def _cell_scores(delta: DataFrame, cents: DataFrame):
+def _checked_dim(col, dim: int, what: str):
+    """Embedding column with the per-row dimensionality guard of
+    ``operators.similarity.lsh_buckets`` (ADVICE r9): ``zip_with``
+    NULL-pads a wrong-length vector, its centroid dots fold to NULL,
+    and ``max_by`` over a NULL score deterministically dumps the row
+    into the lowest cell id — stored, never probed (its re-rank
+    cosine is NULL), and invisible to the fsck because the placement
+    re-derivation NULL-folds identically. Fail loudly at execution
+    instead."""
+    return F.when(F.size(col) == dim, col).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"{what}: expected {dim}-dim embedding, got "),
+            F.size(col).cast("string"))))
+
+
+def _cell_scores(delta: DataFrame, cents: DataFrame,
+                 dim: int = EMB_DIM):
     """(vec_id, cell, score) for every delta vector × centroid —
     score is the EXACT-integer mean-scaled centroid dot as a double,
     the same value the driver-side query ranking computes (Python
     arbitrary-precision int == the hi/lo int64 fold), so placement
-    and probing can never disagree."""
+    and probing can never disagree. Wrong-dim rows raise per row
+    (:func:`_checked_dim`) rather than mis-placing silently."""
     from ..queries.similarity import _fixed_dot
 
     return (delta.select("vec_id",
-                         _fixed_point(F.col("embedding")).alias("ci"))
+                         _fixed_point(_checked_dim(
+                             F.col("embedding"), dim,
+                             "ivf cell scoring")).alias("ci"))
             .crossJoin(F.broadcast(cents))
             .select("vec_id", "cell",
                     (_fixed_dot("ci", "csum", split=CSUM_SPLIT)
@@ -178,7 +198,7 @@ def assign_cells(spark: SparkSession, root: str,
         [(int(r.cell), [int(s) for s in r.csum], int(r.nv))
          for r in _load_centroids(spark, root, meta)],
         "cell BIGINT, csum ARRAY<BIGINT>, nv BIGINT")
-    scored = _cell_scores(delta, cents)
+    scored = _cell_scores(delta, cents, meta["dim"])
     return (scored.groupBy("vec_id")
             .agg(F.max_by(
                 F.col("cell"),
@@ -209,7 +229,7 @@ def ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      vec_col: str = "embedding",
                      cell_col: str | None = None,
                      dedup_ids: bool = True,
-                     corpus_batch: str | None = None,
+                     corpus_batch: "str | list[str] | None" = None,
                      _crash_after: str | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Cells come from the frozen quantizer (``cell_col=None``, the
@@ -230,7 +250,7 @@ def ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
 def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       batch_id: str, id_col: str, vec_col: str,
                       cell_col: str | None, dedup_ids: bool,
-                      corpus_batch: str | None,
+                      corpus_batch: "str | list[str] | None",
                       _crash_after: str | None, lease) -> dict:
     meta = _load_meta(spark, root)
     cent_rows = _load_centroids(spark, root, meta)
@@ -245,8 +265,14 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     path = f"{root}/{IVF_TABLE}"
     delete_path(spark, f"{path}/batch_id={batch_id}")
 
+    # dim-check the stored column itself so the PROVIDED-cell path is
+    # guarded too (its rows never pass through _cell_scores, but a
+    # wrong-dim vector would still be unprobeable: NULL re-rank cosine)
+    emb_cast = F.col(vec_col).cast("array<float>")
     cols = [F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<float>").alias("embedding")]
+            _checked_dim(emb_cast, meta["dim"],
+                         f"ivf_ingest_delta({batch_id})")
+            .alias("embedding")]
     if cell_col is not None:
         cols.append(F.col(cell_col).cast("bigint").alias("cell"))
     delta = emb.select(*cols)
@@ -274,7 +300,7 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
             [(int(r.cell), [int(s) for s in r.csum], int(r.nv))
              for r in cent_rows],
             "cell BIGINT, csum ARRAY<BIGINT>, nv BIGINT")
-        scored = _cell_scores(delta, cents)
+        scored = _cell_scores(delta, cents, meta["dim"])
         assign = (scored.groupBy("vec_id")
                   .agg(F.max_by(
                       F.col("cell"),
@@ -318,9 +344,14 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
     exchanges; batch visibility adds at most a NOT IN over the
     (normally empty) invisible set. Scoring is the exact fixed-point
     cosine re-rank of the one-shot ``ivf_indexed_topk``, so for equal
-    committed content the two return identical rows."""
+    committed content the two return identical rows. ``root`` may be
+    a pointer file written by a migration cutover
+    (plans/migration.set_index_pointer) — resolved transparently."""
     import math
 
+    from .migration import resolve_index_root
+
+    root = resolve_index_root(spark, root)
     meta = _load_meta(spark, root)
     dim = meta["dim"]
     if len(query_vec) != dim:
@@ -406,18 +437,30 @@ def ivf_pinned_topk(spark: SparkSession, root: str, pin,
 
 def compact_ivf_batches(spark: SparkSession, root: str,
                         batch_ids: list[str] | None = None,
-                        n_files_per_cell: int = 1) -> str:
+                        n_files_per_cell: int = 1,
+                        rows_per_file: int | None = None) -> str:
     """Fold many per-batch partitions into one ``compact-N`` batch —
     the small-files relief for the per-batch L-way fan-out. Same
-    manifest-supersession commit as the corpus/LSH compactions."""
+    manifest-supersession commit as the corpus/LSH compactions.
+
+    SIZE-AWARE mode (VERDICT r10 #6): with ``rows_per_file`` set, a
+    hot cell no longer folds into ``n_files_per_cell`` files
+    regardless of row count — each cell is salted into
+    ``ceil(rows/target)`` write tasks (parallelizing the hot cell's
+    rewrite) and ``maxRecordsPerFile`` caps every output file at the
+    target, so file sizes stay balanced however skewed the cell
+    occupancy (the skew ``verify_ivf_index``'s occupancy canary
+    reports)."""
     with corpus_writer_lock(spark, root, op="ivf_compact") as lease:
         return _compact_ivf_batches(spark, root, batch_ids,
-                                    n_files_per_cell, lease)
+                                    n_files_per_cell, lease,
+                                    rows_per_file)
 
 
 def _compact_ivf_batches(spark: SparkSession, root: str,
                          batch_ids: list[str] | None,
-                         n_files_per_cell: int, lease) -> str:
+                         n_files_per_cell: int, lease,
+                         rows_per_file: int | None = None) -> str:
     meta = _load_meta(spark, root)
     ms = _load_manifests(spark, root)
     gone = _superseded(ms)
@@ -438,8 +481,29 @@ def _compact_ivf_batches(spark: SparkSession, root: str,
                 .filter(F.col("batch_id").isin(ids))
                 .withColumn("batch_id", F.lit(cid))
                 .localCheckpoint())
-        (rows.repartition(n_files_per_cell, F.col("cell"))
-         .write.mode("append").partitionBy("batch_id", "cell")
+        if rows_per_file is None:
+            writer = rows.repartition(n_files_per_cell,
+                                      F.col("cell")).write
+        else:
+            # size-aware: salt each cell into ceil(rows/target)
+            # shuffle keys so a hot cell's rewrite is parallel (the
+            # per-cell counts table is at most L rows — broadcast),
+            # then let maxRecordsPerFile enforce the exact per-file
+            # cap even where two salts hash to the same task
+            counts = rows.groupBy("cell").agg(
+                F.count("*").alias("_n"))
+            salted = (rows.join(F.broadcast(counts), "cell")
+                      .withColumn("_file", F.pmod(
+                          F.hash("vec_id"),
+                          F.greatest(F.lit(1), F.ceil(
+                              F.col("_n") / rows_per_file))
+                          .cast("int"))))
+            writer = (salted.repartition(F.col("cell"),
+                                         F.col("_file"))
+                      .drop("_n", "_file")
+                      .write.option("maxRecordsPerFile",
+                                    rows_per_file))
+        (writer.mode("append").partitionBy("batch_id", "cell")
          .parquet(path))
 
     replaces = sorted(set(ids) | {r for b in ids
@@ -452,6 +516,10 @@ def _compact_ivf_batches(spark: SparkSession, root: str,
         "cell_source": (sources.pop() if len(sources) == 1
                         else "mixed"),
     }
+    from .corpus import _union_provenance
+    prov = _union_provenance(ms, ids)
+    if prov is not None:   # lineage survives compaction
+        manifest["corpus_batch"] = prov
     lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),
                       json.dumps(manifest, sort_keys=True))
@@ -542,7 +610,16 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
       against the frozen centroids;
     - **orphans**: unmanifested/superseded partitions still on disk.
 
+    The report also carries the CELL-OCCUPANCY canary (VERDICT r10
+    #6 — the skew signal the dedup ledgers already have): max /
+    median / mean rows per occupied cell and the hottest cell id,
+    so a drifting embedding distribution piling into few cells is
+    visible before probe latency shows it. One L-row aggregate —
+    driver-sized by IVF construction.
+
     One aggregate scan each; nothing collected row-wise."""
+    import statistics
+
     from ..fs import list_dir
 
     meta = _load_meta(spark, root)
@@ -560,6 +637,8 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
     ix = (_visible_scan(spark, path, live, _ivf_schema(meta["dim"]))
           if live and path_exists(spark, path) else None)
     n_rows = 0
+    occupancy: dict = {"n_cells_occupied": 0, "max": 0, "median": 0,
+                       "mean": 0.0, "hottest_cell": None}
     if ix is None and live:
         for bid in live:
             want = ms[bid].get("n_admitted", 0)
@@ -586,6 +665,18 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
             violations.append(
                 f"uniqueness: {n_dupes} vec_ids appear in more than "
                 f"one live index row")
+        per_cell = {int(r.cell): int(r.n) for r in
+                    ix.groupBy("cell")
+                    .agg(F.count("*").alias("n")).collect()
+                    if r.cell is not None}
+        if per_cell:
+            occ = sorted(per_cell.values())
+            occupancy = {
+                "n_cells_occupied": len(occ),
+                "max": occ[-1],
+                "median": statistics.median(occ),
+                "mean": round(sum(occ) / len(occ), 2),
+                "hottest_cell": max(per_cell, key=per_cell.get)}
         if cent_rows is not None:
             known = sorted(int(r.cell) for r in cent_rows)
             n_unknown = ix.filter(~F.col("cell").isin(known)).count()
@@ -603,7 +694,8 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
                       int(r.nv)) for r in cent_rows],
                     "cell BIGINT, csum ARRAY<BIGINT>, nv BIGINT")
                 want = (_cell_scores(
-                    sub.select("vec_id", "embedding"), cents)
+                    sub.select("vec_id", "embedding"), cents,
+                    meta["dim"])
                     .groupBy("vec_id")
                     .agg(F.max_by(
                         F.col("cell"),
@@ -631,5 +723,6 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
     from .snapshots import pinned_batches
     pinned = orphans & pinned_batches(spark, root)
     return {"live_batches": len(live), "index_rows": n_rows,
+            "cell_occupancy": occupancy,
             "orphans": sorted(orphans - pinned),
             "pinned_held": sorted(pinned), "violations": violations}

@@ -213,3 +213,80 @@ def test_fsck_missing_table_and_orphans(spark, emb, tmp_path):
     sh.rmtree(f"{root}/{A.ANN_TABLE}")
     rep = A.verify_ann_index(spark, root)
     assert any("missing" in v for v in rep["violations"])
+
+
+def test_stream_auto_wires_corpus_provenance(spark, emb, tmp_path):
+    """VERDICT r10 #5 done-test: stream documents into the corpus,
+    stream their embeddings (drop files stamped with the corpus
+    batch they embed), and verify_linked reports ZERO
+    stale_provenance — with no manual corpus_batch argument
+    anywhere. A drop spanning several corpus batches records them
+    all (list form)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        corpus)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        _load_manifests, _superseded)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        verify_linked)
+    from light_redistribution_in_3dptf_data_pipeline_spark.streaming.ingestion import (
+        run_ingestion_with_dedup)
+
+    # 1. stream documents into the corpus (two drops → two batches)
+    doc_src = str(tmp_path / "docs")
+    croot = str(tmp_path / "corpus")
+    import os
+    os.makedirs(doc_src, exist_ok=True)
+    docs = spark.createDataFrame(
+        [(int(i), " ".join(f"w{i}x{j}h{(i * 11 + j * 3) % 83}"
+                           for j in range(14)), "en", "s", 1)
+         for i in range(40)],
+        "doc_id LONG, text STRING, lang STRING, "
+        "source STRING, n_chars LONG")
+    with open(f"{doc_src}/a.jsonl", "w") as f:
+        for r in docs.filter("doc_id < 20").toJSON().collect():
+            f.write(r + "\n")
+    run_ingestion_with_dedup(spark, doc_src, croot) \
+        .awaitTermination(120)
+    with open(f"{doc_src}/b.jsonl", "w") as f:
+        for r in docs.filter("doc_id >= 20").toJSON().collect():
+            f.write(r + "\n")
+    run_ingestion_with_dedup(spark, doc_src, croot) \
+        .awaitTermination(120)
+    cms = _load_manifests(spark, croot)
+    cbatches = sorted(b for b in cms if b not in _superseded(cms))
+    assert len(cbatches) == 2
+
+    # 2. the embedding producer reads the committed corpus and
+    # stamps each vector with the corpus batch it embeds
+    stamped = (corpus.read_corpus(spark, croot)
+               .select(F.col("doc_id").alias("vec_id"),
+                       F.col("batch_id").alias("corpus_batch"))
+               .join(emb, "vec_id"))
+    vec_src = str(tmp_path / "vecs")
+    iroot = str(tmp_path / "ix")
+    _drop(stamped.select("vec_id", "embedding", "corpus_batch"),
+          F.lit(True), vec_src, "e0")
+    V.run_vector_ingestion(spark, vec_src, iroot) \
+        .awaitTermination(120)
+
+    # 3. provenance landed WITHOUT any manual argument: the vector
+    # manifest records both corpus batches, and the cross-root fsck
+    # is clean
+    vms = _load_manifests(spark, iroot)
+    live = [b for b in vms if b not in _superseded(vms)]
+    assert len(live) == 1
+    assert sorted(vms[live[0]]["corpus_batch"]) == cbatches
+
+    rep = verify_linked(spark, croot, iroot)
+    assert rep["stale_provenance"] == []
+    assert rep["violations"] == []
+
+    # 4. compaction PRESERVES the lineage (r10: _union_provenance)
+    A.ann_ingest_delta(spark, iroot,
+                       emb.filter("vec_id >= 900000"), "manual",
+                       corpus_batch=cbatches[0])
+    A.compact_ann_batches(spark, iroot)
+    vms = _load_manifests(spark, iroot)
+    live = [b for b in vms if b not in _superseded(vms)]
+    assert len(live) == 1
+    assert sorted(vms[live[0]]["corpus_batch"]) == cbatches

@@ -83,3 +83,35 @@ def test_file_mtime_ms(spark, tmp_path):
     # aging the file backdates the reported mtime (the lease clock)
     os.utime(p, (0, 12345))
     assert fs.file_mtime_ms(spark, p) == 12345_000
+
+
+def test_lost_race_classifier(spark, tmp_path):
+    """ADVICE r9: a racing winner that creates AND releases the lock
+    between our failed create and the exists probe used to re-raise
+    as a 'genuine IO fault'. The classifier treats
+    FileAlreadyExistsException NAMING THE LOCK PATH as a lost race
+    even when the path no longer exists — while a
+    parent-path-is-a-file fault (which names the PARENT, not the
+    lock) still re-raises."""
+    lock = "/data/root/_lock"
+    forms = (f"file:{lock}", lock)
+    # the won-and-released race: exception names the lock itself
+    assert fs._is_lost_race(
+        "org.apache.hadoop.fs.FileAlreadyExistsException: "
+        f"File already exists: file:{lock}", forms) is True
+    # parent-is-a-file: message names the parent only → genuine fault
+    assert fs._is_lost_race(
+        "org.apache.hadoop.fs.FileAlreadyExistsException: "
+        "Parent path is not a directory: /data/root", forms) is False
+    # any other exception class → genuine fault
+    assert fs._is_lost_race(
+        f"java.io.IOException: Permission denied: file:{lock}",
+        forms) is False
+
+    # end-to-end: parent-is-a-file still re-raises through
+    # create_exclusive (the classifier must not swallow it)
+    parent = tmp_path / "afile"
+    parent.write_text("x")
+    import pytest
+    with pytest.raises(Exception):
+        fs.create_exclusive(spark, str(parent / "child"), "t")

@@ -249,3 +249,106 @@ def test_probe_scan_is_partition_pruned(spark, emb, qvec, tmp_path):
     assert "batch_id IN" not in m.group(1)
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------- r10:
+# per-row dimensionality guard (ADVICE r9 medium): a wrong-dim delta
+# vector used to NULL-fold its centroid scores inside zip_with and
+# deterministically land in the lowest cell id — stored, never
+# probeable (NULL re-rank cosine), and invisible to verify_ivf_index
+# because the placement re-derivation NULL-folds identically.
+
+def _mixed_dim_delta(spark):
+    return spark.createDataFrame(
+        [(900001, [0.5] * 64), (900002, [0.5] * 63)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_ingest_rejects_wrong_dim_assigned_path(spark, emb,
+                                                tmp_path):
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, emb)
+    with pytest.raises(Exception, match="64-dim"):
+        I.ivf_ingest_delta(spark, root, _mixed_dim_delta(spark),
+                           "bad")
+    # the failed ingest left nothing committed (manifest never lands)
+    assert I.committed_ivf_batches(spark, root) == []
+
+
+def test_ingest_rejects_wrong_dim_provided_cell_path(spark, emb,
+                                                     tmp_path):
+    """The provided-cell route bypasses _cell_scores, so the stored
+    column itself carries the guard — the row would otherwise be
+    stored with a NULL-cosine re-rank, unreachable by any probe."""
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, emb)
+    bad = _mixed_dim_delta(spark).withColumn("label", F.lit(0))
+    with pytest.raises(Exception, match="64-dim"):
+        I.ivf_ingest_delta(spark, root, bad, "bad",
+                           cell_col="label")
+    assert I.committed_ivf_batches(spark, root) == []
+
+
+def test_init_rejects_wrong_dim_training_rows(spark, tmp_path):
+    """F.sum over element_at past the array end skips NULLs — a
+    short training vector would silently corrupt the frozen csum."""
+    root = str(tmp_path / "ivf")
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 64, 0), (2, [0.1] * 62, 1)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+    with pytest.raises(Exception, match="64-dim"):
+        I.init_ivf_index(spark, root, bad)
+
+
+# ------------------------------------------------------------- r10:
+# cell-skew canary + size-aware compaction (VERDICT r10 brief #6)
+
+def test_skew_canary_and_size_aware_compaction(spark, emb, tmp_path):
+    """A hot cell used to compact into n_files_per_cell files
+    regardless of row count. With rows_per_file set, the hot cell
+    splits into ~ceil(rows/target) balanced files while cold cells
+    stay single-file — and the fsck's occupancy canary names the
+    skew."""
+    import glob
+
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, emb)
+    known = sorted(
+        int(r.cell) for r in
+        spark.read.parquet(f"{root}/centroids").collect())
+    hot, colds = known[0], known[1:4]
+    # provided-cell ingest builds the skew deterministically: 90% of
+    # rows in the hot cell, the rest spread over three cold cells
+    cold_expr = F.element_at(
+        F.array(*[F.lit(c) for c in colds]),
+        (F.pmod(F.col("vec_id"), 3) + 1).cast("int"))
+    skewed = emb.select(
+        "vec_id", "embedding",
+        F.when(F.pmod(F.col("vec_id"), 10) < 9, F.lit(hot))
+        .otherwise(cold_expr).alias("c"))
+    I.ivf_ingest_delta(spark, root, skewed, "d1", cell_col="c")
+
+    rep = I.verify_ivf_index(spark, root)
+    assert rep["violations"] == []
+    occ = rep["cell_occupancy"]
+    assert occ["hottest_cell"] == hot
+    assert occ["n_cells_occupied"] == 4
+    assert occ["max"] > 4 * occ["median"]   # the canary fires
+
+    I.compact_ivf_batches(spark, root, rows_per_file=40)
+    cid = I.committed_ivf_batches(spark, root)[0]
+    hot_files = glob.glob(
+        f"{root}/postings/batch_id={cid}/cell={hot}/*.parquet")
+    cold_files = glob.glob(
+        f"{root}/postings/batch_id={cid}/cell={colds[0]}/*.parquet")
+    n_hot = occ["max"]
+    assert len(hot_files) >= (n_hot + 39) // 40   # split by target
+    assert len(cold_files) <= 2
+    # every output file honors the row target
+    for f in hot_files + cold_files:
+        assert spark.read.parquet(f"file:{f}").count() <= 40
+    # compaction preserved content + ledger (fsck still clean)
+    rep2 = I.verify_ivf_index(spark, root)
+    assert rep2["violations"] == []
+    assert rep2["index_rows"] == rep["index_rows"]
+    assert rep2["cell_occupancy"]["max"] == occ["max"]

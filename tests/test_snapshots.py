@@ -463,3 +463,176 @@ def test_digest_drift_detected(spark, tmp_path):
     rep = SN.verify_pin(spark, root, pin)
     assert rep["digest_drift"] == ["d1"]
     assert any("immutable" in v for v in rep["violations"])
+
+
+# ---------------------------------------------------------------- r10:
+# pin lifecycle metadata + holder refcounting (VERDICT r10 brief #4,
+# ADVICE r9: shared content-addressed pins must not let one consumer's
+# release destroy another's hold)
+
+def test_shared_pin_holders_refcount(spark, tmp_path):
+    """Two owners pinning identical committed content collide onto
+    ONE content-addressed file holding BOTH; the first owner's
+    release keeps the hold alive, the last one's removes it."""
+    root = str(tmp_path / "c")
+    corpus.ingest_delta(spark, root, _docs(spark, range(1, 9)), "d1")
+    p1 = SN.pin_snapshot(spark, root, owner="run-a", created_at=100.0)
+    p2 = SN.pin_snapshot(spark, root, owner="run-b", created_at=200.0)
+    assert p1["snapshot_digest"] == p2["snapshot_digest"]
+    d = p1["snapshot_digest"]
+    assert SN.list_pins(spark, root)[d]["holders"] == {
+        "run-a": 100.0, "run-b": 200.0}
+
+    # run-a releases: pin survives, run-b's hold intact
+    assert SN.release_pin(spark, root, d, owner="run-a") is False
+    assert SN.list_pins(spark, root)[d]["holders"] == {"run-b": 200.0}
+    assert SN.verify_pin(spark, root, d)["violations"] == []
+
+    # the held data stays GC-protected until the LAST holder releases
+    corpus.compact_batches(spark, root)
+    assert _rows(SN.read_corpus_pinned(spark, root, d))
+    assert SN.release_pin(spark, root, d, owner="run-b") is True
+    assert SN.list_pins(spark, root) == {}
+
+
+def test_release_unknown_owner_keeps_pin(spark, tmp_path):
+    root = str(tmp_path / "c")
+    corpus.ingest_delta(spark, root, _docs(spark, range(1, 5)), "d1")
+    pin = SN.pin_snapshot(spark, root, owner="run-a")
+    assert SN.release_pin(spark, root, pin["snapshot_digest"],
+                          owner="not-a-holder") is False
+    assert pin["snapshot_digest"] in SN.list_pins(spark, root)
+    # ownerless release stays the global kill switch (documented)
+    assert SN.release_pin(spark, root, pin["snapshot_digest"]) is True
+
+
+def test_repin_same_owner_refreshes_created_at(spark, tmp_path):
+    root = str(tmp_path / "c")
+    corpus.ingest_delta(spark, root, _docs(spark, range(1, 5)), "d1")
+    SN.pin_snapshot(spark, root, owner="run-a", created_at=100.0)
+    p = SN.pin_snapshot(spark, root, owner="run-a", created_at=500.0)
+    assert SN.list_pins(spark, root)[
+        p["snapshot_digest"]]["holders"] == {"run-a": 500.0}
+
+
+def test_pins_report_flags_aged_and_over_budget(spark, tmp_path):
+    """pins_report carries created_at/age per pin and flags pins
+    older than the policy age or holding more than the byte budget
+    (VERDICT r10 brief #4 done-test)."""
+    root = str(tmp_path / "c")
+    corpus.ingest_delta(spark, root, _docs(spark, range(1, 9)), "d1")
+    old = SN.pin_snapshot(spark, root, owner="forgotten",
+                          created_at=1_000.0)
+    # make the pin actually HOLD bytes: supersede its batch
+    corpus.ingest_delta(spark, root, _docs(spark, range(20, 25)),
+                        "d2")
+    corpus.compact_batches(spark, root)
+    fresh = SN.pin_snapshot(spark, root, owner="current",
+                            created_at=9_000.0)
+    assert fresh["snapshot_digest"] != old["snapshot_digest"]
+
+    rep = SN.pins_report(spark, root, max_age_seconds=3_600,
+                         now=10_000.0)
+    od, fd = old["snapshot_digest"], fresh["snapshot_digest"]
+    assert rep["pins"][od]["age_seconds"] == 9_000.0
+    assert rep["pins"][od]["flags"] == ["aged"]
+    assert rep["pins"][fd]["flags"] == []
+    assert rep["flagged_pins"] == [od]
+    assert rep["pins"][od]["holders"] == {"forgotten": 1_000.0}
+
+    # byte budget: the old pin holds superseded batches, the fresh
+    # one holds nothing (its batches are live)
+    rep = SN.pins_report(spark, root, max_held_bytes=0, now=10_000.0)
+    assert "over_budget" in rep["pins"][od]["flags"]
+    assert rep["pins"][fd]["flags"] == []
+    # digest identity is unchanged by metadata (content address
+    # hashes manifests only) — two pins over identical content with
+    # different owners collided above, and the digest survives a
+    # holder change
+    assert set(rep["pins"]) == {od, fd}
+
+
+def test_takedown_crash_window_preserves_pins(spark, tmp_path):
+    """ADVICE r9: release_conflicting_pins must not delete the pin
+    files BEFORE the retain rewrite — a crash in that window lost the
+    holds while the takedown never landed. Now the pins are swept
+    only with the fenced manifest PUT: the crashed takedown leaves
+    them intact, the retry releases them and records the audit."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path / "v")
+    A.ann_ingest_delta(spark, root, emb, "d1")
+    pin = SN.pin_snapshot(spark, root, owner="eval")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        A.delete_vectors(spark, root, [1],
+                         release_conflicting_pins=True,
+                         _crash_after="buckets")
+    # crash AFTER the rewrite but BEFORE manifest + pin sweep: the
+    # pin (and its audit-ordering contract) survives, and the pinned
+    # read still works
+    assert pin["snapshot_digest"] in SN.list_pins(spark, root)
+    assert SN.verify_pin(spark, root, pin["snapshot_digest"],
+                         table="buckets")["violations"] == []
+
+    cid = A.delete_vectors(spark, root, [1],
+                           release_conflicting_pins=True)
+    ms = corpus._load_manifests(spark, root)
+    assert ms[cid]["released_pins"] == [pin["snapshot_digest"]]
+    assert SN.list_pins(spark, root) == {}
+
+
+def test_training_build_linked_pinned_reproducible(spark, tmp_path):
+    """VERDICT r10 stretch #8: the multimodal build — text AND
+    vector shards under ONE linked digest. Mirrors the text-only
+    reproducibility test: both roots move on (new batches +
+    compaction), a fresh build root rebuilds byte-identical text
+    rows AND vector rows from the same linked pin; a different
+    linked snapshot cannot reuse a build root's memoized stages."""
+    croot = str(tmp_path / "c")
+    vroot = str(tmp_path / "v")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 31)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1",
+                       corpus_batch="d1")
+    w = {"s": 1.0}
+
+    b1 = str(tmp_path / "build1")
+    m1 = SN.training_build_linked_pinned(
+        spark, croot, b1, w, index_root=vroot, n_shards=2,
+        owner="build")
+    assert m1["n_rows"] > 0 and m1["n_vector_rows"] > 0
+    # every sampled document's vector shipped exactly once
+    assert m1["n_vector_rows"] == len(ids)
+    rows1 = sorted(map(tuple,
+                       spark.read.parquet(f"{b1}/shards").collect()))
+    vecs1 = sorted(
+        (r.vec_id, r.shard, [round(float(x), 6) for x in r.embedding])
+        for r in spark.read.parquet(f"{b1}/vector_shards").collect())
+
+    # BOTH roots move on; the linked pin holds both views
+    corpus.ingest_delta(spark, croot, _docs(spark, range(40, 51)),
+                        "d2")
+    corpus.compact_batches(spark, croot)
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id") >= 150), "v2")
+    A.compact_ann_batches(spark, vroot)
+
+    b2 = str(tmp_path / "build2")
+    m2 = SN.training_build_linked_pinned(
+        spark, croot, b2, w, linked=m1["linked_digest"], n_shards=2)
+    assert m2["linked_digest"] == m1["linked_digest"]
+    rows2 = sorted(map(tuple,
+                       spark.read.parquet(f"{b2}/shards").collect()))
+    vecs2 = sorted(
+        (r.vec_id, r.shard, [round(float(x), 6) for x in r.embedding])
+        for r in spark.read.parquet(f"{b2}/vector_shards").collect())
+    assert rows2 == rows1
+    assert vecs2 == vecs1
+
+    # a NEW linked snapshot in an old build root must refuse
+    with pytest.raises(ValueError, match="fresh build root"):
+        SN.training_build_linked_pinned(
+            spark, croot, b1, w, index_root=vroot, n_shards=2)
