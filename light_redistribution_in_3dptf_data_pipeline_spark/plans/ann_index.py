@@ -315,22 +315,32 @@ def ann_pinned_topk(spark: SparkSession, root: str, pin,
 
 def compact_ann_batches(spark: SparkSession, root: str,
                         batch_ids: list[str] | None = None,
-                        n_files_per_bucket: int = 1) -> str:
+                        n_files_per_bucket: int = 1,
+                        rows_per_file: int | None = None) -> str:
     """Fold many per-batch partitions into one ``compact-N`` batch —
     the small-files relief for the 2^J-way per-batch fan-out. Same
     manifest-supersession commit as corpus compaction: the rewrite is
     invisible until its manifest (carrying the transitive
     ``replaces``) lands; superseded partitions are pruned after;
-    crash anywhere leaves only invisible garbage."""
+    crash anywhere leaves only invisible garbage.
+
+    SIZE-AWARE mode (``rows_per_file``): random hyperplanes on
+    non-uniform embeddings skew bucket occupancy exactly like IVF
+    cells — a hot bucket is salted into ``ceil(rows/target)`` write
+    tasks with ``maxRecordsPerFile`` capping every output file, the
+    same mechanism as ``compact_ivf_batches`` (the occupancy canary
+    in ``verify_ann_index`` says when it's needed)."""
     with corpus_writer_lock(spark, root, op="ann_compact") as lease:
         return _compact_ann_batches(spark, root, batch_ids,
-                                    n_files_per_bucket, lease)
+                                    n_files_per_bucket, lease,
+                                    rows_per_file)
 
 
 def _compact_ann_batches(spark: SparkSession, root: str,
                          batch_ids: list[str] | None,
                          n_files_per_bucket: int,
-                         lease=None) -> str:
+                         lease=None,
+                         rows_per_file: int | None = None) -> str:
     meta = _load_meta(spark, root)
     ms = _load_manifests(spark, root)
     gone = _superseded(ms)
@@ -354,8 +364,9 @@ def _compact_ann_batches(spark: SparkSession, root: str,
                 .filter(F.col("batch_id").isin(ids))
                 .withColumn("batch_id", F.lit(cid))
                 .localCheckpoint())
-        (rows.repartition(n_files_per_bucket, F.col("bucket"))
-         .write.mode("append").partitionBy("batch_id", "bucket")
+        (_size_aware_writer(rows, "bucket", n_files_per_bucket,
+                            rows_per_file)
+         .mode("append").partitionBy("batch_id", "bucket")
          .parquet(path))
 
     replaces = sorted(set(ids) | {r for b in ids
@@ -380,6 +391,32 @@ def _compact_ann_batches(spark: SparkSession, root: str,
     return cid
 
 
+def _size_aware_writer(rows: DataFrame, part_col: str,
+                       n_files_per_part: int,
+                       rows_per_file: int | None):
+    """The partitioned-table write strategy shared by both index
+    compactions: fixed ``n_files_per_part`` (the default), or — with
+    ``rows_per_file`` — each partition value salted into
+    ``ceil(rows/target)`` shuffle keys so a hot bucket/cell's rewrite
+    parallelizes (the per-value counts table is bounded by the
+    partition-value domain — broadcast), with ``maxRecordsPerFile``
+    enforcing the exact per-file cap even where two salts hash to
+    the same task."""
+    if rows_per_file is None:
+        return rows.repartition(n_files_per_part,
+                                F.col(part_col)).write
+    counts = rows.groupBy(part_col).agg(F.count("*").alias("_n"))
+    salted = (rows.join(F.broadcast(counts), part_col)
+              .withColumn("_file", F.pmod(
+                  F.hash("vec_id"),
+                  F.greatest(F.lit(1),
+                             F.ceil(F.col("_n") / rows_per_file))
+                  .cast("int"))))
+    return (salted.repartition(F.col(part_col), F.col("_file"))
+            .drop("_n", "_file")
+            .write.option("maxRecordsPerFile", rows_per_file))
+
+
 def verify_ann_index(spark: SparkSession, root: str) -> dict:
     """Consistency fsck for the incremental ANN index — the
     similarity-side analog of plans/corpus.verify_corpus. Invariants:
@@ -395,7 +432,17 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
       directory moved/renamed out-of-band);
     - **orphans**: unmanifested/superseded partitions still on disk.
 
+    The report also carries the BUCKET-OCCUPANCY canary (max/median/
+    mean rows per occupied bucket + the hottest bucket — the same
+    skew signal as ``verify_ivf_index``'s ``cell_occupancy``: random
+    hyperplanes on drifted embeddings pile rows into few buckets
+    long before probe latency shows it; ``compact_ann_batches
+    (rows_per_file=...)`` and ``migration.migrate_index`` are the
+    responses). One 2^J-row aggregate.
+
     One aggregate scan each; nothing collected row-wise."""
+    import statistics
+
     from ..fs import list_dir, path_exists
 
     meta = _load_meta(spark, root)
@@ -408,6 +455,9 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
     ix = (_visible_scan(spark, path, live, _ann_schema(meta["dim"]))
           if live and path_exists(spark, path) else None)
     n_rows = 0
+    occupancy: dict = {"n_buckets_occupied": 0, "max": 0,
+                       "median": 0, "mean": 0.0,
+                       "hottest_bucket": None}
     if ix is None and live:
         for bid in live:
             want = ms[bid].get("n_admitted", 0)
@@ -434,6 +484,19 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
             violations.append(
                 f"uniqueness: {n_dupes} vec_ids appear in more than "
                 f"one live index row")
+        per_bucket = {int(r.bucket): int(r.n) for r in
+                      ix.groupBy("bucket")
+                      .agg(F.count("*").alias("n")).collect()
+                      if r.bucket is not None}
+        if per_bucket:
+            occ = sorted(per_bucket.values())
+            occupancy = {
+                "n_buckets_occupied": len(occ),
+                "max": occ[-1],
+                "median": statistics.median(occ),
+                "mean": round(sum(occ) / len(occ), 2),
+                "hottest_bucket": max(per_bucket,
+                                      key=per_bucket.get)}
         expected = lsh_buckets(ix.select("vec_id", "embedding"),
                                "vec_id", "embedding",
                                meta["num_planes"], meta["dim"])
@@ -457,6 +520,7 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
     from .snapshots import pinned_batches
     pinned = orphans & pinned_batches(spark, root)
     return {"live_batches": len(live), "index_rows": n_rows,
+            "bucket_occupancy": occupancy,
             "orphans": sorted(orphans - pinned),
             "pinned_held": sorted(pinned), "violations": violations}
 

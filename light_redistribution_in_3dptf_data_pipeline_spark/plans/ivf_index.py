@@ -481,29 +481,10 @@ def _compact_ivf_batches(spark: SparkSession, root: str,
                 .filter(F.col("batch_id").isin(ids))
                 .withColumn("batch_id", F.lit(cid))
                 .localCheckpoint())
-        if rows_per_file is None:
-            writer = rows.repartition(n_files_per_cell,
-                                      F.col("cell")).write
-        else:
-            # size-aware: salt each cell into ceil(rows/target)
-            # shuffle keys so a hot cell's rewrite is parallel (the
-            # per-cell counts table is at most L rows — broadcast),
-            # then let maxRecordsPerFile enforce the exact per-file
-            # cap even where two salts hash to the same task
-            counts = rows.groupBy("cell").agg(
-                F.count("*").alias("_n"))
-            salted = (rows.join(F.broadcast(counts), "cell")
-                      .withColumn("_file", F.pmod(
-                          F.hash("vec_id"),
-                          F.greatest(F.lit(1), F.ceil(
-                              F.col("_n") / rows_per_file))
-                          .cast("int"))))
-            writer = (salted.repartition(F.col("cell"),
-                                         F.col("_file"))
-                      .drop("_n", "_file")
-                      .write.option("maxRecordsPerFile",
-                                    rows_per_file))
-        (writer.mode("append").partitionBy("batch_id", "cell")
+        from .ann_index import _size_aware_writer
+        (_size_aware_writer(rows, "cell", n_files_per_cell,
+                            rows_per_file)
+         .mode("append").partitionBy("batch_id", "cell")
          .parquet(path))
 
     replaces = sorted(set(ids) | {r for b in ids

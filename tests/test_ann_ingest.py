@@ -281,3 +281,35 @@ def test_probe_scan_is_partition_pruned(spark, emb, qvec, tmp_path):
     assert "batch_id IN" not in m.group(1)
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucket_occupancy_canary_and_size_aware_compaction(
+        spark, emb, tmp_path):
+    """LSH-side mirror of the IVF skew tooling (r10): the fsck
+    reports bucket occupancy, and compact_ann_batches(rows_per_file)
+    splits a hot bucket into balanced files while cold buckets stay
+    single-file."""
+    import glob
+
+    root = str(tmp_path / "ix")
+    A.ann_ingest_delta(spark, root, emb, "d1")
+    rep = A.verify_ann_index(spark, root)
+    assert rep["violations"] == []
+    occ = rep["bucket_occupancy"]
+    assert occ["n_buckets_occupied"] > 1
+    assert occ["max"] <= rep["index_rows"]
+    hot = occ["hottest_bucket"]
+    n_hot = occ["max"]
+
+    target = max(2, n_hot // 3)
+    A.compact_ann_batches(spark, root, rows_per_file=target)
+    cid = A.committed_ann_batches(spark, root)[0]
+    hot_files = glob.glob(
+        f"{root}/buckets/batch_id={cid}/bucket={hot}/*.parquet")
+    assert len(hot_files) >= (n_hot + target - 1) // target
+    for f in hot_files:
+        assert spark.read.parquet(f"file:{f}").count() <= target
+    rep2 = A.verify_ann_index(spark, root)
+    assert rep2["violations"] == []
+    assert rep2["index_rows"] == rep["index_rows"]
+    assert rep2["bucket_occupancy"]["max"] == n_hot

@@ -313,6 +313,40 @@ def main() -> None:
         lines.append("")
         print("# pinned probe done", file=sys.stderr)
 
+    # Index migration (r10): after a retrain + backfill + pointer
+    # cutover, probing THROUGH the pointer resolves to the new root
+    # and keeps the exact same plan shape — migration changes
+    # routing, never the probe's cost model.
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        migration as MG)
+
+    with tempfile.TemporaryDirectory() as td:
+        AI.ann_ingest_delta(spark, f"{td}/old",
+                            emb.filter("vec_id < 1000"), "b0")
+        MG.migrate_index(spark, f"{td}/old", f"{td}/new",
+                         num_planes=4, pointer=f"{td}/ptr.json")
+        df = AI.ann_incremental_topk(spark, f"{td}/ptr.json", qvec,
+                                     exclude_id=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ann_incremental_topk through a migration "
+                     "pointer (re-trained root, atomic cutover)")
+        in_files = df.inputFiles()
+        assert in_files and all("/new/" in f for f in in_files)
+        lines.append("- the pointer file resolves to the NEW root; "
+                     "the scan reads only its backfilled "
+                     "`migrate-*` batch directories")
+        m = _re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        if m:
+            lines.append(f"- `{m.group(0)}` — the re-bucketed "
+                         "probe prunes the second partition level "
+                         "exactly like the pre-migration index")
+        assert "Exchange" not in plan
+        lines.append("- no Exchange (TakeOrderedAndProject over the "
+                     "pruned scan)")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# migrated probe done", file=sys.stderr)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
