@@ -249,6 +249,13 @@ def main() -> None:
         total += per_query["ann_ingest"]
         total_warm += per_query_warm["ann_ingest"]
 
+        # probe the COMPACTED index (untimed compaction): the probe
+        # cost then measures the steady-state production shape and
+        # is independent of how many deltas the ingest legs ran —
+        # per-batch directory fan-out is the ingest legs' story
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
+            compact_ann_batches)
+        compact_ann_batches(spark, ann_root)
         qvec = [float(x) for x in
                 embt.filter("vec_id = 0").select("embedding")
                 .head()[0]]
@@ -286,6 +293,10 @@ def main() -> None:
         total += per_query["ivf_ingest"]
         total_warm += per_query_warm["ivf_ingest"]
 
+        # compacted-index probe, same reasoning as the ann leg
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
+            compact_ivf_batches)
+        compact_ivf_batches(spark, ivf_root)
         qvec = [float(x) for x in
                 embt.filter("vec_id = 0").select("embedding")
                 .head()[0]]
