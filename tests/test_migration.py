@@ -214,3 +214,60 @@ def test_migration_requires_train_for_ivf(spark, emb, tmp_path):
     I.ivf_ingest_delta(spark, old, emb.drop("label"), "d1")
     with pytest.raises(ValueError, match="train"):
         M.migrate_index(spark, old, str(tmp_path / "new"))
+
+
+def test_stream_follows_pointer_after_cutover(spark, emb, tmp_path):
+    """Operational continuity: a streaming vector loop fed through a
+    POINTER keeps working across a migration cutover — the next
+    drain resolves to the new root, mints that root's own checkpoint
+    incarnation, re-reads are absorbed by the id-dedup gate, and new
+    files are admitted to the NEW root while the old root stays
+    untouched."""
+    import glob
+    import os
+    import shutil as sh
+    import tempfile
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.streaming import (
+        vectors as V)
+
+    def drop(df, src_dir, name):
+        staging = tempfile.mkdtemp(prefix="mig_drop_")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = glob.glob(f"{staging}/part-*.parquet")[0]
+            os.makedirs(src_dir, exist_ok=True)
+            sh.copy(part, os.path.join(src_dir, f"{name}.parquet"))
+        finally:
+            sh.rmtree(staging, ignore_errors=True)
+
+    src = str(tmp_path / "drop")
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    alias = str(tmp_path / "index.json")
+
+    # phase 1: stream into the (pointer-fronted) old root
+    M.set_index_pointer(spark, alias, old)
+    # the pointer must name an initialized root — initialize old
+    # with a first manual ingest, then stream through the alias
+    A.ann_ingest_delta(spark, old, emb.filter("vec_id < 50"), "seed")
+    drop(emb.filter("vec_id >= 50 AND vec_id < 100")
+         .select("vec_id", "embedding"), src, "f0")
+    V.run_vector_ingestion(spark, src, alias).awaitTermination(120)
+    assert (A.read_ann_index(spark, old).count()
+            == emb.filter("vec_id < 100").count())
+
+    # phase 2: migrate + cut over the SAME alias
+    M.migrate_index(spark, old, new, num_planes=4, pointer=alias)
+    n_old = A.read_ann_index(spark, old).count()
+
+    # phase 3: a new drop lands through the alias in the NEW root;
+    # the re-read of f0 (fresh checkpoint incarnation under new) is
+    # absorbed by the id-dedup gate, the new file is admitted
+    drop(emb.filter("vec_id >= 100 AND vec_id < 130")
+         .select("vec_id", "embedding"), src, "f1")
+    V.run_vector_ingestion(spark, src, alias).awaitTermination(120)
+    assert (A.read_ann_index(spark, new).count()
+            == emb.filter("vec_id < 130").count())
+    assert A.read_ann_index(spark, old).count() == n_old
+    assert A.verify_ann_index(spark, new)["violations"] == []
