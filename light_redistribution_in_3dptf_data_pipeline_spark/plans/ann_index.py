@@ -639,12 +639,12 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
             f"embeddings readable (snapshots.read_pinned_table). "
             f"Release them or pass release_conflicting_pins=True.")
     # conflict DETECTED here (before the expensive rewrite), but the
-    # pin files are deleted only AFTER the rewrite, immediately
-    # before the fenced manifest PUT (ADVICE r9): a crash mid-rewrite
-    # must leave the pins intact — the takedown never landed, its
-    # released_pins audit record was never written, and the next
-    # prune must not sweep the formerly-held batches of a takedown
-    # that will be retried. No new pin can land meanwhile: we hold
+    # pin files are deleted only AFTER the fenced manifest PUT
+    # (ADVICE r9): a crash anywhere before the PUT leaves every hold
+    # intact — the takedown never landed and will be retried — while
+    # a crash between the PUT and the sweep heals at the next prune,
+    # which honors the committed manifest's released_pins as the
+    # staged release intent. No new pin can land meanwhile: we hold
     # the writer lease pin_snapshot also takes.
     released: list[str] = list(conflicting)
 
@@ -672,13 +672,22 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
                 "n_admitted": n_after}
     if released:
         manifest["released_pins"] = released   # takedown audit trail
-        from ..fs import delete_path as _dp
-        for d in released:   # takedown wins over EVERY holder
-            _dp(spark, _pin_path(root, d))
     if lease is not None:
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),
                       json.dumps(manifest, sort_keys=True))
+    if _crash_after == "manifest":
+        raise RuntimeError(
+            f"injected crash after manifest PUT (batch {cid})")
+    # pins swept only AFTER the manifest landed: a crash mid-rewrite
+    # leaves every hold intact (the takedown never happened), and a
+    # crash between the PUT and this sweep heals at the next prune —
+    # _prune_superseded honors committed released_pins as the staged
+    # release intent (ADVICE r9 crash-window, both directions)
+    if released:
+        from ..fs import delete_path as _dp
+        for d in released:   # takedown wins over EVERY holder
+            _dp(spark, _pin_path(root, d))
     _write_snapshot(spark, root, {**ms, cid: manifest})
     _prune_superseded(spark, root, tables=(table,), lease=lease)
     return cid

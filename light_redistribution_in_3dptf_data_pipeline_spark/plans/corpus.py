@@ -1013,10 +1013,20 @@ def _prune_superseded(spark: SparkSession, root: str,
     # ingest tables by default, or another batch-partitioned layout
     # sharing this manifest protocol (plans/ann_index.py).
     from ..fs import delete_path
-    from .snapshots import pinned_batches
+    from .snapshots import _pin_path, list_pins, pinned_batches
 
     ms = _load_manifests(spark, root)
     gone = _superseded(ms)
+    # RECONCILIATION (r10): a takedown that committed its retain
+    # manifest (recording released_pins) but crashed before sweeping
+    # the pin files would otherwise leave the deleted content
+    # pinned-readable forever — the committed manifest is the staged
+    # release intent, so honor it here before computing holds.
+    released = {d for m in ms.values()
+                for d in m.get("released_pins", ())}
+    if released:
+        for d in sorted(released & set(list_pins(spark, root))):
+            delete_path(spark, _pin_path(root, d))
     # snapshot pins HOLD superseded batches (manifest + data): a
     # pinned training view stays re-readable until release_pin +
     # the next sweep. Normal readers never see them either way.
@@ -1238,11 +1248,12 @@ def _delete_documents(spark: SparkSession, root: str,
             f"readable (snapshots.read_corpus_pinned). Release "
             f"them (snapshots.release_pin) or pass "
             f"release_conflicting_pins=True.")
-    # detected BEFORE the rewrite, deleted only after it — right
-    # before the fenced manifest PUT (ADVICE r9): a crash in the
-    # rewrite window must leave the pins' holds intact, since the
-    # takedown never landed and will be retried. The held lease
-    # excludes new pins meanwhile.
+    # detected BEFORE the rewrite, deleted only AFTER the fenced
+    # manifest PUT (ADVICE r9): a crash anywhere before the PUT
+    # leaves the holds intact (takedown never landed, will be
+    # retried); a crash between the PUT and the sweep heals at the
+    # next prune via the committed released_pins reconciliation.
+    # The held lease excludes new pins meanwhile.
     released: list[str] = list(conflicting)
 
     cid = _next_seq_id(ms, "retain")
@@ -1296,12 +1307,16 @@ def _delete_documents(spark: SparkSession, root: str,
     }
     if released:
         manifest["released_pins"] = released   # takedown audit trail
-        for d in released:   # takedown wins over EVERY holder
-            delete_path(spark, _pin_path(root, d))
     if lease is not None:
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, cid),
                       json.dumps(manifest, sort_keys=True))
+    # pins swept only AFTER the manifest landed: crash mid-rewrite =
+    # holds intact, crash after the PUT = healed by the next prune's
+    # released_pins reconciliation (ADVICE r9, both crash directions)
+    if released:
+        for d in released:   # takedown wins over EVERY holder
+            delete_path(spark, _pin_path(root, d))
     _write_snapshot(spark, root, {**ms, cid: manifest})
 
     _prune_superseded(spark, root, lease=lease)

@@ -166,7 +166,10 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
     # survives, each commit is manifest-last, and batch identity
     # makes a crashed migration resumable. The per-batch read is a
     # first-level partition-pruned scan of the old root — one pass
-    # over the old postings total, never a re-embedding.
+    # over the old postings total, never a re-embedding. The new
+    # root's prior manifests are loaded ONCE: a skipped batch was
+    # committed by an earlier run, so the pre-loop snapshot has it.
+    prior = _load_manifests(spark, new_root)
     migrated, skipped, n_vectors = [], [], 0
     for b in old_live:
         want = oms[b].get("n_admitted", 0)
@@ -179,8 +182,7 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             m = ingest(delta, bid, oms[b].get("corpus_batch"))
         except BatchAlreadyIngested:
             skipped.append(bid)   # resume path: committed last run
-            nms = _load_manifests(spark, new_root)
-            n_vectors += nms[bid].get("n_admitted", 0)
+            n_vectors += prior[bid].get("n_admitted", 0)
             continue
         if m["n_admitted"] != want:
             raise RuntimeError(
@@ -190,17 +192,45 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
         migrated.append(bid)
         n_vectors += m["n_admitted"]
 
-    # the migration-wide ledger check before anyone cuts over
+    # migration-wide checks BEFORE anyone cuts over:
+    # 1. this run's batches hold exactly the old root's rows;
+    # 2. the new root's LIVE batch set is exactly the expected
+    #    migrate-set — a dirty/reused new_root, or an old root that
+    #    was compacted between a crash and the resume (leaving stale
+    #    migrate-* siblings live alongside the re-migrated compact
+    #    batch), fails loudly instead of cutting over with every
+    #    vector twice;
+    # 3. the kind-matched fsck is clean.
     want_total = sum(oms[b].get("n_admitted", 0) for b in old_live)
     if n_vectors != want_total:
         raise RuntimeError(
             f"migration of {old_root} -> {new_root} holds "
             f"{n_vectors} vectors, old root has {want_total}")
+    nms = _load_manifests(spark, new_root)
+    live_new = sorted(b for b in nms if b not in _superseded(nms))
+    expected = sorted(f"{MIGRATE_PREFIX}{b}" for b in old_live
+                      if oms[b].get("n_admitted", 0))
+    if live_new != expected:
+        raise RuntimeError(
+            f"new root {new_root} holds live batches {live_new}, "
+            f"expected exactly {expected} — a reused build root or "
+            f"an old root compacted mid-migration would serve "
+            f"duplicate vectors; start a fresh new_root")
+    if kind == "ivf_incremental":
+        from .ivf_index import verify_ivf_index
+        fsck = verify_ivf_index(spark, new_root)
+    else:
+        from .ann_index import verify_ann_index
+        fsck = verify_ann_index(spark, new_root)
+    if fsck["violations"]:
+        raise RuntimeError(
+            f"new root {new_root} fails its fsck — refusing to cut "
+            f"over: {fsck['violations']}")
 
     report = {"old_root": old_root, "new_root": new_root,
               "kind": kind, "batches_migrated": migrated,
               "batches_skipped": skipped, "n_vectors": n_vectors,
-              "pointer": pointer}
+              "fsck": fsck, "pointer": pointer}
     if pointer is not None:
         set_index_pointer(spark, pointer, new_root,
                           note=f"migrated from {old_root}")

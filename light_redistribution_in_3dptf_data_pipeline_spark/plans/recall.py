@@ -25,43 +25,26 @@ plans/migration.py).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import TOP_K, _fixed_point
+from ..operators.similarity import TOP_K
 
 
 def exact_topk_ids(scan: DataFrame, query_vec: list, k: int,
                    exclude_id: int | None = None) -> list[int]:
     """Ground truth: exact fixed-point cosine top-k ids over an
-    unpruned (vec_id, embedding) scan — the same scoring arithmetic
-    and tie order as the index probes (_cosine_rerank/_ivf_rerank),
-    so recall measures PRUNING loss only, never scoring drift."""
-    from ..queries.similarity import _fixed_dot
+    unpruned (vec_id, embedding) scan — BY CONSTRUCTION the same
+    scoring arithmetic and tie order as the index probes, because it
+    IS the probes' re-rank (``ann_index._cosine_rerank``) run over
+    the full scan (dummy bucket column, no probe filter). Recall
+    therefore measures PRUNING loss only; scoring drift is
+    impossible, not merely tested for."""
+    from .ann_index import _cosine_rerank
 
-    if exclude_id is not None:
-        scan = scan.filter(F.col("vec_id") != exclude_id)
-    qci = [math.floor(float(x) * 1000000000.0 + 0.5)
-           for x in query_vec]
-    qsq = float(sum(c * c for c in qci)) / 1e18
-    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
-    dec = scan.select("vec_id",
-                      _fixed_point(F.col("embedding")).alias("ci"),
-                      qarr.alias("qci"))
-    scored = dec.select(
-        "vec_id",
-        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
-        .alias("dot"),
-        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
-        .alias("nsq"))
-    cosine = F.round(
-        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq))), 9)
+    full = scan.withColumn("bucket", F.lit(0))
     return [int(r.vec_id) for r in
-            scored.select("vec_id", cosine.alias("cosine"))
-            .orderBy(F.desc("cosine"), F.asc("vec_id"))
-            .limit(k).collect()]
+            _cosine_rerank(full, query_vec, k, exclude_id).collect()]
 
 
 def measure_recall(spark: SparkSession, root: str,

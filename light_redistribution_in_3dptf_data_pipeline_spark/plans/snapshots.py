@@ -259,7 +259,12 @@ def release_pin(spark: SparkSession, root: str, digest: str,
         if owner is not None:
             doc = json.loads(read_text(spark, path))
             holders = dict(doc.get("holders", {}))
-            holders.pop(owner, None)
+            if owner not in holders:
+                # not a holder (incl. legacy pins without a holders
+                # dict): an owner-scoped release must never destroy
+                # someone else's hold — release those ownerless
+                return False
+            holders.pop(owner)
             if holders:
                 doc["holders"] = holders
                 lease.fence()
@@ -364,6 +369,8 @@ def pin_linked(spark: SparkSession, corpus_root: str,
     a writer landing between two pins can leave the linked view with
     a coverage gap; :func:`verify_linked_pin` measures exactly that
     instead of pretending atomicity."""
+    import time
+
     cpin = pin_snapshot(spark, corpus_root, note=note, owner=owner,
                         created_at=created_at)
     ipins = {r: pin_snapshot(spark, r, note=note, owner=owner,
@@ -375,15 +382,25 @@ def pin_linked(spark: SparkSession, corpus_root: str,
     digest = hashlib.sha256(
         json.dumps(ident, sort_keys=True)
         .encode("utf-8")).hexdigest()[:32]
+    # linked docs refcount holders exactly like the per-root pins:
+    # two consumers linking identical content collide onto one
+    # content-addressed doc with BOTH holds recorded (a last-writer-
+    # wins single owner field would let either release destroy the
+    # other's view)
+    lpath = f"{corpus_root}/{LINKED_PIN_DIR}/{digest}.json"
+    holders: dict = {}
+    if path_exists(spark, lpath):
+        holders = dict(json.loads(read_text(spark, lpath))
+                       .get("holders", {}))
+    holders[owner] = (float(created_at) if created_at is not None
+                      else time.time())
     doc = {"linked_digest": digest, "corpus_root": corpus_root,
            "corpus_pin": cpin["snapshot_digest"],
            "index_pins": ident["indexes"],
-           "owner": owner}
+           "holders": holders}
     if note is not None:
         doc["note"] = note
-    write_text_atomic(
-        spark, f"{corpus_root}/{LINKED_PIN_DIR}/{digest}.json",
-        json.dumps(doc, sort_keys=True))
+    write_text_atomic(spark, lpath, json.dumps(doc, sort_keys=True))
     return doc
 
 
@@ -413,19 +430,47 @@ def _resolve_linked(spark: SparkSession, corpus_root: str,
 
 
 def release_linked_pin(spark: SparkSession, corpus_root: str,
-                       linked: "dict | str") -> None:
-    """Release every underlying per-root pin AS THIS LINKED PIN'S
-    OWNER (so a per-root pin shared with another holder keeps its
-    hold — the refcounted release), then the linked document itself.
-    Legacy linked docs without an owner fall back to the global
-    release. Idempotent: already-released parts no-op."""
+                       linked: "dict | str",
+                       owner: str | None = None) -> bool:
+    """Release a linked pin. With ``owner`` given, drop only that
+    holder's hold: the owner's per-root holds are released
+    (refcounted — a per-root pin shared with other holders keeps
+    theirs), the linked doc's holders shrink, and the doc itself is
+    deleted only when the LAST holder leaves. ``owner=None`` is the
+    GLOBAL release: every recorded holder's per-root holds are
+    dropped (ownerless on legacy docs) and the doc is deleted.
+    Idempotent: already-released parts no-op. Returns True iff the
+    linked doc is gone after this call."""
     doc = _resolve_linked(spark, corpus_root, linked)
-    owner = doc.get("owner")
-    for iroot, d in sorted(doc["index_pins"].items()):
-        release_pin(spark, iroot, d, owner=owner)
-    release_pin(spark, corpus_root, doc["corpus_pin"], owner=owner)
-    delete_path(spark, f"{corpus_root}/{LINKED_PIN_DIR}/"
-                       f"{doc['linked_digest']}.json")
+    lpath = (f"{corpus_root}/{LINKED_PIN_DIR}/"
+             f"{doc['linked_digest']}.json")
+    holders = dict(doc.get("holders", {}))
+
+    def _release_underlying(o: str | None) -> None:
+        for iroot, d in sorted(doc["index_pins"].items()):
+            release_pin(spark, iroot, d, owner=o)
+        release_pin(spark, corpus_root, doc["corpus_pin"], owner=o)
+
+    if owner is not None:
+        if owner not in holders:
+            # not a holder (incl. legacy docs without holders):
+            # owner-scoped release never destroys another's view
+            return False
+        holders.pop(owner)
+        _release_underlying(owner)
+        if holders:
+            doc["holders"] = holders
+            write_text_atomic(spark, lpath,
+                              json.dumps(doc, sort_keys=True))
+            return False
+        delete_path(spark, lpath)
+        return True
+    # global release (or legacy doc without holders): drop every
+    # recorded holder's underlying holds, then ownerless for legacy
+    for h in sorted(holders) or [None]:
+        _release_underlying(h)
+    delete_path(spark, lpath)
+    return True
 
 
 def read_linked_pinned(spark: SparkSession, corpus_root: str,
@@ -487,14 +532,15 @@ def verify_linked_pin(spark: SparkSession, corpus_root: str,
     report["pins"][corpus_root] = cpin_rep
     report["violations"] += [f"{corpus_root}: {v}"
                              for v in cpin_rep["violations"]]
-    if cpin_rep["missing_data"] or cpin_rep["missing_manifests"]:
-        # the pinned corpus is no longer readable — the violations
-        # above say why; the coverage join would only crash on the
-        # same missing directories (read_corpus_pinned raises)
-        return report
+    # an unreadable pinned corpus (swept data / deleted manifests)
+    # is already a violation above; the per-index pin fscks still
+    # run, only the coverage joins are skipped — they would crash on
+    # the same missing directories (read_*_pinned raises by design)
+    corpus_readable = not (cpin_rep["missing_data"]
+                           or cpin_rep["missing_manifests"])
     doc_ids = (read_corpus_pinned(spark, corpus_root,
                                   doc["corpus_pin"])
-               .select("doc_id"))
+               .select("doc_id") if corpus_readable else None)
     from .linkage import _index_kind
 
     for iroot, d in sorted(doc["index_pins"].items()):
@@ -511,6 +557,9 @@ def verify_linked_pin(spark: SparkSession, corpus_root: str,
         report["pins"][iroot] = irep
         report["violations"] += [f"{iroot}: {v}"
                                  for v in irep["violations"]]
+        if (doc_ids is None or irep["missing_data"]
+                or irep["missing_manifests"]):
+            continue   # unreadable side: reported, not crashed
         vec_ids = (read_vectors_pinned(spark, iroot, d)
                    .select("vec_id"))
         gap = doc_ids.join(vec_ids,

@@ -271,3 +271,18 @@ def test_stream_follows_pointer_after_cutover(spark, emb, tmp_path):
             == emb.filter("vec_id < 130").count())
     assert A.read_ann_index(spark, old).count() == n_old
     assert A.verify_ann_index(spark, new)["violations"] == []
+
+
+def test_migration_refuses_dirty_new_root(spark, emb, tmp_path):
+    """r10 review: the pre-cutover check must compare the new
+    root's LIVE batch set against the expected migrate-set — a
+    reused root with foreign batches would otherwise serve
+    duplicate (or alien) vectors after cutover."""
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    A.ann_ingest_delta(spark, old, emb.filter("vec_id < 100"), "d1")
+    # the "new" root already holds an unrelated committed batch
+    A.ann_ingest_delta(spark, new, emb.filter("vec_id >= 100"),
+                       "stray")
+    with pytest.raises(RuntimeError, match="expected exactly"):
+        M.migrate_index(spark, old, new)

@@ -636,3 +636,115 @@ def test_training_build_linked_pinned_reproducible(spark, tmp_path):
     with pytest.raises(ValueError, match="fresh build root"):
         SN.training_build_linked_pinned(
             spark, croot, b1, w, index_root=vroot, n_shards=2)
+
+
+def test_takedown_pins_survive_until_manifest_then_heal(spark,
+                                                        tmp_path):
+    """The REVERSE crash window (r10 review): a takedown that lands
+    its retain manifest but dies before sweeping the released pin
+    files must not leave the deleted content pinned-readable forever
+    — the committed manifest's released_pins is the staged release
+    intent, and the next prune honors it."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path / "v")
+    A.ann_ingest_delta(spark, root, emb, "d1")
+    pin = SN.pin_snapshot(spark, root, owner="eval")
+
+    with pytest.raises(RuntimeError, match="after manifest PUT"):
+        A.delete_vectors(spark, root, [1],
+                         release_conflicting_pins=True,
+                         _crash_after="manifest")
+    # the takedown COMMITTED (manifest landed, audit recorded)...
+    ms = corpus._load_manifests(spark, root)
+    retained = [b for b in ms if b.startswith("retain-")]
+    assert retained and ms[retained[0]]["released_pins"] == [
+        pin["snapshot_digest"]]
+    # ...but the crash left the pin file behind
+    assert pin["snapshot_digest"] in SN.list_pins(spark, root)
+
+    # the next prune reconciles: pin swept, held batch reclaimed
+    corpus._prune_superseded(spark, root, tables=("buckets",))
+    assert SN.list_pins(spark, root) == {}
+    assert A.verify_ann_index(spark, root)["violations"] == []
+    with pytest.raises(ValueError, match="no pin"):
+        SN.read_pinned_table(spark, root, pin["snapshot_digest"],
+                             "buckets")
+
+
+def test_linked_pin_holders_refcount(spark, tmp_path):
+    """Linked docs refcount like per-root pins (r10 review): two
+    consumers linking identical content share ONE doc; the first
+    owner's release keeps the other's view (and underlying holds)
+    alive, the last removes everything; a non-holder release no-ops."""
+    croot = str(tmp_path / "c")
+    vroot = str(tmp_path / "v")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 11)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1")
+
+    la = SN.pin_linked(spark, croot, [vroot], owner="run-a",
+                       created_at=100.0)
+    lb = SN.pin_linked(spark, croot, [vroot], owner="run-b",
+                       created_at=200.0)
+    assert la["linked_digest"] == lb["linked_digest"]
+    docs = SN.list_linked_pins(spark, croot)
+    assert docs[lb["linked_digest"]]["holders"] == {
+        "run-a": 100.0, "run-b": 200.0}
+    # the underlying per-root pins carry both holders too
+    assert set(SN.list_pins(spark, croot)[
+        la["corpus_pin"]]["holders"]) == {"run-a", "run-b"}
+
+    # a non-holder release no-ops
+    assert SN.release_linked_pin(spark, croot, la["linked_digest"],
+                                 owner="nobody") is False
+    # run-a releases: the linked view + run-b's holds stay alive
+    assert SN.release_linked_pin(spark, croot, la["linked_digest"],
+                                 owner="run-a") is False
+    assert lb["linked_digest"] in SN.list_linked_pins(spark, croot)
+    assert SN.list_pins(spark, croot)[
+        la["corpus_pin"]]["holders"] == {"run-b": 200.0}
+    assert SN.verify_linked_pin(spark, croot,
+                                lb["linked_digest"])["violations"] \
+        == []
+
+    # run-b (last holder) releases: doc and underlying pins gone
+    assert SN.release_linked_pin(spark, croot, lb["linked_digest"],
+                                 owner="run-b") is True
+    assert SN.list_linked_pins(spark, croot) == {}
+    assert SN.list_pins(spark, croot) == {}
+    assert SN.list_pins(spark, vroot) == {}
+
+
+def test_verify_linked_pin_reports_missing_index_data(spark,
+                                                      tmp_path):
+    """r10 review: a pinned INDEX batch swept out-of-band must be
+    REPORTED by verify_linked_pin (and verify_deployment), not crash
+    it with FileNotFoundError."""
+    import shutil
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        verify_deployment)
+
+    croot = str(tmp_path / "c")
+    vroot = str(tmp_path / "v")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 11)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1",
+                       corpus_batch="d1")
+    linked = SN.pin_linked(spark, croot, [vroot], owner="eval")
+
+    shutil.rmtree(f"{vroot}/buckets/batch_id=v1")
+    rep = SN.verify_linked_pin(spark, croot, linked)
+    assert any("missing_data" in v for v in rep["violations"])
+    # the corpus pin's fsck still ran and is clean
+    assert rep["pins"][croot]["violations"] == []
+    # the composition survives too (no crash), naming the violation
+    drep = verify_deployment(spark, croot, [vroot])
+    assert any(linked["index_pins"][vroot] in v
+               and "missing_data" in v for v in drep["violations"])
