@@ -102,9 +102,15 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
     from .ann_index import verify_ann_index
     from .corpus import verify_corpus
     from .ivf_index import verify_ivf_index
+    from .migration import resolve_index_root
     from .snapshots import (list_linked_pins, list_pins, pins_report,
                             verify_linked_pin, verify_pin)
 
+    # operators hand this the same locations their probes use — a
+    # migration-cutover pointer resolves to its root (passthrough on
+    # anything else; _index_kind stays the loud guard for garbage)
+    index_roots = [resolve_index_root(spark, r, strict=False)
+                   for r in index_roots]
     out: dict = {"roots": {}, "linked": {}, "pins": {},
                  "pin_fscks": {}, "linked_pin_fscks": {},
                  "violations": []}
@@ -190,8 +196,11 @@ def takedown_documents(spark: SparkSession, corpus_root: str,
     Returns ``{"indexes": {root: retain-batch-id | None},
     "corpus": retain-batch-id | None, "skipped": [reason, ...]}``.
     """
+    from .migration import resolve_index_root
+
     report: dict = {"indexes": {}, "corpus": None, "skipped": []}
     for iroot in index_roots:
+        iroot = resolve_index_root(spark, iroot, strict=False)
         kind = _index_kind(spark, iroot)   # loud on a bad root
         try:
             if kind == "ivf_incremental":

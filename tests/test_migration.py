@@ -286,3 +286,37 @@ def test_migration_refuses_dirty_new_root(spark, emb, tmp_path):
                        "stray")
     with pytest.raises(RuntimeError, match="expected exactly"):
         M.migrate_index(spark, old, new)
+
+
+def test_fsck_and_takedown_follow_pointer(spark, emb, tmp_path):
+    """verify_deployment and takedown_documents accept the same
+    pointer the probes use — after a cutover, operations against the
+    alias land on the new root."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        takedown_documents, verify_deployment)
+
+    croot = str(tmp_path / "c")
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    alias = str(tmp_path / "ix.json")
+    docs = spark.createDataFrame(
+        [(int(i), " ".join(f"m{i}w{j}k{(i * 5 + j) % 71}"
+                           for j in range(14)), "en", "s", 1)
+         for i in range(1, 21)],
+        "doc_id LONG, text STRING, lang STRING, "
+        "source STRING, n_chars LONG")
+    got = corpus.ingest_delta(spark, croot, docs, "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, old,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1",
+                       corpus_batch="d1")
+    M.migrate_index(spark, old, new, pointer=alias)
+
+    rep = verify_deployment(spark, croot, [alias])
+    assert rep["violations"] == []
+    assert new in rep["roots"]          # resolved, not the alias
+
+    takedown_documents(spark, croot, [alias], [ids[0]])
+    rep = verify_deployment(spark, croot, [alias])
+    assert rep["violations"] == []      # both sides cleaned via alias
