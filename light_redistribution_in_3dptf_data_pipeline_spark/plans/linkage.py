@@ -154,11 +154,24 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
         _check_pins(iroot, ("buckets" if kind == "ann_lsh_incremental"
                             else "postings"))
 
-    for ldigest in sorted(list_linked_pins(spark, corpus_root)):
+    linked_docs = list_linked_pins(spark, corpus_root)
+    for ldigest in sorted(linked_docs):
         lrep = verify_linked_pin(spark, corpus_root, ldigest)
         out["linked_pin_fscks"][ldigest] = lrep
         out["violations"] += [f"linked pin {ldigest}: {v}"
                               for v in lrep["violations"]]
+        # the age policy covers linked docs too (their holders carry
+        # created_at like per-root pins)
+        holders = linked_docs[ldigest].get("holders", {})
+        if max_pin_age_seconds is not None and holders:
+            import time
+
+            age = time.time() - min(holders.values())
+            if age > max_pin_age_seconds:
+                out["violations"].append(
+                    f"linked pin {ldigest} breaks policy ['aged'] "
+                    f"(age {age:.0f}s, holders "
+                    f"{sorted(holders)})")
     return out
 
 

@@ -352,3 +352,26 @@ def test_skew_canary_and_size_aware_compaction(spark, emb, tmp_path):
     assert rep2["violations"] == []
     assert rep2["index_rows"] == rep["index_rows"]
     assert rep2["cell_occupancy"]["max"] == occ["max"]
+
+
+def test_ivf_compaction_preserves_provenance(spark, emb, tmp_path):
+    """_union_provenance on the IVF compactor (the ann-side twin is
+    covered by the streaming test): folding batches with str and
+    list corpus_batch values unions to a sorted list; a single
+    distinct value stays a str."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        _load_manifests, _superseded)
+
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, emb)
+    I.ivf_ingest_delta(spark, root,
+                       emb.filter("vec_id < 200").drop("label"),
+                       "d1", corpus_batch="c1")
+    I.ivf_ingest_delta(spark, root,
+                       emb.filter("vec_id >= 200").drop("label"),
+                       "d2", corpus_batch=["c1", "c2"])
+    I.compact_ivf_batches(spark, root)
+    ms = _load_manifests(spark, root)
+    live = [b for b in ms if b not in _superseded(ms)]
+    assert len(live) == 1
+    assert ms[live[0]]["corpus_batch"] == ["c1", "c2"]

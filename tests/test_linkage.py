@@ -294,3 +294,26 @@ def test_verify_deployment_flags_policy_breaking_pins(spark, emb,
     # without a policy, the same deployment is clean
     assert verify_deployment(spark, croot,
                              [aroot])["violations"] == []
+
+
+def test_verify_deployment_ages_linked_pins(spark, emb, tmp_path):
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        snapshots as SN)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        verify_deployment)
+
+    croot = str(tmp_path / "corpus")
+    aroot = str(tmp_path / "ann")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 6)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, aroot,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1",
+                       corpus_batch="d1")
+    linked = SN.pin_linked(spark, croot, [aroot], owner="forgotten",
+                           created_at=0.0)
+    rep = verify_deployment(spark, croot, [aroot],
+                            max_pin_age_seconds=3_600)
+    # the linked doc AND its underlying per-root pins all age out
+    assert any(linked["linked_digest"] in v and "aged" in v
+               for v in rep["violations"])
