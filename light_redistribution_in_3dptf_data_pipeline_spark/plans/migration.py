@@ -182,7 +182,12 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             m = ingest(delta, bid, oms[b].get("corpus_batch"))
         except BatchAlreadyIngested:
             skipped.append(bid)   # resume path: committed last run
-            n_vectors += prior[bid].get("n_admitted", 0)
+            # .get twice (ADVICE r10): a migrate-* batch committed by
+            # a CONCURRENT writer after the pre-loop snapshot, or one
+            # superseded out from under us, is absent from `prior` —
+            # count it as 0 and let the want_total / live_new checks
+            # below report the mismatch loudly instead of a KeyError
+            n_vectors += prior.get(bid, {}).get("n_admitted", 0)
             continue
         if m["n_admitted"] != want:
             raise RuntimeError(
@@ -226,6 +231,28 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
         raise RuntimeError(
             f"new root {new_root} fails its fsck — refusing to cut "
             f"over: {fsck['violations']}")
+
+    # 4. the OLD root must not have moved during the backfill (ADVICE
+    # r10, medium): a batch committed to old_root while we re-routed —
+    # e.g. by a still-running ingestion stream, which resolves its
+    # pointer once at stream START and keeps writing to the old root —
+    # would be silently absent from the new root after cutover. The
+    # backfill verified the SNAPSHOT; re-load the old manifests and
+    # abort before anyone (us via `pointer`, or the caller manually)
+    # flips readers. Operationally: quiesce/stop writers on the old
+    # root before migrating, and RESTART streams after the cutover so
+    # they re-resolve the pointer.
+    oms2 = _load_manifests(spark, old_root)
+    old_live2 = sorted(b for b in oms2 if b not in _superseded(oms2))
+    if old_live2 != old_live or any(oms2[b] != oms[b]
+                                    for b in old_live):
+        raise RuntimeError(
+            f"old root {old_root} changed during the backfill (live "
+            f"set was {old_live}, is now {old_live2}) — a writer is "
+            f"still committing to it; its post-snapshot batches are "
+            f"NOT in {new_root}. Quiesce old-root writers and re-run "
+            f"the migration (committed migrate-* batches resume by "
+            f"identity) before cutting over")
 
     report = {"old_root": old_root, "new_root": new_root,
               "kind": kind, "batches_migrated": migrated,

@@ -239,18 +239,21 @@ def pins_report(spark: SparkSession, root: str,
 
 
 def release_pin(spark: SparkSession, root: str, digest: str,
-                owner: str | None = None) -> bool:
+                owner: str | None = DEFAULT_PIN_OWNER) -> bool:
     """Release a pin. With ``owner`` given, drop only that holder's
     hold (the refcounted path — ADVICE r9: shared content-addressed
     pins must not let one consumer's release destroy another's); the
     file — and with it the GC hold — is deleted only when the LAST
     holder releases. ``owner=None`` is the GLOBAL release: the file
-    is deleted regardless of other holders (the takedown-cascade
-    semantic — use an owner everywhere else). Batches become
-    reclaimable by the NEXT ``prune_superseded`` (release never
-    deletes data itself). Returns True iff the pin file is gone
-    after this call; False when it never existed or other holders
-    keep it alive."""
+    is deleted regardless of other holders — the takedown-cascade /
+    operator escape hatch, and it must be REQUESTED explicitly
+    (ADVICE r10: the default is :data:`DEFAULT_PIN_OWNER`, matching
+    ``pin_snapshot``'s, so pin-with-defaults + release-with-defaults
+    releases exactly the anonymous hold instead of destroying every
+    other consumer's by accident). Batches become reclaimable by the
+    NEXT ``prune_superseded`` (release never deletes data itself).
+    Returns True iff the pin file is gone after this call; False
+    when it never existed or other holders keep it alive."""
     with corpus_writer_lock(spark, root,
                             op=f"release_pin:{digest}") as lease:
         path = _pin_path(root, digest)
@@ -386,21 +389,30 @@ def pin_linked(spark: SparkSession, corpus_root: str,
     # two consumers linking identical content collide onto one
     # content-addressed doc with BOTH holds recorded (a last-writer-
     # wins single owner field would let either release destroy the
-    # other's view)
+    # other's view). The read→merge→write runs under the corpus
+    # root's writer lease (ADVICE r10) — the same protocol the
+    # per-root pin RMW already follows — so two consumers racing
+    # pin_linked/release_linked_pin on the same content serialize
+    # instead of last-writer-winsing a holder away. Taken AFTER the
+    # per-root pin_snapshot calls above (each takes-and-releases the
+    # same lease; it is not re-entrant).
     lpath = f"{corpus_root}/{LINKED_PIN_DIR}/{digest}.json"
-    holders: dict = {}
-    if path_exists(spark, lpath):
-        holders = dict(json.loads(read_text(spark, lpath))
-                       .get("holders", {}))
-    holders[owner] = (float(created_at) if created_at is not None
-                      else time.time())
-    doc = {"linked_digest": digest, "corpus_root": corpus_root,
-           "corpus_pin": cpin["snapshot_digest"],
-           "index_pins": ident["indexes"],
-           "holders": holders}
-    if note is not None:
-        doc["note"] = note
-    write_text_atomic(spark, lpath, json.dumps(doc, sort_keys=True))
+    with corpus_writer_lock(spark, corpus_root,
+                            op=f"pin_linked:{digest}") as lease:
+        holders: dict = {}
+        if path_exists(spark, lpath):
+            holders = dict(json.loads(read_text(spark, lpath))
+                           .get("holders", {}))
+        holders[owner] = (float(created_at) if created_at is not None
+                          else time.time())
+        doc = {"linked_digest": digest, "corpus_root": corpus_root,
+               "corpus_pin": cpin["snapshot_digest"],
+               "index_pins": ident["indexes"],
+               "holders": holders}
+        if note is not None:
+            doc["note"] = note
+        lease.fence()
+        write_text_atomic(spark, lpath, json.dumps(doc, sort_keys=True))
     return doc
 
 
@@ -431,20 +443,34 @@ def _resolve_linked(spark: SparkSession, corpus_root: str,
 
 def release_linked_pin(spark: SparkSession, corpus_root: str,
                        linked: "dict | str",
-                       owner: str | None = None) -> bool:
+                       owner: str | None = DEFAULT_PIN_OWNER) -> bool:
     """Release a linked pin. With ``owner`` given, drop only that
     holder's hold: the owner's per-root holds are released
     (refcounted — a per-root pin shared with other holders keeps
     theirs), the linked doc's holders shrink, and the doc itself is
     deleted only when the LAST holder leaves. ``owner=None`` is the
-    GLOBAL release: every recorded holder's per-root holds are
-    dropped (ownerless on legacy docs) and the doc is deleted.
+    GLOBAL release — every recorded holder's per-root holds are
+    dropped (ownerless on legacy docs) and the doc is deleted — and
+    must be requested explicitly (the default matches
+    ``pin_linked``'s, mirroring ``release_pin``, ADVICE r10).
     Idempotent: already-released parts no-op. Returns True iff the
-    linked doc is gone after this call."""
+    linked doc is gone after this call.
+
+    Locking (ADVICE r10): every read→modify→write of the linked doc
+    runs under the corpus root's writer lease with a FRESH read of
+    the doc — a holder merged in by a concurrent ``pin_linked`` since
+    this caller resolved ``linked`` survives, and two concurrent
+    releases of different owners cannot last-writer-wins each other.
+    The underlying per-root releases run BEFORE the doc shrinks (a
+    crash in between leaves the holder recorded with its per-root
+    holds already gone — the retry direction that heals; the reverse
+    order would leak per-root pins with no record), and outside the
+    lease, since ``release_pin`` takes the same non-reentrant lease
+    on the corpus root."""
     doc = _resolve_linked(spark, corpus_root, linked)
     lpath = (f"{corpus_root}/{LINKED_PIN_DIR}/"
              f"{doc['linked_digest']}.json")
-    holders = dict(doc.get("holders", {}))
+    lock_op = f"release_linked:{doc['linked_digest']}"
 
     def _release_underlying(o: str | None) -> None:
         for iroot, d in sorted(doc["index_pins"].items()):
@@ -452,24 +478,42 @@ def release_linked_pin(spark: SparkSession, corpus_root: str,
         release_pin(spark, corpus_root, doc["corpus_pin"], owner=o)
 
     if owner is not None:
-        if owner not in holders:
-            # not a holder (incl. legacy docs without holders):
-            # owner-scoped release never destroys another's view
-            return False
-        holders.pop(owner)
+        with corpus_writer_lock(spark, corpus_root, op=lock_op):
+            if not path_exists(spark, lpath):
+                return False
+            fresh = json.loads(read_text(spark, lpath))
+            if owner not in fresh.get("holders", {}):
+                # not a holder (incl. legacy docs without holders):
+                # owner-scoped release never destroys another's view
+                return False
         _release_underlying(owner)
-        if holders:
-            doc["holders"] = holders
-            write_text_atomic(spark, lpath,
-                              json.dumps(doc, sort_keys=True))
-            return False
-        delete_path(spark, lpath)
-        return True
+        with corpus_writer_lock(spark, corpus_root,
+                                op=lock_op) as lease:
+            if not path_exists(spark, lpath):
+                return False   # a racing global release got there
+            fresh = json.loads(read_text(spark, lpath))
+            holders = dict(fresh.get("holders", {}))
+            holders.pop(owner, None)
+            if holders:
+                fresh["holders"] = holders
+                lease.fence()
+                write_text_atomic(spark, lpath,
+                                  json.dumps(fresh, sort_keys=True))
+                return False
+            lease.fence()
+            delete_path(spark, lpath)
+            return True
     # global release (or legacy doc without holders): drop every
     # recorded holder's underlying holds, then ownerless for legacy
+    with corpus_writer_lock(spark, corpus_root, op=lock_op):
+        if path_exists(spark, lpath):
+            doc = json.loads(read_text(spark, lpath))
+    holders = dict(doc.get("holders", {}))
     for h in sorted(holders) or [None]:
         _release_underlying(h)
-    delete_path(spark, lpath)
+    with corpus_writer_lock(spark, corpus_root, op=lock_op) as lease:
+        lease.fence()
+        delete_path(spark, lpath)
     return True
 
 

@@ -51,7 +51,8 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
                          index_root: str,
                          num_planes: int | None = None,
                          dim: int | None = None,
-                         max_files_per_trigger: int | None = None):
+                         max_files_per_trigger: int | None = None,
+                         checkpoint: str | None = None):
     """Drain the drop directory into the root's incremental vector
     index (availableNow: everything currently present, then stop;
     re-invoke to pick up only NEW files via the checkpoint).
@@ -76,11 +77,24 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
 
     # a migration cutover pointer resolves transparently; a fresh
     # (not-yet-initialized) root passes through for the first ingest
+    location = index_root
     index_root = resolve_index_root(spark, index_root, strict=False)
 
     stream = stream_embeddings(
         spark, src_path, max_files_per_trigger=max_files_per_trigger)
-    checkpoint = f"{index_root}/_stream_checkpoint"
+    # the checkpoint keys off the LOCATION THE CALLER NAMED, not the
+    # resolved root (ADVICE r10): a stream re-invoked through a
+    # pointer after a migration cutover must keep its source
+    # progress — a root-derived checkpoint would reset under the new
+    # root and re-read the entire drop directory, committing one
+    # n_admitted=0 replay manifest per historical micro-batch into
+    # the fresh ledger. Pointer locations are files, so their
+    # checkpoint lives in a sibling directory; plain roots keep the
+    # historical in-root location. ``checkpoint`` overrides both.
+    if checkpoint is None:
+        checkpoint = (f"{index_root}/_stream_checkpoint"
+                      if location == index_root
+                      else f"{location}_stream_checkpoint")
     nonce_cache: dict[str, str] = {}
 
     def nonce() -> str:

@@ -261,9 +261,10 @@ def test_stream_follows_pointer_after_cutover(spark, emb, tmp_path):
     M.migrate_index(spark, old, new, num_planes=4, pointer=alias)
     n_old = A.read_ann_index(spark, old).count()
 
-    # phase 3: a new drop lands through the alias in the NEW root;
-    # the re-read of f0 (fresh checkpoint incarnation under new) is
-    # absorbed by the id-dedup gate, the new file is admitted
+    # phase 3: a new drop lands through the alias in the NEW root.
+    # The checkpoint keys off the ALIAS (ADVICE r10), so it SURVIVES
+    # the cutover: f0 is never re-read (no n_admitted=0 replay
+    # manifests spamming the new ledger), only f1 is drained
     drop(emb.filter("vec_id >= 100 AND vec_id < 130")
          .select("vec_id", "embedding"), src, "f1")
     V.run_vector_ingestion(spark, src, alias).awaitTermination(120)
@@ -271,6 +272,12 @@ def test_stream_follows_pointer_after_cutover(spark, emb, tmp_path):
             == emb.filter("vec_id < 130").count())
     assert A.read_ann_index(spark, old).count() == n_old
     assert A.verify_ann_index(spark, new)["violations"] == []
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        _load_manifests)
+    streamed = {b: m for b, m in _load_manifests(spark, new).items()
+                if b.startswith("stream-")}
+    assert len(streamed) == 1, streamed   # f1 only — no f0 replay
+    assert all(m["n_admitted"] > 0 for m in streamed.values())
 
 
 def test_migration_refuses_dirty_new_root(spark, emb, tmp_path):

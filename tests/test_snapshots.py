@@ -502,8 +502,13 @@ def test_release_unknown_owner_keeps_pin(spark, tmp_path):
     assert SN.release_pin(spark, root, pin["snapshot_digest"],
                           owner="not-a-holder") is False
     assert pin["snapshot_digest"] in SN.list_pins(spark, root)
-    # ownerless release stays the global kill switch (documented)
-    assert SN.release_pin(spark, root, pin["snapshot_digest"]) is True
+    # the DEFAULT release is owner-scoped now (ADVICE r10): a caller
+    # who isn't a holder cannot destroy run-a's hold by accident
+    assert SN.release_pin(spark, root, pin["snapshot_digest"]) is False
+    assert pin["snapshot_digest"] in SN.list_pins(spark, root)
+    # the global kill switch must be REQUESTED explicitly
+    assert SN.release_pin(spark, root, pin["snapshot_digest"],
+                          owner=None) is True
 
 
 def test_repin_same_owner_refreshes_created_at(spark, tmp_path):
