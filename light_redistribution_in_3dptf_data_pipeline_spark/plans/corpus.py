@@ -513,7 +513,13 @@ def _read_index(spark: SparkSession, root: str, name: str,
 def read_corpus(spark: SparkSession, root: str) -> DataFrame:
     """The committed corpus: batches with a manifest only (and not
     superseded), via the invisible-set complement filter — see
-    :func:`_visible_scan`."""
+    :func:`_visible_scan`. ``root`` may be a corpus POINTER file
+    written by a re-shard cutover (:func:`migration.
+    set_corpus_pointer`) — resolved transparently, like the vector
+    probes resolve index pointers."""
+    from .migration import resolve_corpus_root
+
+    root = resolve_corpus_root(spark, root, strict=False)
     committed = committed_batches(spark, root)
     if not committed:
         raise FileNotFoundError(f"no committed batches under {root}")
@@ -710,6 +716,10 @@ def ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
             f"batch_id {batch_id!r} uses a reserved maintenance "
             f"prefix (compact-/retain- are minted by "
             f"compact_batches/delete_documents)")
+    # a re-shard cutover pointer resolves transparently (the ingest
+    # loop keeps writing through the alias); a fresh root passes
+    from .migration import resolve_corpus_root
+    root = resolve_corpus_root(spark, root, strict=False)
     with corpus_writer_lock(spark, root,
                             op=f"ingest:{batch_id}") as lease:
         return _ingest_delta(spark, root, new_docs, batch_id, langs,
@@ -1188,6 +1198,8 @@ def delete_documents(spark: SparkSession, root: str,
     manifest's ``released_pins`` for audit — takedown wins over
     reproducibility, but only explicitly.
     """
+    from .migration import resolve_corpus_root
+    root = resolve_corpus_root(spark, root, strict=False)
     with corpus_writer_lock(spark, root, op="retain") as lease:
         return _delete_documents(spark, root, doc_ids, n_files,
                                  lease, _plan_sink,
@@ -1342,9 +1354,13 @@ def verify_corpus(spark: SparkSession, root: str) -> dict:
     Returns ``{"live_batches", "corpus_rows", "orphans",
     "violations"}`` — an empty ``violations`` list means every
     invariant holds. All checks are aggregates/anti-joins sized by
-    the corpus, one pass each; nothing is collected row-wise."""
+    the corpus, one pass each; nothing is collected row-wise.
+    ``root`` may be a corpus pointer (resolved like
+    :func:`read_corpus`)."""
     from ..fs import list_dir, path_exists
+    from .migration import resolve_corpus_root
 
+    root = resolve_corpus_root(spark, root, strict=False)
     ms = _load_manifests(spark, root)
     gone = _superseded(ms)
     live = sorted(b for b in ms if b not in gone)

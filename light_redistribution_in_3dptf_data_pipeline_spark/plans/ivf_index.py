@@ -115,14 +115,31 @@ def _load_centroids(spark: SparkSession, root: str,
 def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    cell_col: str = "label",
-                   dim: int = EMB_DIM) -> dict:
+                   dim: int = EMB_DIM,
+                   train_k: int | None = None,
+                   train_iters: int | None = None) -> dict:
     """TRAIN-ONCE: freeze the coarse quantizer from a labeled
     training frame (per-cell exact int64 nano-unit component sums +
     counts — the same wide aggregate the one-shot
     ``write_ivf_index`` runs) and initialize an empty incremental
     index. Ingest content separately via :func:`ivf_ingest_delta`
     (the training sample need not be index content — standard IVF
-    practice at scale is to train on a sample). Returns the meta."""
+    practice at scale is to train on a sample). Returns the meta.
+
+    UNLABELED frames (VERDICT r10 brief #1): pass ``train_k`` and
+    the labels come from the deterministic distributed k-means
+    trainer (:func:`plans.kmeans.train_centroids`) run on ``train``
+    — no caller-side clustering required. ``train_iters`` caps the
+    Lloyd iterations (trainer default otherwise)."""
+    if train_k is not None:
+        from .kmeans import DEFAULT_ITERS, train_centroids
+
+        train = train_centroids(
+            spark, train, k=train_k,
+            n_iters=(train_iters if train_iters is not None
+                     else DEFAULT_ITERS),
+            id_col=id_col, vec_col=vec_col, dim=dim)["labeled"]
+        id_col, vec_col, cell_col = "vec_id", "embedding", "label"
     with corpus_writer_lock(spark, root, op="ivf_init") as lease:
         if path_exists(spark, _meta_path(root)):
             raise ValueError(

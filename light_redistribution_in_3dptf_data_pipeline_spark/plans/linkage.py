@@ -108,7 +108,12 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
 
     # operators hand this the same locations their probes use — a
     # migration-cutover pointer resolves to its root (passthrough on
-    # anything else; _index_kind stays the loud guard for garbage)
+    # anything else; _index_kind stays the loud guard for garbage).
+    # The corpus root resolves its own alias the same way (a corpus
+    # re-shard pointer, migration.set_corpus_pointer)
+    from .migration import resolve_corpus_root
+    corpus_root = resolve_corpus_root(spark, corpus_root,
+                                      strict=False)
     index_roots = [resolve_index_root(spark, r, strict=False)
                    for r in index_roots]
     out: dict = {"roots": {}, "linked": {}, "pins": {},
@@ -209,8 +214,10 @@ def takedown_documents(spark: SparkSession, corpus_root: str,
     Returns ``{"indexes": {root: retain-batch-id | None},
     "corpus": retain-batch-id | None, "skipped": [reason, ...]}``.
     """
-    from .migration import resolve_index_root
+    from .migration import resolve_corpus_root, resolve_index_root
 
+    corpus_root = resolve_corpus_root(spark, corpus_root,
+                                      strict=False)
     report: dict = {"indexes": {}, "corpus": None, "skipped": []}
     for iroot in index_roots:
         iroot = resolve_index_root(spark, iroot, strict=False)

@@ -99,18 +99,184 @@ def resolve_index_root(spark: SparkSession, alias_or_root: str,
     return alias_or_root
 
 
+def set_corpus_pointer(spark: SparkSession, alias: str,
+                       root: str, note: str | None = None) -> dict:
+    """The corpus-root alias (VERDICT r10 brief #4): one atomic PUT
+    flips every corpus reader/writer that resolves the alias —
+    ``read_corpus``/``ingest_delta``/``verify_corpus``/
+    ``takedown_documents`` all do — to a new root, enabling the
+    re-shard/relocation cutover :func:`migrate_corpus` performs.
+    Same file format and atomicity contract as
+    :func:`set_index_pointer`."""
+    return set_index_pointer(spark, alias, root, note=note)
+
+
+def resolve_corpus_root(spark: SparkSession, alias_or_root: str,
+                        strict: bool = True) -> str:
+    """The corpus analog of :func:`resolve_index_root`: a location is
+    a corpus root if it has a ``_manifests`` directory (the
+    manifest-protocol marker — corpus roots have no ``_meta.json``),
+    else a pointer file naming one, resolved one level.
+    ``strict=False`` passes an unresolvable location through for
+    write paths where a fresh root is legitimate (a first
+    ``ingest_delta``)."""
+    from .corpus import MANIFEST_DIR
+
+    if path_exists(spark, f"{alias_or_root}/{MANIFEST_DIR}"):
+        return alias_or_root
+    if path_exists(spark, alias_or_root):
+        try:
+            doc = json.loads(read_text(spark, alias_or_root))
+        except Exception:   # a directory / non-JSON: not a pointer
+            doc = {}
+        root = doc.get("root")
+        if root and path_exists(spark, f"{root}/{MANIFEST_DIR}"):
+            return root
+        if strict:
+            raise ValueError(
+                f"pointer {alias_or_root} names {root!r}, which has "
+                f"no committed-manifest directory — not a corpus "
+                f"root")
+        return alias_or_root
+    if strict:
+        raise ValueError(
+            f"{alias_or_root} is neither a corpus root with "
+            f"committed manifests nor a corpus pointer file")
+    return alias_or_root
+
+
+def migrate_corpus(spark: SparkSession, old_root: str, new_root: str,
+                   partitions_per_batch: int | None = None,
+                   pointer: str | None = None) -> dict:
+    """RE-SHARD / RELOCATE a corpus root (VERDICT r10 brief #4):
+    copy every live batch VERBATIM — corpus rows plus the derived
+    dedup-index tables, content byte-identical, manifests copied
+    unchanged so batch identity (and the content-addressed pin
+    digests over it) transfers — into ``new_root``, optionally
+    re-laid-out (``partitions_per_batch`` re-partitions each batch's
+    files: the small-files / relocation move), then atomically cut
+    readers over via ``pointer`` (:func:`set_corpus_pointer`).
+
+    Unlike :func:`migrate_index` nothing is re-derived: a corpus
+    re-shard changes LAYOUT, not content, so the honest operation is
+    a copy under the same commit protocol — per-batch data first,
+    manifest LAST, so a crash resumes by batch identity (committed
+    batches skip; the rest re-copy). The new root's writer lease is
+    held across the whole build; the old root is never written — a
+    pin taken on it before the migration keeps serving bit-identical
+    pinned reads after cutover.
+
+    Pre-cutover checks, mirroring the index migration: the new
+    root's live set must equal the old live set exactly (a dirty
+    build root fails loudly), the ledger must re-count
+    (verify_corpus fsck), and the OLD root must not have moved while
+    we copied — quiesce old-root writers first, and restart any
+    ingest loop against the alias after cutover. Pin files are NOT
+    copied: holds are per-root by design (the old root's pins keep
+    ITS files alive; re-pin the new root after cutover if needed).
+
+    Returns ``{"old_root", "new_root", "batches_copied",
+    "batches_skipped", "n_rows", "fsck", "pointer"}``."""
+    from .corpus import (INGEST_TABLES, _manifest_path,
+                         _write_snapshot, corpus_writer_lock,
+                         verify_corpus)
+
+    oms = _load_manifests(spark, old_root)
+    old_live = sorted(b for b in oms if b not in _superseded(oms))
+    if not old_live:
+        raise ValueError(f"nothing to migrate: no committed batches "
+                         f"under {old_root}")
+
+    with corpus_writer_lock(spark, new_root,
+                            op="migrate_corpus") as lease:
+        nms = _load_manifests(spark, new_root)
+        foreign = sorted(set(nms) - set(old_live))
+        if foreign:
+            raise RuntimeError(
+                f"new root {new_root} already holds batches "
+                f"{foreign} that are not live under {old_root} — a "
+                f"reused build root would serve alien or duplicate "
+                f"documents after cutover; start a fresh new_root")
+        copied, skipped = [], []
+        for b in old_live:
+            if b in nms:
+                skipped.append(b)   # resume path: committed last run
+                continue
+            for table in INGEST_TABLES:
+                src = f"{old_root}/{table}/batch_id={b}"
+                if not path_exists(spark, src):
+                    continue   # optional table / all-gated batch
+                dst = f"{new_root}/{table}/batch_id={b}"
+                from ..fs import delete_path
+                delete_path(spark, dst)   # crashed partial copy
+                df = spark.read.parquet(src)
+                if partitions_per_batch is not None:
+                    df = df.repartition(partitions_per_batch)
+                df.write.mode("overwrite").parquet(dst)
+            lease.fence()
+            # manifest content copied VERBATIM: identity, counts,
+            # replaces-memory, and provenance survive unchanged
+            write_text_atomic(spark, _manifest_path(new_root, b),
+                              json.dumps(oms[b], sort_keys=True))
+            copied.append(b)
+        _write_snapshot(spark, new_root,
+                        {b: oms[b] for b in old_live})
+
+    fsck = verify_corpus(spark, new_root)
+    if fsck["violations"]:
+        raise RuntimeError(
+            f"new root {new_root} fails its fsck — refusing to cut "
+            f"over: {fsck['violations']}")
+    nms = _load_manifests(spark, new_root)
+    live_new = sorted(b for b in nms if b not in _superseded(nms))
+    if live_new != old_live:
+        raise RuntimeError(
+            f"new root {new_root} holds live batches {live_new}, "
+            f"expected exactly {old_live}")
+
+    # the old root must not have moved during the copy — same
+    # guard (and operational rule) as migrate_index's step 4
+    oms2 = _load_manifests(spark, old_root)
+    old_live2 = sorted(b for b in oms2 if b not in _superseded(oms2))
+    if old_live2 != old_live or any(oms2[b] != oms[b]
+                                    for b in old_live):
+        raise RuntimeError(
+            f"old root {old_root} changed during the copy (live set "
+            f"was {old_live}, is now {old_live2}) — quiesce old-root "
+            f"writers and re-run (copied batches resume by identity) "
+            f"before cutting over")
+
+    report = {"old_root": old_root, "new_root": new_root,
+              "batches_copied": copied, "batches_skipped": skipped,
+              "n_rows": fsck["corpus_rows"], "fsck": fsck,
+              "pointer": pointer}
+    if pointer is not None:
+        set_corpus_pointer(spark, pointer, new_root,
+                           note=f"migrated from {old_root}")
+    return report
+
+
 def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                   train: DataFrame | None = None,
                   num_planes: int | None = None,
                   dim: int | None = None,
                   pointer: str | None = None,
-                  cell_col: str = "label") -> dict:
+                  cell_col: str = "label",
+                  train_k: int | None = None,
+                  train_iters: int | None = None) -> dict:
     """Re-train the routing structure into ``new_root`` and backfill
     it from ``old_root``'s COMMITTED postings (module docstring for
     the why and the crash/cutover story).
 
-    - IVF: ``train`` (a labeled frame for :func:`ivf_index.
-      init_ivf_index`) is required — the new coarse quantizer.
+    - IVF: the new coarse quantizer comes from ``train`` (a labeled
+      frame for :func:`ivf_index.init_ivf_index`), or — the
+      no-labels path (VERDICT r10 brief #1) — from ``train_k``: the
+      deterministic k-means trainer (:func:`plans.kmeans.
+      train_centroids`) runs over ``train`` if given (an unlabeled
+      (vec_id, embedding) sample), else over the OLD ROOT'S OWN
+      committed postings — the vectors are already stored, so a
+      distribution-shift re-train needs nothing from the caller but
+      k.
     - LSH: ``num_planes``/``dim`` parameterize the new hyperplanes
       (defaults = the old meta's, i.e. a pure re-bucketing).
     - ``pointer``: optional alias file to atomically cut over AFTER
@@ -133,14 +299,26 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
         from .ivf_index import (IVF_TABLE, _load_meta, init_ivf_index,
                                 ivf_ingest_delta, read_ivf_postings)
         if not path_exists(spark, f"{new_root}/_meta.json"):
-            if train is None:
+            n_dim = dim or _load_meta(spark, old_root)["dim"]
+            if train_k is not None:
+                # unlabeled path: re-train on the given sample, or on
+                # the old root's own committed vectors (one pruned
+                # scan per Lloyd iteration — never a re-embedding)
+                sample = (train if train is not None
+                          else read_ivf_postings(spark, old_root)
+                          .select("vec_id", "embedding"))
+                init_ivf_index(spark, new_root, sample, dim=n_dim,
+                               train_k=train_k,
+                               train_iters=train_iters)
+            elif train is not None:
+                init_ivf_index(spark, new_root, train,
+                               cell_col=cell_col, dim=n_dim)
+            else:
                 raise ValueError(
                     "IVF migration re-trains the coarse quantizer — "
                     "pass `train` (a labeled sample for "
-                    "init_ivf_index)")
-            init_ivf_index(spark, new_root, train, cell_col=cell_col,
-                           dim=(dim or _load_meta(spark,
-                                                  old_root)["dim"]))
+                    "init_ivf_index) or `train_k` (deterministic "
+                    "k-means over `train`/the old root's postings)")
         old_scan = read_ivf_postings(spark, old_root)
 
         def ingest(delta, bid, prov):

@@ -91,6 +91,29 @@ def measure_recall(spark: SparkSession, root: str,
             "n_queries": len(queries), "param": param}
 
 
+def clustered_embeddings(emb: DataFrame, n_clusters: int = 8,
+                         offset: float = 5.0,
+                         noise: float = 0.1) -> DataFrame:
+    """Deterministic mixture-of-clusters RECALL FIXTURE (VERDICT r10
+    brief #2): vector i sits on axis ``i mod n_clusters`` at
+    ``+offset`` with its original uniform embedding shrunk to
+    ``noise`` as jitter — the separable regime real embedding
+    distributions resemble, where a HEALTHY index must be
+    near-perfect at the default fan-out (the uniform fixture's
+    worst-case floors are too low to catch a structural regression).
+    Same content on any engine, any partitioning, any run —
+    tests/test_recall.py pins the ≥0.9 floors, tools/recall.py
+    sweeps it into the per-round RECALL artifact."""
+    g = F.pmod(F.col("vec_id"), n_clusters)
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: (x * noise + F.when(i == g, offset)
+                          .otherwise(F.lit(0.0))).cast("float"))
+        .alias("embedding"))
+
+
 def sample_queries(emb: DataFrame,
                    n: int = 20) -> "list[tuple[int, list[float]]]":
     """Deterministic query sample: the n committed vectors with the

@@ -1,12 +1,23 @@
 """Measured recall@k (plans/recall.py — VERDICT r10 brief #2): the
-index-quality tripwire no structural fsck can provide. The fixture
-embeddings are uniform-random 64-dim (the hardest case for any ANN
-structure — neighbors are weakly separated), so the absolute numbers
-are modest; what the suite pins is (a) a floor at the default
-settings and (b) the monotone fan-out→recall curve. Both are exactly
-reproducible: fixture, hyperplanes, and centroids are all
-deterministic. Measured at sf0.001: LSH hamming 0/1/2 →
-0.025/0.10/0.34; IVF nprobe 1/2/4 → 0.235/0.42/0.67."""
+index-quality tripwire no structural fsck can provide, pinned in TWO
+regimes (VERDICT r10→r11 brief #2):
+
+- **uniform-random** fixture embeddings (64-dim) — the hardest case
+  for any ANN structure, neighbors weakly separated: the absolute
+  numbers are modest, so these floors catch only catastrophic
+  breakage. Measured at sf0.001: LSH hamming 0/1/2 →
+  0.025/0.10/0.34; IVF nprobe 1/2/4 → 0.235/0.42/0.67.
+- **clustered** fixture (:func:`clustered_embeddings` — per-group
+  axis offsets over shrunk noise, the deterministic
+  mixture-of-clusters real embedding distributions resemble): a
+  HEALTHY index must score ≥ 0.9 at the default fan-out
+  (nprobe=2 / hamming=1; measured 1.0 for both families, IVF
+  quantizer trained UNLABELED by plans/kmeans). A structural
+  regression that the worst-case floors would absorb trips here.
+
+Everything is exactly reproducible: fixtures, hyperplanes, seeds,
+and centroids are all deterministic. tools/recall.py sweeps both
+regimes and writes the per-round RECALL_r{N}.json artifact."""
 
 from __future__ import annotations
 
@@ -22,6 +33,9 @@ from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
 
 SF_DIR = "/root/testdata/sf0.001"
 N_QUERIES = 20
+N_CLUSTERS = 8
+
+clustered_embeddings = R.clustered_embeddings
 
 
 @pytest.fixture(scope="module")
@@ -75,6 +89,63 @@ def test_ivf_recall_monotone_in_nprobe(spark, ivf_root, queries):
                           nprobe=n)["recall"] for n in (1, 2, 4)]
     assert r[0] <= r[1] <= r[2], r
     assert r[2] >= 0.60, r    # measured 0.67
+
+
+@pytest.fixture(scope="module")
+def cl_emb(spark, emb):
+    return clustered_embeddings(emb).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def cl_queries(cl_emb):
+    return R.sample_queries(cl_emb, N_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def cl_lsh_root(spark, cl_emb, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("recall") / "cl_lsh")
+    A.ann_ingest_delta(spark, root, cl_emb, "all")
+    return root
+
+
+@pytest.fixture(scope="module")
+def cl_ivf_root(spark, cl_emb, tmp_path_factory):
+    """Quantizer trained UNLABELED (plans/kmeans via train_k) — the
+    production path for real embeddings, so the high floor guards
+    the trainer AND the index together."""
+    root = str(tmp_path_factory.mktemp("recall") / "cl_ivf")
+    I.init_ivf_index(spark, root, cl_emb, train_k=N_CLUSTERS)
+    I.ivf_ingest_delta(spark, root, cl_emb, "all")
+    return root
+
+
+def test_clustered_lsh_recall_floor(spark, cl_lsh_root, cl_queries):
+    """On separable data the default probe must be near-perfect —
+    the sharp tripwire (measured 1.0)."""
+    rep = R.measure_recall(spark, cl_lsh_root, cl_queries)  # h=1
+    assert rep["recall"] >= 0.9, rep
+
+
+def test_clustered_ivf_recall_floor(spark, cl_ivf_root, cl_queries,
+                                    ivf_root, queries):
+    """Trained-unlabeled IVF at nprobe=2 must reach ≥0.9 on the
+    clustered fixture (measured 1.0) — and beat the labeled-init
+    uniform-fixture recall (brief #1 done-criterion: the trainer
+    must not be worse than caller labels on data it can separate)."""
+    rep = R.measure_recall(spark, cl_ivf_root, cl_queries)  # np=2
+    assert rep["recall"] >= 0.9, rep
+    labeled_uniform = R.measure_recall(spark, ivf_root, queries)
+    assert rep["recall"] >= labeled_uniform["recall"], (
+        rep, labeled_uniform)
+
+
+def test_clustered_trained_cells_are_balanced(spark, cl_ivf_root):
+    """The trainer must actually FIND the clusters: 8 occupied cells
+    with near-uniform occupancy (a collapsed quantizer would pass a
+    recall floor at high nprobe but fail this)."""
+    occ = I.verify_ivf_index(spark, cl_ivf_root)["cell_occupancy"]
+    assert occ["n_cells_occupied"] == N_CLUSTERS
+    assert occ["max"] <= 2 * occ["median"], occ
 
 
 def test_full_fanout_recall_is_exact(spark, emb, ivf_root, queries):

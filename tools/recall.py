@@ -1,13 +1,27 @@
 #!/usr/bin/env python
 """Recall@k sweep for both incremental vector-index families
-(plans/recall.py) at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1): builds a throwaway LSH root and a throwaway
-IVF root over the fixture embeddings, measures recall@10 vs exact
-brute force for nprobe ∈ {1,2,4} (IVF) and Hamming fan-out ∈ {0,1,2}
-(LSH), and prints one JSON line — the numbers behind the defaults
-recorded in README.md §recall.
+(plans/recall.py) in BOTH measurement regimes (VERDICT r10 brief
+#2/#3), at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+- **uniform** — the fixture embeddings as-is: the ANN worst case
+  (weakly separated neighbors), floor-calibration numbers.
+- **clustered** — plans/recall.clustered_embeddings over the same
+  ids: the separable regime where a healthy index must be
+  near-perfect at default fan-out (IVF quantizer trained UNLABELED
+  via plans/kmeans — the production path).
+
+For each regime it builds a throwaway LSH root and a throwaway IVF
+root, measures recall@10 vs exact brute force for nprobe ∈ {1,2,4}
+(IVF) and Hamming fan-out ∈ {0,1,2} (LSH), and prints one JSON line.
+
+PER-ROUND ARTIFACT: pass ``--out RECALL_rN.json`` (or set
+$SPARK_GRAFT_RECALL_OUT) to also write the JSON to a committed file
+— the round-over-round index-quality record next to BENCH_r{N}.json,
+so recall drift is visible to the next review, not just to this
+run's stderr. Protocol in README.md §recall.
 
     python tools/recall.py
+    python tools/recall.py --out RECALL_r11.json
     SPARK_GRAFT_SF_DIR=.localdata/sf1 python tools/recall.py
 """
 
@@ -24,48 +38,79 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_RECALL_QUERIES", "20"))
+N_CLUSTERS = 8
 
 
-def main() -> None:
-    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+def _sweep(spark, emb, queries, label: str,
+           ivf_init_kwargs: dict) -> dict:
+    """One regime: build LSH + IVF roots over ``emb``, sweep the
+    probe knobs, tear down."""
     from light_redistribution_in_3dptf_data_pipeline_spark.plans import recall as R
     from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
         ann_ingest_delta)
     from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
         init_ivf_index, ivf_ingest_delta)
-    from light_redistribution_in_3dptf_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="recall")
-    spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, SF_DIR, "embeddings")
-    queries = R.sample_queries(emb, N_QUERIES)
-
-    out = {"sf_dir": SF_DIR, "k": 10, "n_queries": len(queries),
-           "lsh": {}, "ivf": {}}
-    lsh_root = tempfile.mkdtemp(prefix="recall_lsh_")
-    ivf_root = tempfile.mkdtemp(prefix="recall_ivf_")
+    out: dict = {"lsh": {}, "ivf": {}}
+    lsh_root = tempfile.mkdtemp(prefix=f"recall_{label}_lsh_")
+    ivf_root = tempfile.mkdtemp(prefix=f"recall_{label}_ivf_")
     try:
         ann_ingest_delta(spark, lsh_root, emb, "all")
         for h in (0, 1, 2):
             rep = R.measure_recall(spark, lsh_root, queries,
                                    hamming=h)
             out["lsh"][f"hamming={h}"] = rep["recall"]
-            print(f"# lsh hamming={h}: recall@10 = {rep['recall']}",
-                  file=sys.stderr)
+            print(f"# {label} lsh hamming={h}: recall@10 = "
+                  f"{rep['recall']}", file=sys.stderr)
 
-        init_ivf_index(spark, ivf_root, emb)
-        ivf_ingest_delta(spark, ivf_root, emb.drop("label"), "all")
+        init_ivf_index(spark, ivf_root, emb, **ivf_init_kwargs)
+        ivf_ingest_delta(spark, ivf_root,
+                         emb.select("vec_id", "embedding"), "all")
         for np_ in (1, 2, 4):
             rep = R.measure_recall(spark, ivf_root, queries,
                                    nprobe=np_)
             out["ivf"][f"nprobe={np_}"] = rep["recall"]
-            print(f"# ivf nprobe={np_}: recall@10 = {rep['recall']}",
-                  file=sys.stderr)
+            print(f"# {label} ivf nprobe={np_}: recall@10 = "
+                  f"{rep['recall']}", file=sys.stderr)
     finally:
         shutil.rmtree(lsh_root, ignore_errors=True)
         shutil.rmtree(ivf_root, ignore_errors=True)
+    return out
 
-    print(json.dumps(out))
+
+def main() -> None:
+    out_path = os.environ.get("SPARK_GRAFT_RECALL_OUT")
+    args = sys.argv[1:]
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import load_table
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import recall as R
+    from light_redistribution_in_3dptf_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    out = {"sf_dir": SF_DIR, "k": 10, "n_queries": N_QUERIES,
+           "fixtures": {}}
+    # uniform regime: labeled IVF init (the fixture carries labels)
+    queries = R.sample_queries(emb, N_QUERIES)
+    out["fixtures"]["uniform"] = _sweep(
+        spark, emb, queries, "uniform", {"cell_col": "label"})
+    # clustered regime: quantizer trained UNLABELED (plans/kmeans)
+    cl = R.clustered_embeddings(emb, n_clusters=N_CLUSTERS) \
+        .localCheckpoint()
+    cl_queries = R.sample_queries(cl, N_QUERIES)
+    out["fixtures"]["clustered"] = _sweep(
+        spark, cl, cl_queries, "clustered", {"train_k": N_CLUSTERS})
+
+    line = json.dumps(out)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+        print(f"# wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
