@@ -55,6 +55,24 @@ ANN_TABLE = "buckets"
 META_NAME = "_meta.json"
 
 
+def _merge_manifest_extra(manifest: dict,
+                          extra: dict | None) -> dict:
+    """Fold caller metadata into a manifest about to commit —
+    protocol keys (counts, identity, supersession, provenance) are
+    refused so an extra can never alter visibility or ledger
+    semantics. Shared by the LSH and IVF ingests."""
+    if not extra:
+        return manifest
+    reserved = {"batch_id", "n_input", "n_id_dupes", "n_admitted",
+                "replaces", "corpus_batch", "cell_source",
+                "released_pins", "n_deleted"}
+    bad = sorted(reserved & set(extra))
+    if bad:
+        raise ValueError(
+            f"manifest_extra must not override protocol keys {bad}")
+    return {**manifest, **extra}
+
+
 def _ann_schema(dim: int) -> str:
     # Explicit schema: partition-column types included, and an index
     # whose committed batches are all empty has no footers to infer
@@ -113,9 +131,13 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      num_planes: int = NUM_PLANES, dim: int = EMB_DIM,
                      dedup_ids: bool = True,
                      corpus_batch: "str | list[str] | None" = None,
-                     _crash_after: str | None = None) -> dict:
+                     _crash_after: str | None = None,
+                     manifest_extra: dict | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Returns the committed manifest (the ingest ledger row).
+    ``manifest_extra`` merges caller metadata into the manifest
+    (protocol keys refused) — e.g. a coalesced migration commit
+    recording the old batches it folds.
 
     - First ingest initializes ``_meta.json`` (the bucketing
       identity); later ingests and queries validate against it.
@@ -139,7 +161,8 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                             op=f"ann_ingest:{batch_id}") as lease:
         return _ann_ingest_delta(spark, root, emb, batch_id, id_col,
                                  vec_col, num_planes, dim, dedup_ids,
-                                 corpus_batch, _crash_after, lease)
+                                 corpus_batch, _crash_after, lease,
+                                 manifest_extra)
 
 
 def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
@@ -147,7 +170,8 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       num_planes: int, dim: int, dedup_ids: bool,
                       corpus_batch: "str | list[str] | None",
                       _crash_after: str | None,
-                      lease=None) -> dict:
+                      lease=None,
+                      manifest_extra: dict | None = None) -> dict:
     if path_exists(spark, _meta_path(root)):
         _check_meta(_load_meta(spark, root), num_planes, dim, root,
                     "ingest")
@@ -200,6 +224,7 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                 "n_admitted": n_admitted}
     if corpus_batch is not None:
         manifest["corpus_batch"] = corpus_batch
+    manifest = _merge_manifest_extra(manifest, manifest_extra)
     if lease is not None:   # fence: no zombie commit after takeover
         lease.fence()
     write_text_atomic(spark, _manifest_path(root, batch_id),
@@ -236,10 +261,12 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     (operators/similarity.ann_indexed_topk), so for equal committed
     content the two return identical rows. ``root`` may be a pointer
     file written by a migration cutover
-    (plans/migration.set_index_pointer) — resolved transparently."""
-    from .migration import resolve_index_root
+    (plans/migration.set_index_pointer) — resolved transparently —
+    or an :class:`migration.IndexPointerHandle` (cached resolution
+    for high-QPS probe loops)."""
+    from .migration import resolve_probe_location
 
-    root = resolve_index_root(spark, root)
+    root = resolve_probe_location(spark, root)
     meta = _load_meta(spark, root)
     num_planes, dim = meta["num_planes"], meta["dim"]
     _check_meta(meta, num_planes, dim, root, "query")

@@ -247,13 +247,16 @@ def ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      cell_col: str | None = None,
                      dedup_ids: bool = True,
                      corpus_batch: "str | list[str] | None" = None,
-                     _crash_after: str | None = None) -> dict:
+                     _crash_after: str | None = None,
+                     manifest_extra: dict | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Cells come from the frozen quantizer (``cell_col=None``, the
     production default) or from a caller-provided column (an upstream
     clustering owns placement — values must be known cells).
     ``corpus_batch`` records provenance for the cross-root fsck
-    (plans/linkage.verify_linked). Returns the committed manifest."""
+    (plans/linkage.verify_linked); ``manifest_extra`` merges caller
+    metadata (protocol keys refused — ann_index.
+    _merge_manifest_extra). Returns the committed manifest."""
     if batch_id.startswith(("compact-", "retain-")):
         raise ValueError(
             f"batch_id {batch_id!r} uses a reserved maintenance prefix")
@@ -261,14 +264,16 @@ def ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                             op=f"ivf_ingest:{batch_id}") as lease:
         return _ivf_ingest_delta(spark, root, emb, batch_id, id_col,
                                  vec_col, cell_col, dedup_ids,
-                                 corpus_batch, _crash_after, lease)
+                                 corpus_batch, _crash_after, lease,
+                                 manifest_extra)
 
 
 def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       batch_id: str, id_col: str, vec_col: str,
                       cell_col: str | None, dedup_ids: bool,
                       corpus_batch: "str | list[str] | None",
-                      _crash_after: str | None, lease) -> dict:
+                      _crash_after: str | None, lease,
+                      manifest_extra: dict | None = None) -> dict:
     meta = _load_meta(spark, root)
     cent_rows = _load_centroids(spark, root, meta)
     known_cells = sorted(int(r.cell) for r in cent_rows)
@@ -342,6 +347,8 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                                 else "assigned")}
     if corpus_batch is not None:
         manifest["corpus_batch"] = corpus_batch
+    from .ann_index import _merge_manifest_extra
+    manifest = _merge_manifest_extra(manifest, manifest_extra)
     lease.fence()
     write_text_atomic(spark, _manifest_path(root, batch_id),
                       json.dumps(manifest, sort_keys=True))
@@ -363,12 +370,15 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
     cosine re-rank of the one-shot ``ivf_indexed_topk``, so for equal
     committed content the two return identical rows. ``root`` may be
     a pointer file written by a migration cutover
-    (plans/migration.set_index_pointer) — resolved transparently."""
+    (plans/migration.set_index_pointer) — resolved transparently —
+    or an :class:`migration.IndexPointerHandle` whose cached
+    resolution serves high-QPS probe loops without per-probe FS
+    reads."""
     import math
 
-    from .migration import resolve_index_root
+    from .migration import resolve_probe_location
 
-    root = resolve_index_root(spark, root)
+    root = resolve_probe_location(spark, root)
     meta = _load_meta(spark, root)
     dim = meta["dim"]
     if len(query_vec) != dim:

@@ -99,6 +99,66 @@ def resolve_index_root(spark: SparkSession, alias_or_root: str,
     return alias_or_root
 
 
+class IndexPointerHandle:
+    """CACHED pointer resolution for high-QPS probe serving (VERDICT
+    r10 brief #7): :func:`resolve_index_root` costs 1–2 small FS
+    reads per call — nothing for a batch job, real latency and
+    metadata-service load at thousands of probes per second. A
+    handle resolves the location ONCE and serves every probe from
+    the cached root until ``ttl_seconds`` elapses (or
+    :meth:`refresh` forces it), so a migration cutover is picked up
+    within one TTL window instead of on every probe. Probes accept a
+    handle anywhere they accept a root/pointer string
+    (``ivf_incremental_topk`` / ``ann_incremental_topk``).
+
+    ``clock`` is injectable for deterministic tests; TTL 0 disables
+    caching (every probe re-resolves — handy as a drop-in during a
+    staged cutover). ``n_resolutions`` counts actual FS
+    resolutions, the observable the probe test pins. NOT
+    thread-safe by design (per-session driver object; a racing
+    double-resolve is harmless — both get a valid root)."""
+
+    def __init__(self, spark: SparkSession, location: str,
+                 ttl_seconds: float = 30.0, clock=None):
+        import time
+
+        self._spark = spark
+        self.location = location
+        self.ttl_seconds = float(ttl_seconds)
+        self._clock = clock if clock is not None else time.time
+        self._root: str | None = None
+        self._expires_at = float("-inf")
+        self.n_resolutions = 0
+
+    def root(self) -> str:
+        """The resolved root — cached until the TTL lapses."""
+        now = self._clock()
+        if self._root is None or now >= self._expires_at:
+            self._root = resolve_index_root(self._spark,
+                                            self.location)
+            self._expires_at = now + self.ttl_seconds
+            self.n_resolutions += 1
+        return self._root
+
+    def refresh(self) -> str:
+        """Drop the cache and re-resolve now — the explicit pickup
+        after an operator-driven cutover."""
+        self._expires_at = float("-inf")
+        return self.root()
+
+
+def resolve_probe_location(spark: SparkSession,
+                           location: "str | IndexPointerHandle"
+                           ) -> str:
+    """What every probe entry point calls: a plain root/pointer
+    string resolves per-call (strict — probing an uninitialized
+    location must be loud), a :class:`IndexPointerHandle` serves its
+    cached resolution."""
+    if isinstance(location, IndexPointerHandle):
+        return location.root()
+    return resolve_index_root(spark, location)
+
+
 def set_corpus_pointer(spark: SparkSession, alias: str,
                        root: str, note: str | None = None) -> dict:
     """The corpus-root alias (VERDICT r10 brief #4): one atomic PUT
@@ -263,7 +323,8 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                   pointer: str | None = None,
                   cell_col: str = "label",
                   train_k: int | None = None,
-                  train_iters: int | None = None) -> dict:
+                  train_iters: int | None = None,
+                  max_batches_per_commit: int | None = None) -> dict:
     """Re-train the routing structure into ``new_root`` and backfill
     it from ``old_root``'s COMMITTED postings (module docstring for
     the why and the crash/cutover story).
@@ -281,6 +342,17 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
       (defaults = the old meta's, i.e. a pure re-bucketing).
     - ``pointer``: optional alias file to atomically cut over AFTER
       the count verification passes.
+    - ``max_batches_per_commit`` (VERDICT r10 brief #5): COALESCE the
+      backfill — up to N consecutive old batches fold into ONE
+      ``migrate-first--last`` commit whose manifest records the
+      folded ids (``migrated_batches``, the compaction ``replaces``
+      pattern) and the union of their provenance. The per-old-batch
+      loop is one serial driver job per commit, so at 10k small old
+      batches the default (1:1) is a driver-side bottleneck; N=100
+      makes it 100 commits. Chunking is deterministic (sorted old
+      live set, fixed N), so resume-by-identity still holds — but a
+      resume MUST use the SAME N (the live-set check fails loudly on
+      a mismatch, it cannot silently double-migrate).
 
     Idempotent/resumable: a re-run after a crash skips
     already-committed ``migrate-*`` batches and continues. Returns
@@ -321,10 +393,11 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                     "k-means over `train`/the old root's postings)")
         old_scan = read_ivf_postings(spark, old_root)
 
-        def ingest(delta, bid, prov):
+        def ingest(delta, bid, prov, extra):
             return ivf_ingest_delta(spark, new_root, delta, bid,
                                     dedup_ids=False,
-                                    corpus_batch=prov)
+                                    corpus_batch=prov,
+                                    manifest_extra=extra)
     else:
         from .ann_index import (ann_ingest_delta, _load_meta,
                                 read_ann_index)
@@ -334,30 +407,63 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
         n_dim = dim if dim is not None else ometa["dim"]
         old_scan = read_ann_index(spark, old_root)
 
-        def ingest(delta, bid, prov):
+        def ingest(delta, bid, prov, extra):
             return ann_ingest_delta(spark, new_root, delta, bid,
                                     num_planes=n_planes, dim=n_dim,
                                     dedup_ids=False,
-                                    corpus_batch=prov)
+                                    corpus_batch=prov,
+                                    manifest_extra=extra)
 
-    # per-old-batch backfill: batch granularity (and provenance)
-    # survives, each commit is manifest-last, and batch identity
-    # makes a crashed migration resumable. The per-batch read is a
-    # first-level partition-pruned scan of the old root — one pass
-    # over the old postings total, never a re-embedding. The new
-    # root's prior manifests are loaded ONCE: a skipped batch was
-    # committed by an earlier run, so the pre-loop snapshot has it.
+    # per-chunk backfill: batch granularity (and provenance)
+    # survives — the default is 1:1, ``max_batches_per_commit``
+    # coalesces (docstring) — each commit is manifest-last, and the
+    # DETERMINISTIC chunk identity makes a crashed migration
+    # resumable. Each chunk's read is a first-level partition-pruned
+    # scan of the old root — one pass over the old postings total,
+    # never a re-embedding. The new root's prior manifests are
+    # loaded ONCE: a skipped chunk was committed by an earlier run,
+    # so the pre-loop snapshot has it.
+    from .corpus import _union_provenance
+
+    nonzero = [b for b in old_live if oms[b].get("n_admitted", 0)]
+    step = (max_batches_per_commit
+            if max_batches_per_commit and max_batches_per_commit > 1
+            else 1)
+    chunks = [nonzero[i:i + step] for i in range(0, len(nonzero),
+                                                 step)]
+
+    def _chunk_id(chunk: list[str]) -> str:
+        return (f"{MIGRATE_PREFIX}{chunk[0]}" if len(chunk) == 1
+                else f"{MIGRATE_PREFIX}{chunk[0]}--{chunk[-1]}")
+
     prior = _load_manifests(spark, new_root)
+    # refuse BEFORE any ingest if the new root already holds live
+    # batches outside this run's chunk set — a dirty build root, or
+    # a resume under a different max_batches_per_commit, must not
+    # pollute the root with overlapping migrate commits first and
+    # fail only at the final check
+    expected = sorted(_chunk_id(c) for c in chunks)
+    stale = sorted(b for b in prior if b not in _superseded(prior)
+                   and b not in set(expected))
+    if stale:
+        raise RuntimeError(
+            f"new root {new_root} holds live batches {stale}, "
+            f"expected exactly (a subset of) {expected} — a reused "
+            f"build root, or a resume under a different "
+            f"max_batches_per_commit, would serve duplicate vectors; "
+            f"start a fresh new_root or re-run with the original "
+            f"chunking")
     migrated, skipped, n_vectors = [], [], 0
-    for b in old_live:
-        want = oms[b].get("n_admitted", 0)
-        if want == 0:
-            continue   # an all-gated batch has no directory
-        bid = f"{MIGRATE_PREFIX}{b}"
-        delta = (old_scan.filter(F.col("batch_id") == b)
+    for chunk in chunks:
+        want = sum(oms[b]["n_admitted"] for b in chunk)
+        bid = _chunk_id(chunk)
+        delta = (old_scan.filter(F.col("batch_id").isin(chunk))
                  .select("vec_id", "embedding"))
+        extra = ({"migrated_batches": chunk} if len(chunk) > 1
+                 else None)
         try:
-            m = ingest(delta, bid, oms[b].get("corpus_batch"))
+            m = ingest(delta, bid, _union_provenance(oms, chunk),
+                       extra)
         except BatchAlreadyIngested:
             skipped.append(bid)   # resume path: committed last run
             # .get twice (ADVICE r10): a migrate-* batch committed by
@@ -369,8 +475,8 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             continue
         if m["n_admitted"] != want:
             raise RuntimeError(
-                f"migration ledger mismatch on batch {b}: old "
-                f"manifest says {want} vectors, re-routed ingest "
+                f"migration ledger mismatch on batches {chunk}: old "
+                f"manifests say {want} vectors, re-routed ingest "
                 f"admitted {m['n_admitted']}")
         migrated.append(bid)
         n_vectors += m["n_admitted"]
@@ -391,8 +497,6 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             f"{n_vectors} vectors, old root has {want_total}")
     nms = _load_manifests(spark, new_root)
     live_new = sorted(b for b in nms if b not in _superseded(nms))
-    expected = sorted(f"{MIGRATE_PREFIX}{b}" for b in old_live
-                      if oms[b].get("n_admitted", 0))
     if live_new != expected:
         raise RuntimeError(
             f"new root {new_root} holds live batches {live_new}, "

@@ -91,6 +91,86 @@ def measure_recall(spark: SparkSession, root: str,
             "n_queries": len(queries), "param": param}
 
 
+METRICS_DIR = "_metrics/recall"
+
+
+def record_recall_sample(spark: SparkSession, root: str,
+                         batch_id: str,
+                         n_queries: int = 8,
+                         k: int = TOP_K,
+                         nprobe: int = 2,
+                         hamming: int = 1,
+                         floor: float | None = None) -> "dict | None":
+    """ONE recall sample over the root's own committed vectors,
+    appended to ``{root}/_metrics/recall/{batch_id}.json`` — the
+    operational quality canary (VERDICT r10 brief #8): the streaming
+    loop calls this every Nth drain so quality decay is visible in
+    OPERATION (``recall_history`` reads the series), not only when
+    someone runs the test suite. Queries are the deterministic
+    smallest-vec_id sample, so consecutive samples are comparable —
+    a drop means the INDEX changed (drift piling into unprobed
+    cells), not the query set. Returns the recorded doc, or None
+    when the index holds too few vectors to grade (< 2·queries).
+    Cost: n_queries small jobs — each probe is the production plan;
+    size n_queries for the serving budget, not statistics."""
+    import json as _json
+
+    from ..fs import write_text_atomic
+    from .ann_index import read_ann_index
+    from .ivf_index import read_ivf_postings
+    from .linkage import _index_kind
+    from .migration import resolve_index_root
+
+    root = resolve_index_root(spark, root)
+    kind = _index_kind(spark, root)
+    scan = (read_ann_index(spark, root)
+            if kind == "ann_lsh_incremental"
+            else read_ivf_postings(spark, root))
+    queries = sample_queries(scan.select("vec_id", "embedding"),
+                             n_queries)
+    if len(queries) < max(2, n_queries // 2):
+        return None
+    rep = measure_recall(spark, root, queries, k=k, nprobe=nprobe,
+                         hamming=hamming)
+    doc = {**rep, "batch_id": batch_id}
+    if floor is not None:
+        doc["floor"] = floor
+        doc["below_floor"] = rep["recall"] < floor
+    write_text_atomic(spark, f"{root}/{METRICS_DIR}/{batch_id}.json",
+                      _json.dumps(doc, sort_keys=True))
+    return doc
+
+
+def recall_history(spark: SparkSession, root: str,
+                   floor: float | None = None) -> dict:
+    """The committed recall series of a root — every sample the
+    streaming canary (or an operator's direct
+    :func:`record_recall_sample`) appended, sorted by batch id, with
+    the below-floor ones NAMED. ``floor`` re-grades the series
+    against a new threshold; without it each sample's own recorded
+    floor applies. Control-plane: small JSON reads only."""
+    import json as _json
+
+    from ..fs import list_dir, read_text
+    from .migration import resolve_index_root
+
+    root = resolve_index_root(spark, root)
+    out: dict = {"samples": [], "below_floor": []}
+    for n in list_dir(spark, f"{root}/{METRICS_DIR}"):
+        if not n.endswith(".json") or ".tmp-" in n:
+            continue
+        doc = _json.loads(read_text(spark,
+                                    f"{root}/{METRICS_DIR}/{n}"))
+        if floor is not None:
+            doc["floor"] = floor
+            doc["below_floor"] = doc["recall"] < floor
+        out["samples"].append(doc)
+    out["samples"].sort(key=lambda d: d["batch_id"])
+    out["below_floor"] = [d["batch_id"] for d in out["samples"]
+                          if d.get("below_floor")]
+    return out
+
+
 def clustered_embeddings(emb: DataFrame, n_clusters: int = 8,
                          offset: float = 5.0,
                          noise: float = 0.1) -> DataFrame:

@@ -238,6 +238,80 @@ def pins_report(spark: SparkSession, root: str,
     return out
 
 
+def linked_pins_report(spark: SparkSession, corpus_root: str,
+                       max_age_seconds: float | None = None,
+                       max_held_bytes: int | None = None,
+                       now: float | None = None) -> dict:
+    """What does each LINKED pin cost, as ONE number (VERDICT r10
+    brief #6): :func:`pins_report` prices per-root pins, but a
+    multimodal snapshot holds batches on SEVERAL roots at once —
+    this rolls every linked pin up to its total held bytes across
+    member roots, the per-root split, and the OLDEST holder (a
+    linked view is as forgotten as its most-stale hold, whether that
+    hold is on the linked doc or a member pin). ``max_age_seconds``/
+    ``max_held_bytes`` flag ``aged``/``over_budget`` against the
+    ROLLED-UP numbers — the per-root reports can each sit under a
+    budget while the linked total blows it.
+
+    All control-plane: one :func:`pins_report` per distinct member
+    root (cached across linked pins), small JSON reads otherwise.
+    Member pins already released (e.g. by a takedown) are listed
+    under ``missing_member_pins`` and price as 0 —
+    :func:`verify_linked_pin` is the fsck that calls that state a
+    violation."""
+    import time
+
+    t_now = time.time() if now is None else float(now)
+    linked = list_linked_pins(spark, corpus_root)
+    root_reports: dict[str, dict] = {}
+
+    def _root_report(root: str) -> dict:
+        if root not in root_reports:
+            root_reports[root] = pins_report(spark, root)
+        return root_reports[root]
+
+    out: dict = {"linked": {}, "flagged_linked_pins": []}
+    for ldigest, doc in sorted(linked.items()):
+        members = {corpus_root: doc["corpus_pin"],
+                   **doc["index_pins"]}
+        per_root: dict = {}
+        missing: list[str] = []
+        total = 0
+        oldest = min(doc.get("holders", {}).values(), default=None)
+        for root, d in sorted(members.items()):
+            entry = _root_report(root)["pins"].get(d)
+            if entry is None:
+                missing.append(f"{root}:{d}")
+                continue
+            per_root[root] = {"pin": d,
+                              "held_bytes": entry["held_bytes"],
+                              "held_batches": entry["held_batches"],
+                              "created_at": entry["created_at"]}
+            total += entry["held_bytes"]
+            oldest = (entry["created_at"] if oldest is None
+                      else min(oldest, entry["created_at"]))
+        flags = []
+        if (max_age_seconds is not None and oldest is not None
+                and t_now - oldest > max_age_seconds):
+            flags.append("aged")
+        if max_held_bytes is not None and total > max_held_bytes:
+            flags.append("over_budget")
+        out["linked"][ldigest] = {
+            "note": doc.get("note"),
+            "holders": dict(sorted(doc.get("holders", {}).items())),
+            "roots": per_root,
+            "missing_member_pins": missing,
+            "held_bytes": total,
+            "oldest_created_at": oldest,
+            "age_seconds": (round(t_now - oldest, 3)
+                            if oldest is not None else None),
+            "flags": flags,
+        }
+        if flags:
+            out["flagged_linked_pins"].append(ldigest)
+    return out
+
+
 def release_pin(spark: SparkSession, root: str, digest: str,
                 owner: str | None = DEFAULT_PIN_OWNER) -> bool:
     """Release a pin. With ``owner`` given, drop only that holder's

@@ -52,7 +52,10 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
                          num_planes: int | None = None,
                          dim: int | None = None,
                          max_files_per_trigger: int | None = None,
-                         checkpoint: str | None = None):
+                         checkpoint: str | None = None,
+                         recall_every_n_batches: int | None = None,
+                         recall_floor: float | None = None,
+                         recall_queries: int = 8):
     """Drain the drop directory into the root's incremental vector
     index (availableNow: everything currently present, then stop;
     re-invoke to pick up only NEW files via the checkpoint).
@@ -146,6 +149,23 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
             # but verify the source held that contract
             reconcile_replay(spark, index_root, batch_id,
                              batch.count())
+            return
+        # STREAMING RECALL CANARY (VERDICT r10 brief #8): every Nth
+        # drained micro-batch appends a measured recall@k sample to
+        # {root}/_metrics/recall/, so embedding drift that decays
+        # probe quality — no structural invariant violated — shows
+        # up in operation (plans/recall.recall_history names the
+        # below-floor samples). Runs AFTER the commit: a canary
+        # failure must never poison the exactly-once ingest, and a
+        # replayed epoch never double-samples (the except path
+        # returns above).
+        if (recall_every_n_batches
+                and int(epoch_id) % recall_every_n_batches == 0):
+            from ..plans.recall import record_recall_sample
+
+            record_recall_sample(spark, index_root, batch_id,
+                                 n_queries=recall_queries,
+                                 floor=recall_floor)
 
     return (stream.writeStream
             .foreachBatch(drain)

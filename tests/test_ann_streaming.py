@@ -290,3 +290,63 @@ def test_stream_auto_wires_corpus_provenance(spark, emb, tmp_path):
     live = [b for b in vms if b not in _superseded(vms)]
     assert len(live) == 1
     assert sorted(vms[live[0]]["corpus_batch"]) == cbatches
+
+
+def test_streaming_recall_canary_names_drift(spark, tmp_path):
+    """Streaming recall canary (VERDICT r10 brief #8 stretch): every
+    Nth drain appends a measured recall@10 sample to the root's
+    ``_metrics/recall/``; an injected drift — a diagonal cluster the
+    frozen quantizer splits across 3 cells, so nprobe=2 structurally
+    misses a third of every drifted query's true neighbors — drives
+    the canary below the floor IN OPERATION, and recall_history
+    names the offending batch. Measured: healthy 1.0, post-drift
+    0.675 (deterministic fixtures end to end)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import (
+        load_table)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as I)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        recall as R)
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    # healthy population: 8 separable clusters, ids up at 1000+
+    cl = (R.clustered_embeddings(base)
+          .select((F.col("vec_id") + 1000).alias("vec_id"),
+                  "embedding"))
+    # drift: ids 0..99 (the canary's deterministic smallest-id query
+    # sample will BE these after the drift batch) on a diagonal the
+    # trained quantizer has no cell for
+    drift = base.filter("vec_id < 100").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: (x * 0.3
+                          + F.when(i.isin([1, 3, 5, 7]), 5.0)
+                          .otherwise(F.lit(0.0))).cast("float"))
+        .alias("embedding"))
+
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, cl, train_k=8)
+
+    _drop(cl, "true", src, "f0")
+    V.run_vector_ingestion(
+        spark, src, root, recall_every_n_batches=1,
+        recall_floor=0.9).awaitTermination(120)
+    hist = R.recall_history(spark, root)
+    assert len(hist["samples"]) == 1
+    assert hist["samples"][0]["recall"] >= 0.9
+    assert hist["below_floor"] == []
+
+    _drop(drift, "true", src, "f1")
+    V.run_vector_ingestion(
+        spark, src, root, recall_every_n_batches=1,
+        recall_floor=0.9).awaitTermination(120)
+    hist = R.recall_history(spark, root)
+    assert len(hist["samples"]) == 2
+    assert hist["below_floor"] == [hist["samples"][1]["batch_id"]]
+    assert hist["samples"][1]["recall"] < 0.9
+    assert hist["samples"][1]["below_floor"] is True
+    # a re-graded floor applies uniformly
+    assert R.recall_history(spark, root, floor=0.1)["below_floor"] \
+        == []

@@ -450,3 +450,90 @@ def test_corpus_takedown_through_pointer(spark, tmp_path):
     # operator's cleanup of a decommissioned root, not the alias's
     assert ids[0] in {r.doc_id for r in
                       corpus.read_corpus(spark, old).collect()}
+
+
+def test_migration_coalesces_small_batches(spark, emb, tmp_path,
+                                           monkeypatch):
+    """Backfill coalescing (VERDICT r10 brief #5): 6 small old
+    batches fold into ceil(6/4)=2 migrate commits whose manifests
+    record the folded ids + unioned provenance, the count/fsck gates
+    still hold, and a crash mid-migration resumes by CHUNK identity
+    under the same N."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        _load_manifests)
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    for i in range(6):
+        A.ann_ingest_delta(
+            spark, old,
+            emb.filter(f"vec_id >= {i * 40} AND vec_id < {i * 40 + 40}"),
+            f"b{i}", corpus_batch=f"c{i}")
+
+    real = A.ann_ingest_delta
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected coalesced-migration crash")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(A, "ann_ingest_delta", flaky)
+    with pytest.raises(RuntimeError, match="injected coalesced"):
+        M.migrate_index(spark, old, new, num_planes=4,
+                        max_batches_per_commit=4)
+    monkeypatch.setattr(A, "ann_ingest_delta", real)
+
+    rep = M.migrate_index(spark, old, new, num_planes=4,
+                          max_batches_per_commit=4)
+    assert rep["batches_skipped"] == ["migrate-b0--b3"]
+    assert rep["batches_migrated"] == ["migrate-b4--b5"]
+    assert rep["n_vectors"] == 240
+
+    nms = _load_manifests(spark, new)
+    assert sorted(nms) == ["migrate-b0--b3", "migrate-b4--b5"]
+    assert nms["migrate-b0--b3"]["migrated_batches"] == [
+        "b0", "b1", "b2", "b3"]
+    assert sorted(nms["migrate-b0--b3"]["corpus_batch"]) == [
+        "c0", "c1", "c2", "c3"]
+    assert A.verify_ann_index(spark, new)["violations"] == []
+    # a resume under a DIFFERENT N cannot silently double-migrate
+    with pytest.raises(RuntimeError, match="expected exactly"):
+        M.migrate_index(spark, old, new, num_planes=4)
+
+
+def test_pointer_handle_caches_resolution(spark, emb, tmp_path):
+    """Probe-side alias cache (VERDICT r10 brief #7): one FS
+    resolution serves N probes; a cutover is invisible inside the
+    TTL window and picked up after it lapses (or on refresh())."""
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    alias = str(tmp_path / "ix.json")
+    A.ann_ingest_delta(spark, old, emb.filter("vec_id < 100"), "d1")
+    M.set_index_pointer(spark, alias, old)
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").select("embedding").head()[0]]
+
+    clock = {"t": 0.0}
+    h = M.IndexPointerHandle(spark, alias, ttl_seconds=60.0,
+                             clock=lambda: clock["t"])
+    r1 = A.ann_incremental_topk(spark, h, qvec, k=3).collect()
+    r2 = A.ann_incremental_topk(spark, h, qvec, k=3).collect()
+    assert [r.vec_id for r in r1] == [r.vec_id for r in r2]
+    assert h.n_resolutions == 1          # one resolution, two probes
+
+    # cutover lands; inside the TTL the handle still serves old
+    M.migrate_index(spark, old, new, pointer=alias)
+    clock["t"] = 30.0
+    assert h.root() == old and h.n_resolutions == 1
+    # ... and is picked up once the TTL lapses
+    clock["t"] = 61.0
+    assert h.root() == new and h.n_resolutions == 2
+    r3 = A.ann_incremental_topk(spark, h, qvec, k=3).collect()
+    assert [r.vec_id for r in r3] == [r.vec_id for r in r1]
+
+    # refresh() is the explicit pickup: flip back, no clock advance
+    M.set_index_pointer(spark, alias, old)
+    assert h.root() == new               # cached
+    assert h.refresh() == old and h.n_resolutions == 3

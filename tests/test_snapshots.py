@@ -753,3 +753,61 @@ def test_verify_linked_pin_reports_missing_index_data(spark,
     drep = verify_deployment(spark, croot, [vroot])
     assert any(linked["index_pins"][vroot] in v
                and "missing_data" in v for v in drep["violations"])
+
+
+def test_linked_pins_report_rolls_up_cost(spark, tmp_path):
+    """Linked-pin pricing (VERDICT r10 brief #6): one number answers
+    "what does this multimodal snapshot cost" — total held bytes
+    across member roots whose member pins hold superseded batches on
+    BOTH sides, plus the oldest holder, with policy flags against
+    the rolled-up totals."""
+    croot = str(tmp_path / "c")
+    aroot = str(tmp_path / "ann")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 21)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, aroot,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1")
+    lp = SN.pin_linked(spark, croot, [aroot], owner="run-a",
+                       created_at=100.0)
+
+    # both roots move on and compact: the pinned batches survive
+    # ONLY because the linked pin's member pins hold them
+    corpus.ingest_delta(spark, croot, _docs(spark, range(40, 46)),
+                        "d2")
+    corpus.compact_batches(spark, croot)
+    A.ann_ingest_delta(spark, aroot,
+                       emb.filter(F.col("vec_id").isin([100, 101])),
+                       "v2")
+    A.compact_ann_batches(spark, aroot)
+
+    rep = SN.linked_pins_report(spark, croot, now=250.0)
+    e = rep["linked"][lp["linked_digest"]]
+    assert set(e["roots"]) == {croot, aroot}
+    assert e["roots"][croot]["held_batches"] == ["d1"]
+    assert e["roots"][aroot]["held_batches"] == ["v1"]
+    assert e["roots"][croot]["held_bytes"] > 0
+    assert e["roots"][aroot]["held_bytes"] > 0
+    assert e["held_bytes"] == (e["roots"][croot]["held_bytes"]
+                               + e["roots"][aroot]["held_bytes"])
+    assert e["oldest_created_at"] == 100.0
+    assert e["age_seconds"] == 150.0
+    assert e["holders"] == {"run-a": 100.0}
+    assert e["flags"] == [] and rep["flagged_linked_pins"] == []
+
+    # policy flags key off the ROLLED-UP numbers
+    rep2 = SN.linked_pins_report(spark, croot, max_age_seconds=50,
+                                 max_held_bytes=0, now=250.0)
+    e2 = rep2["linked"][lp["linked_digest"]]
+    assert set(e2["flags"]) == {"aged", "over_budget"}
+    assert rep2["flagged_linked_pins"] == [lp["linked_digest"]]
+
+    # a released member pin prices as 0 and is NAMED, not crashed on
+    SN.release_pin(spark, aroot, lp["index_pins"][aroot],
+                   owner="run-a")
+    rep3 = SN.linked_pins_report(spark, croot, now=250.0)
+    e3 = rep3["linked"][lp["linked_digest"]]
+    assert e3["missing_member_pins"] == [
+        f"{aroot}:{lp['index_pins'][aroot]}"]
+    assert e3["held_bytes"] == e["roots"][croot]["held_bytes"]
