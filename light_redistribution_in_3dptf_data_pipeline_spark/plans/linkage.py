@@ -90,15 +90,22 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
     - :func:`snapshots.verify_linked_pin` on every linked pin under
       the corpus root (VERDICT r9 missing #3: a pin with missing
       data or digest drift previously passed the deployment check
-      because only the pricing report ran).
+      because only the pricing report ran);
+    - the RECALL CANARY series of every vector root
+      (:func:`recall.recall_history` over ``_metrics/recall/``) —
+      a below-floor sample the streaming canary recorded is a
+      deployment violation, so quality decay surfaces in the same
+      one-call health check as structural damage (r11; roots
+      without samples cost nothing).
 
     Returns ``{"roots": {root: fsck}, "linked": {root: report},
     "pins": {root: report}, "pin_fscks": {root: {digest: report}},
-    "linked_pin_fscks": {digest: report}, "violations": [...]}`` —
-    the flat ``violations`` list aggregates every sub-report's, each
-    prefixed with its root, so "is everything consistent" is one
-    empty-list check. Each sub-check stays independently callable;
-    this adds no new invariants, only the composition."""
+    "linked_pin_fscks": {digest: report}, "recall": {root: history},
+    "violations": [...]}`` — the flat ``violations`` list aggregates
+    every sub-report's, each prefixed with its root, so "is
+    everything consistent" is one empty-list check. Each sub-check
+    stays independently callable; this adds no new invariants, only
+    the composition."""
     from .ann_index import verify_ann_index
     from .corpus import verify_corpus
     from .ivf_index import verify_ivf_index
@@ -118,7 +125,7 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
                    for r in index_roots]
     out: dict = {"roots": {}, "linked": {}, "pins": {},
                  "pin_fscks": {}, "linked_pin_fscks": {},
-                 "violations": []}
+                 "recall": {}, "violations": []}
 
     def _check_pins(root: str, table: str) -> None:
         rep = pins_report(spark, root,
@@ -158,6 +165,16 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
                               for v in linked["violations"]]
         _check_pins(iroot, ("buckets" if kind == "ann_lsh_incremental"
                             else "postings"))
+        from .recall import recall_history
+        hist = recall_history(spark, iroot)
+        out["recall"][iroot] = hist
+        by_id = {d["batch_id"]: d for d in hist["samples"]}
+        for bid in hist["below_floor"]:
+            s = by_id[bid]
+            out["violations"].append(
+                f"{iroot}: recall canary below floor at batch {bid} "
+                f"(recall@{s['k']} {s['recall']} < floor "
+                f"{s['floor']})")
 
     linked_docs = list_linked_pins(spark, corpus_root)
     for ldigest in sorted(linked_docs):

@@ -317,3 +317,39 @@ def test_verify_deployment_ages_linked_pins(spark, emb, tmp_path):
     # the linked doc AND its underlying per-root pins all age out
     assert any(linked["linked_digest"] in v and "aged" in v
                for v in rep["violations"])
+
+
+def test_verify_deployment_surfaces_recall_canary(spark, emb,
+                                                  tmp_path):
+    """A below-floor recall sample recorded by the streaming canary
+    (plans/recall.record_recall_sample) is a DEPLOYMENT violation —
+    quality decay surfaces in the same one-call health check as
+    structural damage (r11)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        recall as R)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        verify_deployment)
+
+    croot = str(tmp_path / "corpus")
+    aroot = str(tmp_path / "ann")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 9)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, aroot,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1",
+                       corpus_batch="d1")
+
+    # healthy sample: no violation, series visible in the report
+    doc = R.record_recall_sample(spark, aroot, "v1", n_queries=4,
+                                 floor=0.0)
+    assert doc is not None and doc["below_floor"] is False
+    rep = verify_deployment(spark, croot, [aroot])
+    assert rep["violations"] == []
+    assert len(rep["recall"][aroot]["samples"]) == 1
+
+    # a below-floor sample (floor > any achievable recall) trips it
+    R.record_recall_sample(spark, aroot, "v1-decayed", n_queries=4,
+                           floor=1.1)
+    rep = verify_deployment(spark, croot, [aroot])
+    assert any("recall canary below floor at batch v1-decayed" in v
+               for v in rep["violations"])

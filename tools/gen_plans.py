@@ -347,6 +347,85 @@ def main() -> None:
         lines.append("")
         print("# migrated probe done", file=sys.stderr)
 
+    # k-means trainer (r11): one Lloyd iteration's update aggregate —
+    # the argmin must collapse MAP-SIDE (partial max_by before the
+    # vec_id exchange: N rows shuffled, never N·k), the centroid
+    # update partial-sums before the k-row cell exchange.
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        kmeans as KM)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
+        _checked_dim)
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.similarity import (
+        _fixed_point)
+    from light_redistribution_in_3dptf_data_pipeline_spark.queries.similarity import (
+        _fixed_dot)
+
+    dec = (emb.select(
+        "vec_id", F.col("embedding").cast("array<float>")
+        .alias("embedding"),
+        _fixed_point(_checked_dim(F.col("embedding"), 64,
+                                  "plan-audit")).alias("ci"))
+        .withColumn("x2", _fixed_dot("ci", "ci")).localCheckpoint())
+    cf = KM._centroid_frame(spark, KM._seed_centroids(dec, 8))
+    scored = (dec.crossJoin(F.broadcast(cf))
+              .select("vec_id", "ci", "x2", "cell",
+                      KM._assign_key().alias("key")))
+    assigned = (scored.groupBy("vec_id")
+                .agg(F.max_by(F.col("cell"),
+                              F.struct((-F.col("key")).alias("nk"),
+                                       (-F.col("cell")).alias("nc")))
+                     .alias("cell"),
+                     F.min("key").alias("key"),
+                     F.first("ci").alias("ci"),
+                     F.first("x2").alias("x2")))
+    stats = (assigned.groupBy("cell")
+             .agg(F.array(*[F.sum(F.element_at("ci", i + 1))
+                            for i in range(64)]).alias("csum"),
+                  F.count("*").cast("bigint").alias("nv"),
+                  F.sum("x2").alias("sumx2")))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    lines.append("## kmeans train_centroids — one Lloyd iteration "
+                 "(unlabeled quantizer training)")
+    assert "BroadcastNestedLoopJoin" in plan
+    lines.append("- `BroadcastNestedLoopJoin BuildRight, Cross` — "
+                 "the k-row centroid table broadcast against the "
+                 "vectors; every vector's k candidate rows stay in "
+                 "its own partition")
+    assert "partial_max_by" in plan
+    lines.append("- `partial_max_by(cell, struct(-key, -cell))` "
+                 "BEFORE `Exchange hashpartitioning(vec_id)` — the "
+                 "argmin collapses MAP-SIDE, so the assignment "
+                 "shuffle moves N rows, never N·k")
+    assert "partial_sum" in plan
+    lines.append("- `partial_sum(element_at(ci, 1..64))` BEFORE "
+                 "`Exchange hashpartitioning(cell)` — the centroid "
+                 "update partial-aggregates pre-exchange; the final "
+                 "aggregate is k rows collected to the driver")
+    lines.append("- per iteration: 1 broadcast + 2 hash exchanges "
+                 "over one pass of the localCheckpoint-pinned "
+                 "decoded vectors; centroids re-enter as driver "
+                 "literals, so lineage never grows across "
+                 "iterations")
+    lines.append("- exact-integer keys and int64 sums make the "
+                 "result partition-count-INVARIANT, not just the "
+                 "plan shape (test-pinned)")
+    lines.extend(audit(plan))
+    lines.append("")
+    print("# kmeans iteration done", file=sys.stderr)
+
+    lines.append("## migrate_corpus batch copy (re-shard/relocation)")
+    lines.append("- per live batch × table: one `FileScan parquet` "
+                 "of the single old partition directory → optional "
+                 "`Exchange roundRobin(partitions_per_batch)` → "
+                 "write to the new root's same-batch directory; "
+                 "manifests copied verbatim (no re-derivation, no "
+                 "corpus-sized state)")
+    lines.append("- data cost O(corpus) once, control cost "
+                 "O(batches) small JSON writes; per-batch "
+                 "manifest-last commit makes a crashed copy resume "
+                 "by batch identity")
+    lines.append("")
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
