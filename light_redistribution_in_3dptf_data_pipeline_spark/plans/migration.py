@@ -91,6 +91,13 @@ def resolve_index_root(spark: SparkSession, alias_or_root: str,
             raise ValueError(
                 f"pointer {alias_or_root} names {root!r}, which is "
                 f"not an initialized index root")
+        if root:
+            # a well-formed pointer at a NOT-YET-INITIALIZED root:
+            # write paths (strict=False) must target the named root —
+            # falling back to the alias would build an index AT the
+            # pointer file's path (r11; a stream can now be aimed at
+            # a fresh root through its alias from day one)
+            return root
         return alias_or_root
     if strict:
         raise ValueError(
@@ -197,6 +204,11 @@ def resolve_corpus_root(spark: SparkSession, alias_or_root: str,
                 f"pointer {alias_or_root} names {root!r}, which has "
                 f"no committed-manifest directory — not a corpus "
                 f"root")
+        if root:
+            # pointer at a fresh (no commits yet) corpus root: write
+            # paths target the NAMED root, never the alias file path
+            # (mirrors resolve_index_root's strict=False rule)
+            return root
         return alias_or_root
     if strict:
         raise ValueError(

@@ -537,3 +537,63 @@ def test_pointer_handle_caches_resolution(spark, emb, tmp_path):
     M.set_index_pointer(spark, alias, old)
     assert h.root() == new               # cached
     assert h.refresh() == old and h.n_resolutions == 3
+
+
+def test_pointer_at_fresh_root_targets_named_root(spark, emb,
+                                                  tmp_path):
+    """strict=False resolution of a well-formed pointer at a
+    NOT-YET-INITIALIZED root returns the NAMED root (r11): a stream
+    aimed at the alias from day one builds the index there — never
+    at the pointer file's own path."""
+    import os
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.streaming import (
+        vectors as V)
+
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "fresh_root")
+    alias = str(tmp_path / "ix.json")
+    M.set_index_pointer(spark, alias, root)   # root does not exist
+    assert M.resolve_index_root(spark, alias, strict=False) == root
+    with pytest.raises(ValueError, match="not an initialized"):
+        M.resolve_index_root(spark, alias)    # strict read: loud
+
+    (emb.filter("vec_id < 40").coalesce(1)
+     .write.mode("overwrite").parquet(str(tmp_path / "stage")))
+    import glob
+    import shutil as sh
+    os.makedirs(src, exist_ok=True)
+    sh.copy(glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0],
+            os.path.join(src, "f0.parquet"))
+    V.run_vector_ingestion(spark, src, alias).awaitTermination(120)
+
+    assert A.read_ann_index(spark, root).count() == 40
+    assert A.verify_ann_index(spark, root)["violations"] == []
+    assert not os.path.isdir(alias)           # alias stayed a file
+    assert os.path.isdir(f"{alias}_stream_checkpoint")
+    # corpus analog: ingest through a pointer at a fresh corpus root
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+    croot = str(tmp_path / "fresh_corpus")
+    calias = str(tmp_path / "c.json")
+    M.set_corpus_pointer(spark, calias, croot)
+    corpus.ingest_delta(spark, calias, _docs(spark, range(1, 6)),
+                        "d1")
+    assert corpus.committed_batches(spark, croot) == ["d1"]
+    assert not os.path.isdir(calias)
+
+
+def test_manifest_extra_refuses_protocol_keys(spark, emb, tmp_path):
+    """The coalesced-migration metadata seam must never override a
+    commit-protocol field."""
+    with pytest.raises(ValueError, match="protocol keys"):
+        A.ann_ingest_delta(spark, str(tmp_path / "ix"),
+                           emb.filter("vec_id < 10"), "d1",
+                           manifest_extra={"n_admitted": 999})
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ivf_index as IVF)
+    root = str(tmp_path / "ivf")
+    IVF.init_ivf_index(spark, root, emb)
+    with pytest.raises(ValueError, match="protocol keys"):
+        IVF.ivf_ingest_delta(spark, root,
+                             emb.filter("vec_id < 10").drop("label"),
+                             "d1", manifest_extra={"replaces": ["x"]})
