@@ -281,6 +281,84 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     return _cosine_rerank(scan, query_vec, k, exclude_id)
 
 
+def ann_batch_topk(spark: SparkSession, root: str,
+                   queries: DataFrame, k: int = TOP_K,
+                   hamming: int = 1,
+                   id_col: str = "qid", vec_col: str = "embedding",
+                   exclude_self: bool = True) -> DataFrame:
+    """Top-k cosine for MANY queries in ONE job — the LSH side of
+    ``ivf_index.ivf_batch_topk`` (r11): per query the rows equal
+    ``ann_incremental_topk``'s (same signatures via the shared
+    ``lsh_buckets`` fold — executor-side here — the same Hamming-≤h
+    probe expansion as literal XOR masks, the same fixed-point
+    rerank and tie order; test-pinned). Plan shape:
+
+    1. queries → buckets (one in-row fold), exploded against the
+       ``_probe_set(0, J, h)`` mask literals → (qid, probe bucket);
+    2. the scan keeps STATIC pruning: the probed buckets' union
+       (≤ 2^J values) becomes a literal ``bucket IN (...)``;
+    3. pruned buckets ⋈ broadcast (qid, bucket) pairs, rerank, one
+       per-qid window keeps k.
+
+    Returns (qid, vec_id, cosine, bucket)."""
+    from pyspark.sql import Window
+
+    from ..queries.similarity import _fixed_dot
+    from .migration import resolve_probe_location
+
+    root = resolve_probe_location(spark, root)
+    meta = _load_meta(spark, root)
+    num_planes, dim = meta["num_planes"], meta["dim"]
+    _check_meta(meta, num_planes, dim, root, "query")
+
+    q = queries.select(
+        F.col(id_col).cast("bigint").alias("qid"),
+        F.col(vec_col).cast("array<float>").alias("embedding"))
+    masks = _probe_set(0, num_planes, hamming)
+    qb = lsh_buckets(q, "qid", "embedding", num_planes, dim)
+    probe = (qb.select(
+        "qid",
+        F.explode(F.array(*[F.lit(int(m)) for m in masks]))
+        .alias("m"), "bucket")
+        .select("qid", F.col("bucket").bitwiseXOR(F.col("m"))
+                .alias("bucket"))
+        .localCheckpoint())
+
+    # static pruning: probed-bucket union ≤ 2^J values
+    buckets = sorted({int(r.bucket) for r in
+                      probe.select("bucket").distinct().collect()})
+    scan = (read_ann_index(spark, root)
+            .filter(F.col("bucket").isin(buckets)))
+
+    dec_q = q.select(
+        "qid", _fixed_point(F.col("embedding")).alias("qci")) \
+        .withColumn("qsq", (_fixed_dot("qci", "qci").cast("double")
+                            / F.lit(1e18)))
+    cand = (scan.join(F.broadcast(probe), "bucket")
+            .join(F.broadcast(dec_q), "qid"))
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    rer = cand.select(
+        "qid", "vec_id", "bucket", "qsq",
+        _fixed_point(F.col("embedding")).alias("ci"),
+        F.col("qci"))
+    rer = rer.select(
+        "qid", "vec_id", "bucket", "qsq",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
+        .alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
+        .alias("nsq"))
+    cosine = F.round(
+        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))),
+        9)
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.asc("vec_id"))
+    return (rer.select("qid", "vec_id", cosine.alias("cosine"),
+                       "bucket")
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
 def _cosine_rerank(scan: DataFrame, query_vec: list, k: int,
                    exclude_id: int | None) -> DataFrame:
     """The exact fixed-point cosine re-rank over an already-pruned

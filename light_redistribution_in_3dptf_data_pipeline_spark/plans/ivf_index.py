@@ -427,6 +427,100 @@ def _ivf_rerank(scan: DataFrame, qci: list, qsq: float, k: int,
             .limit(k))
 
 
+def ivf_batch_topk(spark: SparkSession, root: str,
+                   queries: DataFrame, k: int = TOP_K,
+                   nprobe: int = 2,
+                   id_col: str = "qid", vec_col: str = "embedding",
+                   exclude_self: bool = True) -> DataFrame:
+    """Top-k cosine for MANY queries in ONE job — the eval/serving
+    shape :func:`recall.measure_recall`'s docstring defers to: a
+    driver loop issues one small job per query (right for tens),
+    but grading or serving thousands wants a single distributed
+    plan (VERDICT r10 brief follow-through, r11).
+
+    Per query the result rows equal ``ivf_incremental_topk``'s (same
+    exact-integer cell ranking — executor-side here, but the same
+    arithmetic folded to the same double — same rerank, same tie
+    order; test-pinned). Plan shape:
+
+    1. queries × frozen centroids (both broadcast-sized) → per-query
+       top-``nprobe`` cells via one small window;
+    2. the postings scan keeps STATIC directory pruning: the probed
+       cells' union (≤ L values) is collected and becomes a literal
+       ``cell IN (...)`` partition filter;
+    3. pruned postings ⋈ broadcast (qid, cell) pairs fan each
+       posting row out to ONLY the queries probing its cell, then
+       the shared fixed-point rerank scores and a per-qid window
+       keeps k — one shuffle of the candidate rows by qid.
+
+    Returns (qid, vec_id, cosine, cell). ``exclude_self`` drops
+    ``vec_id == qid`` matches (self-neighborhood grading).
+    ``root`` may be a pointer/handle like the single-query probe."""
+    from pyspark.sql import Window
+
+    from ..queries.similarity import _fixed_dot
+    from .migration import resolve_probe_location
+
+    root = resolve_probe_location(spark, root)
+    meta = _load_meta(spark, root)
+    dim = meta["dim"]
+    cents = spark.createDataFrame(
+        [(int(r.cell), [int(s) for s in r.csum], int(r.nv))
+         for r in _load_centroids(spark, root, meta)],
+        "cell BIGINT, csum ARRAY<BIGINT>, nv BIGINT")
+
+    q = queries.select(
+        F.col(id_col).cast("bigint").alias("qid"),
+        _fixed_point(_checked_dim(F.col(vec_col), dim,
+                                  "ivf_batch_topk")).alias("qci"))
+    # per-query cell ranking: the same mean-scaled exact-integer dot
+    # as _cell_scores / the driver-side single-query ranking (both
+    # fold the identical integers to the identical double), ties to
+    # the lower cell id
+    scored = (q.crossJoin(F.broadcast(cents))
+              .select("qid", "qci", "cell",
+                      (_fixed_dot("qci", "csum", split=CSUM_SPLIT)
+                       .cast("double")
+                       / (F.col("nv") * F.lit(1e18))).alias("score")))
+    wc = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                           F.asc("cell"))
+    probe = (scored.withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") <= nprobe)
+             .select("qid", "qci", "cell").localCheckpoint())
+
+    # static pruning: the probed-cell union is ≤ L values — a
+    # driver-sized collect that buys directory-level partition
+    # pruning on the postings scan, batch-count-independent
+    cells = sorted({int(r.cell) for r in
+                    probe.select("cell").distinct().collect()})
+    scan = (read_ivf_postings(spark, root)
+            .filter(F.col("cell").isin(cells)))
+
+    cand = scan.join(F.broadcast(probe), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    dec = cand.select(
+        "qid", "vec_id", "cell", "qci",
+        _fixed_point(F.col("embedding")).alias("ci"))
+    rer = dec.select(
+        "qid", "vec_id", "cell",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
+        .alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
+        .alias("nsq"),
+        (_fixed_dot("qci", "qci").cast("double") / F.lit(1e18))
+        .alias("qsq"))
+    cosine = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 9)
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.asc("vec_id"))
+    return (rer.select("qid", "vec_id", cosine.alias("cosine"),
+                       F.col("cell").cast("bigint").alias("cell"))
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
 def ivf_pinned_topk(spark: SparkSession, root: str, pin,
                     query_vec: list, k: int = TOP_K,
                     nprobe: int = 2,

@@ -313,3 +313,35 @@ def test_bucket_occupancy_canary_and_size_aware_compaction(
     assert rep2["violations"] == []
     assert rep2["index_rows"] == rep["index_rows"]
     assert rep2["bucket_occupancy"]["max"] == n_hot
+
+
+def test_batch_topk_equals_per_query_probe(spark, emb, tmp_path):
+    """ann_batch_topk (r11): one distributed job over many queries
+    returns, per query, EXACTLY the single-query incremental probe's
+    rows — same signatures, same Hamming-≤h expansion, same rerank
+    and tie order."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
+        ann_batch_topk, ann_incremental_topk, ann_ingest_delta)
+
+    root = str(tmp_path / "ix")
+    ann_ingest_delta(spark, root, emb.filter("vec_id < 250"), "d1")
+    ann_ingest_delta(spark, root, emb.filter("vec_id >= 250"), "d2")
+
+    qids = [0, 7, 33, 120, 301, 499]
+    queries = (emb.filter(F.col("vec_id").isin(qids))
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    for h in (0, 1):
+        batch = ann_batch_topk(spark, root, queries, k=10, hamming=h)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(int(r.qid), []).append(
+                (int(r.vec_id), float(r.cosine), int(r.bucket)))
+        for qid in qids:
+            qvec = [float(x) for x in
+                    emb.filter(F.col("vec_id") == qid)
+                    .select("embedding").head()[0]]
+            want = [(int(r.vec_id), float(r.cosine), int(r.bucket))
+                    for r in ann_incremental_topk(
+                        spark, root, qvec, k=10, exclude_id=qid,
+                        hamming=h).collect()]
+            assert got.get(qid, []) == want, (h, qid)

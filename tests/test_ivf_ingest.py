@@ -375,3 +375,40 @@ def test_ivf_compaction_preserves_provenance(spark, emb, tmp_path):
     live = [b for b in ms if b not in _superseded(ms)]
     assert len(live) == 1
     assert ms[live[0]]["corpus_batch"] == ["c1", "c2"]
+
+
+def test_batch_topk_equals_per_query_probe(spark, emb, tmp_path):
+    """ivf_batch_topk (r11): one distributed job over many queries
+    must return, per query, EXACTLY the single-query incremental
+    probe's rows — same executor-side cell ranking (identical
+    exact-integer arithmetic folded to identical doubles), same
+    rerank, same tie order."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
+        init_ivf_index, ivf_batch_topk, ivf_incremental_topk,
+        ivf_ingest_delta)
+
+    root = str(tmp_path / "ivf")
+    init_ivf_index(spark, root, emb)
+    ivf_ingest_delta(spark, root,
+                     emb.filter("vec_id < 300").drop("label"), "d1")
+    ivf_ingest_delta(spark, root,
+                     emb.filter("vec_id >= 300").drop("label"), "d2")
+
+    qids = [0, 7, 33, 120, 301, 499]
+    queries = (emb.filter(F.col("vec_id").isin(qids))
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    batch = ivf_batch_topk(spark, root, queries, k=10, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(int(r.qid), []).append(
+            (int(r.vec_id), float(r.cosine), int(r.cell)))
+
+    for qid in qids:
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == qid)
+                .select("embedding").head()[0]]
+        want = [(int(r.vec_id), float(r.cosine), int(r.cell))
+                for r in ivf_incremental_topk(
+                    spark, root, qvec, k=10, nprobe=2,
+                    exclude_id=qid).collect()]
+        assert got[qid] == want, qid

@@ -413,6 +413,54 @@ def main() -> None:
     lines.append("")
     print("# kmeans iteration done", file=sys.stderr)
 
+    # Batch probes (r11): many queries, one job — static pruning
+    # must survive (probed-cell/bucket union as a literal partition
+    # filter) and the only joins are broadcast.
+    with tempfile.TemporaryDirectory() as td:
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+            ivf_index as IV2)
+
+        IV2.init_ivf_index(spark, f"{td}/ivf", emb)
+        IV2.ivf_ingest_delta(spark, f"{td}/ivf",
+                             emb.drop("label"), "d1")
+        queries = (emb.filter("vec_id < 20")
+                   .select(F.col("vec_id").alias("qid"),
+                           "embedding"))
+        df = IV2.ivf_batch_topk(spark, f"{td}/ivf", queries,
+                                k=10, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ivf_batch_topk (many queries, one job)")
+        m = _re.search(r"PartitionFilters: \[[^,\]]*", plan)
+        if m:
+            lines.append(f"- `{m.group(0)}...]` — the probed-cell "
+                         "UNION (≤ L values) stays a literal "
+                         "partition filter, plus dynamic pruning "
+                         "from the broadcast (qid, cell) pairs")
+        lines.append("- candidates fan out to ONLY the queries "
+                     "probing their cell (broadcast hash join); one "
+                     "shuffle of candidate rows by qid for the "
+                     "per-query top-k window")
+        lines.extend(audit(plan))
+        lines.append("")
+
+        AI.ann_ingest_delta(spark, f"{td}/lsh", emb, "d1")
+        df = AI.ann_batch_topk(spark, f"{td}/lsh", queries,
+                               k=10, hamming=1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ann_batch_topk (many queries, one job)")
+        m = _re.search(r"PartitionFilters: \[bucket[^,\]]*", plan)
+        if m:
+            lines.append(f"- `{m.group(0)}...]` — the probed-bucket "
+                         "UNION (≤ 2^J values) stays a literal "
+                         "partition filter")
+        lines.append("- per-query signatures + Hamming-≤h masks "
+                     "computed IN the plan (no driver loop); "
+                     "broadcast joins only; one shuffle by qid for "
+                     "the top-k window")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# batch probes done", file=sys.stderr)
+
     lines.append("## migrate_corpus batch copy (re-shard/relocation)")
     lines.append("- per live batch × table: one `FileScan parquet` "
                  "of the single old partition directory → optional "
