@@ -91,6 +91,73 @@ def measure_recall(spark: SparkSession, root: str,
             "n_queries": len(queries), "param": param}
 
 
+def measure_recall_batch(spark: SparkSession, root: str,
+                         queries: "list[tuple[int, list[float]]]",
+                         k: int = TOP_K,
+                         nprobe: int = 2,
+                         hamming: int = 1) -> dict:
+    """:func:`measure_recall` at EVAL THROUGHPUT (r11): the same
+    recall@k — the per-query probes are test-pinned equal to the
+    batch probes, and the ground truth here is the batch probe run
+    with FULL fan-out (every cell / Hamming = J), which reproduces
+    brute force exactly (recall loss is pruning loss by
+    construction) — but computed in TWO distributed jobs instead of
+    2·|queries| driver-looped ones. Use it when grading hundreds or
+    thousands of queries; `measure_recall` stays the
+    per-query-plan-under-test form for small sweeps."""
+    from .ann_index import ann_batch_topk
+    from .ivf_index import ivf_batch_topk
+    from .linkage import _index_kind
+    from .migration import resolve_index_root
+
+    root = resolve_index_root(spark, root)
+    kind = _index_kind(spark, root)
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "qid BIGINT, embedding ARRAY<FLOAT>").localCheckpoint()
+
+    if kind == "ann_lsh_incremental":
+        import json as _json
+
+        from ..fs import read_text
+        planes = _json.loads(
+            read_text(spark, f"{root}/_meta.json"))["num_planes"]
+        got = ann_batch_topk(spark, root, qdf, k=k, hamming=hamming)
+        truth = ann_batch_topk(spark, root, qdf, k=k,
+                               hamming=planes)   # all 2^J buckets
+        param = {"hamming": hamming}
+    else:
+        meta = _load_root_meta(spark, root)
+        got = ivf_batch_topk(spark, root, qdf, k=k, nprobe=nprobe)
+        truth = ivf_batch_topk(spark, root, qdf, k=k,
+                               nprobe=meta["n_cells"])  # every cell
+        param = {"nprobe": nprobe}
+
+    t = truth.select("qid", "vec_id")
+    g = got.select("qid", F.col("vec_id").alias("gvid"))
+    per_q = (t.join(g, (t.qid == g.qid) & (t.vec_id == g.gvid),
+                    "left_semi")
+             .groupBy("qid").agg(F.count("*").alias("hits"))
+             .join(t.groupBy("qid").agg(F.count("*").alias("n")),
+                   "qid", "right")
+             .select("qid",
+                     (F.coalesce(F.col("hits"), F.lit(0))
+                      / F.col("n")).alias("frac")))
+    fracs = {int(r.qid): float(r.frac) for r in per_q.collect()}
+    mean = sum(fracs.get(int(q[0]), 0.0) for q in queries) \
+        / max(1, len(queries))
+    return {"recall": round(mean, 4), "k": k,
+            "n_queries": len(queries), "param": param}
+
+
+def _load_root_meta(spark: SparkSession, root: str) -> dict:
+    import json as _json
+
+    from ..fs import read_text
+
+    return _json.loads(read_text(spark, f"{root}/_meta.json"))
+
+
 METRICS_DIR = "_metrics/recall"
 
 

@@ -157,3 +157,19 @@ def test_full_fanout_recall_is_exact(spark, emb, ivf_root, queries):
         spark.read.parquet(f"{ivf_root}/centroids").count())
     rep = R.measure_recall(spark, ivf_root, queries, nprobe=n_cells)
     assert rep["recall"] == 1.0, rep
+
+
+def test_batch_recall_equals_per_query(spark, lsh_root, ivf_root,
+                                       queries):
+    """measure_recall_batch (r11, built on the batch probes) must
+    report the SAME recall as the per-query loop — the probes are
+    parity-pinned and the full-fan-out batch truth is brute force by
+    construction."""
+    for kw in ({"nprobe": 1}, {"nprobe": 2}):
+        a = R.measure_recall(spark, ivf_root, queries, **kw)
+        b = R.measure_recall_batch(spark, ivf_root, queries, **kw)
+        assert a["recall"] == b["recall"], (kw, a, b)
+    for kw in ({"hamming": 0}, {"hamming": 1}):
+        a = R.measure_recall(spark, lsh_root, queries, **kw)
+        b = R.measure_recall_batch(spark, lsh_root, queries, **kw)
+        assert a["recall"] == b["recall"], (kw, a, b)
