@@ -269,6 +269,22 @@ def main() -> None:
         total_warm += warm
         print(f"# ann_topk: {cold:.3f}s (warm median {warm:.3f}s)",
               file=sys.stderr)
+
+        # BATCH probe leg (r11): see the ivf_batch32 twin below
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
+            ann_batch_topk)
+        queries32 = (embt.filter("vec_id < 32")
+                     .select(F.col("vec_id").alias("qid"),
+                             "embedding"))
+        cold, warm, _ = _run(
+            lambda: ann_batch_topk(spark, ann_root, queries32)
+            .write.format("noop").mode("overwrite").save())
+        per_query["ann_batch32_topk"] = round(cold, 3)
+        per_query_warm["ann_batch32_topk"] = round(warm, 3)
+        total += cold
+        total_warm += warm
+        print(f"# ann_batch32_topk: {cold:.3f}s "
+              f"(warm median {warm:.3f}s)", file=sys.stderr)
     finally:
         shutil.rmtree(ann_root, ignore_errors=True)
 
@@ -310,6 +326,25 @@ def main() -> None:
         total_warm += warm
         print(f"# ivf_topk: {cold:.3f}s (warm median {warm:.3f}s)",
               file=sys.stderr)
+
+        # BATCH probe leg (r11): 32 queries in ONE job — the eval/
+        # serving shape; compare per-query cost against ivf_topk
+        # (results are parity-pinned equal, so this is pure
+        # throughput)
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
+            ivf_batch_topk)
+        queries32 = (embt.filter("vec_id < 32")
+                     .select(F.col("vec_id").alias("qid"),
+                             "embedding"))
+        cold, warm, _ = _run(
+            lambda: ivf_batch_topk(spark, ivf_root, queries32)
+            .write.format("noop").mode("overwrite").save())
+        per_query["ivf_batch32_topk"] = round(cold, 3)
+        per_query_warm["ivf_batch32_topk"] = round(warm, 3)
+        total += cold
+        total_warm += warm
+        print(f"# ivf_batch32_topk: {cold:.3f}s "
+              f"(warm median {warm:.3f}s)", file=sys.stderr)
     finally:
         shutil.rmtree(ivf_root, ignore_errors=True)
 
