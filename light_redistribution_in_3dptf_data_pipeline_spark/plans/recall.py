@@ -112,8 +112,18 @@ def measure_recall_batch(spark: SparkSession, root: str,
 
     root = resolve_index_root(spark, root)
     kind = _index_kind(spark, root)
+    # measure_recall's query contract allows exclude_id=None (grade
+    # without self-exclusion); the batch probes exclude vec_id == qid,
+    # so None entries get synthetic UNIQUE NEGATIVE qids — they match
+    # no committed vec_id (ids are non-negative by the ingest paths'
+    # bigint-cast convention; an exotic negative-id corpus should use
+    # the per-query measure_recall instead), making the exclusion a
+    # no-op for exactly those queries (ADVICE r11).
+    qids = [int(qid) if qid is not None else -(i + 1)
+            for i, (qid, _) in enumerate(queries)]
     qdf = spark.createDataFrame(
-        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        [(qids[i], [float(x) for x in vec])
+         for i, (_, vec) in enumerate(queries)],
         "qid BIGINT, embedding ARRAY<FLOAT>").localCheckpoint()
 
     if kind == "ann_lsh_incremental":
@@ -144,8 +154,7 @@ def measure_recall_batch(spark: SparkSession, root: str,
                      (F.coalesce(F.col("hits"), F.lit(0))
                       / F.col("n")).alias("frac")))
     fracs = {int(r.qid): float(r.frac) for r in per_q.collect()}
-    mean = sum(fracs.get(int(q[0]), 0.0) for q in queries) \
-        / max(1, len(queries))
+    mean = sum(fracs.get(q, 0.0) for q in qids) / max(1, len(queries))
     return {"recall": round(mean, 4), "k": k,
             "n_queries": len(queries), "param": param}
 

@@ -564,7 +564,12 @@ def release_linked_pin(spark: SparkSession, corpus_root: str,
         with corpus_writer_lock(spark, corpus_root,
                                 op=lock_op) as lease:
             if not path_exists(spark, lpath):
-                return False   # a racing global release got there
+                # a racing global release deleted the doc between the
+                # two lock blocks: the doc IS gone after this call and
+                # this owner's underlying holds were released above —
+                # the documented "True iff the linked doc is gone"
+                # contract says True (ADVICE r11)
+                return True
             fresh = json.loads(read_text(spark, lpath))
             holders = dict(fresh.get("holders", {}))
             holders.pop(owner, None)

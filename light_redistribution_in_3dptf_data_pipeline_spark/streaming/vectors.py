@@ -95,9 +95,31 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
     # checkpoint lives in a sibling directory; plain roots keep the
     # historical in-root location. ``checkpoint`` overrides both.
     if checkpoint is None:
-        checkpoint = (f"{index_root}/_stream_checkpoint"
-                      if location == index_root
-                      else f"{location}_stream_checkpoint")
+        if location == index_root:
+            checkpoint = f"{index_root}/_stream_checkpoint"
+        else:
+            # pointer-aimed stream. UPGRADE SEAM (ADVICE r11): before
+            # r11 the checkpoint keyed off the RESOLVED root, so a
+            # stream that already ran against this pointer may have
+            # its progress in {resolved_root}/_stream_checkpoint.
+            # Silently switching to the alias-sibling location would
+            # abandon that progress and replay the whole drop
+            # directory under a fresh incarnation nonce (one
+            # n_admitted=0 manifest per historical micro-batch —
+            # ledger spam). So: reuse a legacy in-root checkpoint
+            # when the alias-sibling one doesn't exist yet. Residual
+            # case: if the pointer was ALSO cut over to a new root
+            # before the first post-upgrade run, the legacy
+            # checkpoint sits under the old root and is not visible
+            # here — that one-time replay is absorbed by the id-dedup
+            # gate (no data duplication), as before.
+            sibling = f"{location}_stream_checkpoint"
+            legacy = f"{index_root}/_stream_checkpoint"
+            if (not path_exists(spark, sibling)
+                    and path_exists(spark, f"{legacy}/metadata")):
+                checkpoint = legacy
+            else:
+                checkpoint = sibling
     nonce_cache: dict[str, str] = {}
 
     def nonce() -> str:
@@ -163,9 +185,23 @@ def run_vector_ingestion(spark: SparkSession, src_path: str,
                 and int(epoch_id) % recall_every_n_batches == 0):
             from ..plans.recall import record_recall_sample
 
-            record_recall_sample(spark, index_root, batch_id,
-                                 n_queries=recall_queries,
-                                 floor=recall_floor)
+            try:
+                record_recall_sample(spark, index_root, batch_id,
+                                     n_queries=recall_queries,
+                                     floor=recall_floor)
+            except Exception as e:   # noqa: BLE001 — canary isolation
+                # The commit already landed; a canary error (transient
+                # FS failure, probe error) must not fail the epoch —
+                # that would abort the availableNow run AND, on
+                # re-invocation, skip the sample forever via the
+                # replay early-return above (ADVICE r11). Log and
+                # move on: the sample is simply missing from the
+                # series, which recall_history tolerates.
+                import warnings
+                warnings.warn(
+                    f"recall canary failed for {batch_id} (ingest "
+                    f"commit unaffected): {e}", RuntimeWarning,
+                    stacklevel=2)
 
     return (stream.writeStream
             .foreachBatch(drain)

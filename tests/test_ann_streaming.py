@@ -350,3 +350,79 @@ def test_streaming_recall_canary_names_drift(spark, tmp_path):
     # a re-graded floor applies uniformly
     assert R.recall_history(spark, root, floor=0.1)["below_floor"] \
         == []
+
+
+def test_canary_failure_never_poisons_ingest(spark, emb, tmp_path,
+                                             monkeypatch):
+    """ADVICE r11: the recall canary runs AFTER the commit; if it
+    throws (transient FS error, probe failure) the epoch must still
+    SUCCEED — a canary error that failed the epoch would abort the
+    availableNow run, and the replay path would then skip the sample
+    forever while looking committed. Inject a canary crash and assert
+    the ingest committed anyway (and the next drain proceeds)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import recall as R
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected canary failure")
+
+    monkeypatch.setattr(R, "record_recall_sample", boom)
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ix")
+    _drop(emb, F.col("vec_id") < 60, src, "f0")
+    with pytest.warns(RuntimeWarning, match="recall canary failed"):
+        V.run_vector_ingestion(
+            spark, src, root, recall_every_n_batches=1,
+            recall_floor=0.9).awaitTermination(120)
+    # the commit landed despite the canary crash...
+    assert (A.read_ann_index(spark, root).count()
+            == emb.filter("vec_id < 60").count())
+    assert A.verify_ann_index(spark, root)["violations"] == []
+    # ...no sample was recorded (it failed), and the next drain works
+    monkeypatch.undo()
+    _drop(emb, (F.col("vec_id") >= 60) & (F.col("vec_id") < 90),
+          src, "f1")
+    V.run_vector_ingestion(spark, src, root,
+                           recall_every_n_batches=1
+                           ).awaitTermination(120)
+    assert (A.read_ann_index(spark, root).count()
+            == emb.filter("vec_id < 90").count())
+
+
+def test_pointer_stream_reuses_legacy_inroot_checkpoint(spark, emb,
+                                                        tmp_path):
+    """ADVICE r11: a stream that historically ran against the ROOT
+    (in-root checkpoint) and is upgraded to run against a POINTER
+    must keep its source progress — the alias-sibling checkpoint
+    location would otherwise re-read the whole drop directory and
+    spam one n_admitted=0 replay manifest per historical
+    micro-batch."""
+    import os
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        migration as M)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        _load_manifests)
+
+    src = str(tmp_path / "drop")
+    root = str(tmp_path / "ix")
+    alias = str(tmp_path / "ix.json")
+    # historical runs straight at the root → in-root checkpoint
+    _drop(emb, F.col("vec_id") < 70, src, "f0")
+    V.run_vector_ingestion(spark, src, root).awaitTermination(120)
+    assert os.path.isdir(f"{root}/_stream_checkpoint")
+    n_manifests_before = len(_load_manifests(spark, root))
+
+    # upgrade: same stream now aimed through a pointer; one NEW file
+    M.set_index_pointer(spark, alias, root)
+    _drop(emb, (F.col("vec_id") >= 70) & (F.col("vec_id") < 100),
+          src, "f1")
+    V.run_vector_ingestion(spark, src, alias).awaitTermination(120)
+
+    # progress preserved: exactly ONE new manifest (the new file),
+    # no n_admitted=0 replay spam, no abandoned-progress sibling
+    ms = _load_manifests(spark, root)
+    assert len(ms) == n_manifests_before + 1
+    assert all(m["n_admitted"] > 0 for m in ms.values()), ms
+    assert not os.path.isdir(f"{alias}_stream_checkpoint")
+    assert (A.read_ann_index(spark, root).count()
+            == emb.filter("vec_id < 100").count())

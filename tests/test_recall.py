@@ -173,3 +173,23 @@ def test_batch_recall_equals_per_query(spark, lsh_root, ivf_root,
         a = R.measure_recall(spark, lsh_root, queries, **kw)
         b = R.measure_recall_batch(spark, lsh_root, queries, **kw)
         assert a["recall"] == b["recall"], (kw, a, b)
+
+
+def test_batch_recall_accepts_none_exclude_ids(spark, ivf_root,
+                                               lsh_root, queries):
+    """ADVICE r11: measure_recall's query contract allows
+    exclude_id=None (grade without self-exclusion); the batch variant
+    must accept the same queries — synthetic negative qids make the
+    vec_id==qid exclusion a no-op for exactly those entries."""
+    none_q = [(None, vec) for _, vec in queries]
+    for root, kw in ((ivf_root, {"nprobe": 2}),
+                     (lsh_root, {"hamming": 1})):
+        a = R.measure_recall(spark, root, none_q, **kw)
+        b = R.measure_recall_batch(spark, root, none_q, **kw)
+        assert a["recall"] == b["recall"], (kw, a, b)
+    # mixed real/None ids also grade consistently
+    mixed = [q if i % 2 == 0 else (None, q[1])
+             for i, q in enumerate(queries)]
+    a = R.measure_recall(spark, ivf_root, mixed)
+    b = R.measure_recall_batch(spark, ivf_root, mixed)
+    assert a["recall"] == b["recall"], (a, b)

@@ -811,3 +811,51 @@ def test_linked_pins_report_rolls_up_cost(spark, tmp_path):
     assert e3["missing_member_pins"] == [
         f"{aroot}:{lp['index_pins'][aroot]}"]
     assert e3["held_bytes"] == e["roots"][croot]["held_bytes"]
+
+
+def test_release_linked_pin_racing_global_release_returns_true(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r11: in release_linked_pin's owner path, a racing
+    GLOBAL release can delete the linked doc between the two lock
+    blocks. The documented contract is 'True iff the linked doc is
+    gone after this call' — the doc IS gone and the owner's
+    underlying holds were released, so the owner call must return
+    True, not False. Inject the race by having the underlying
+    release step trigger the global release."""
+    croot = str(tmp_path / "c")
+    vroot = str(tmp_path / "v")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(1, 11)), "d1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id").isin(ids)), "v1")
+    lp = SN.pin_linked(spark, croot, [vroot], owner="run-a",
+                       created_at=100.0)
+
+    real_release_pin = SN.release_pin
+    fired = {"done": False}
+
+    def racing_release_pin(spark_, root_, digest, owner=None):
+        out = real_release_pin(spark_, root_, digest, owner=owner)
+        if not fired["done"]:
+            fired["done"] = True
+            # the race: a GLOBAL release lands while the owner call
+            # is between its two lock blocks
+            real_release = SN.release_linked_pin.__wrapped__ \
+                if hasattr(SN.release_linked_pin, "__wrapped__") \
+                else SN.release_linked_pin
+            monkeypatch.setattr(SN, "release_pin", real_release_pin)
+            real_release(spark_, croot, lp["linked_digest"],
+                         owner=None)
+        return out
+
+    monkeypatch.setattr(SN, "release_pin", racing_release_pin)
+    assert SN.release_linked_pin(spark, croot, lp["linked_digest"],
+                                 owner="run-a") is True
+    # doc gone, all holds gone — idempotent re-release still no-ops
+    assert SN.list_linked_pins(spark, croot) == {}
+    assert SN.list_pins(spark, croot) == {}
+    assert SN.list_pins(spark, vroot) == {}
+    assert SN.release_linked_pin(spark, croot, lp,
+                                 owner="run-a") is False
