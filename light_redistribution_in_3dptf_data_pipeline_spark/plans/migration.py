@@ -334,8 +334,10 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                   dim: int | None = None,
                   pointer: str | None = None,
                   cell_col: str = "label",
-                  train_k: int | None = None,
+                  train_k: "int | str | None" = None,
                   train_iters: int | None = None,
+                  train_metric: str = "l2",
+                  storage: str | None = None,
                   max_batches_per_commit: int | None = None) -> dict:
     """Re-train the routing structure into ``new_root`` and backfill
     it from ``old_root``'s COMMITTED postings (module docstring for
@@ -349,11 +351,20 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
       (vec_id, embedding) sample), else over the OLD ROOT'S OWN
       committed postings — the vectors are already stored, so a
       distribution-shift re-train needs nothing from the caller but
-      k.
+      k (or ``train_k="auto"``, sized by √N). ``train_metric="dot"``
+      trains with the quantizer's own placement rule (r11 brief #1
+      — recommended for re-trains chasing recall).
     - LSH: ``num_planes``/``dim`` parameterize the new hyperplanes
       (defaults = the old meta's, i.e. a pure re-bucketing).
     - ``pointer``: optional alias file to atomically cut over AFTER
       the count verification passes.
+    - ``storage``: the NEW root's posting layout ("float"/"int8" —
+      r11 brief #3); defaults to the old root's. int8→int8 carries
+      the stored codes VERBATIM (re-routing still re-derives
+      cells/buckets from the dequantized embedding under the new
+      structure — no double-quantization of the stored codes);
+      float→int8 quantizes at ingest; int8→float stores the
+      dequantized floats (lossy source, said loudly here).
     - ``max_batches_per_commit`` (VERDICT r10 brief #5): COALESCE the
       backfill — up to N consecutive old batches fold into ONE
       ``migrate-first--last`` commit whose manifest records the
@@ -381,22 +392,31 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
 
     if kind == "ivf_incremental":
         from .ivf_index import (IVF_TABLE, _load_meta, init_ivf_index,
-                                ivf_ingest_delta, read_ivf_postings)
+                                ivf_ingest_delta, ivf_vectors,
+                                read_ivf_postings)
+        ometa = _load_meta(spark, old_root)
+        old_storage = ometa.get("storage", "float")
+        new_storage = storage or old_storage
         if not path_exists(spark, f"{new_root}/_meta.json"):
-            n_dim = dim or _load_meta(spark, old_root)["dim"]
+            n_dim = dim or ometa["dim"]
             if train_k is not None:
                 # unlabeled path: re-train on the given sample, or on
                 # the old root's own committed vectors (one pruned
-                # scan per Lloyd iteration — never a re-embedding)
+                # scan per Lloyd iteration — never a re-embedding;
+                # for an int8 old root the sample is the DEQUANTIZED
+                # view — quantizer training is statistical, the sim5
+                # reconstruction error is noise at that altitude)
                 sample = (train if train is not None
-                          else read_ivf_postings(spark, old_root)
-                          .select("vec_id", "embedding"))
+                          else ivf_vectors(spark, old_root))
                 init_ivf_index(spark, new_root, sample, dim=n_dim,
                                train_k=train_k,
-                               train_iters=train_iters)
+                               train_iters=train_iters,
+                               train_metric=train_metric,
+                               storage=new_storage)
             elif train is not None:
                 init_ivf_index(spark, new_root, train,
-                               cell_col=cell_col, dim=n_dim)
+                               cell_col=cell_col, dim=n_dim,
+                               storage=new_storage)
             else:
                 raise ValueError(
                     "IVF migration re-trains the coarse quantizer — "
@@ -414,6 +434,8 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
         from .ann_index import (ann_ingest_delta, _load_meta,
                                 read_ann_index)
         ometa = _load_meta(spark, old_root)
+        old_storage = ometa.get("storage", "float")
+        new_storage = storage or old_storage
         n_planes = num_planes if num_planes is not None \
             else ometa["num_planes"]
         n_dim = dim if dim is not None else ometa["dim"]
@@ -424,7 +446,8 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                                     num_planes=n_planes, dim=n_dim,
                                     dedup_ids=False,
                                     corpus_batch=prov,
-                                    manifest_extra=extra)
+                                    manifest_extra=extra,
+                                    storage=new_storage)
 
     # per-chunk backfill: batch granularity (and provenance)
     # survives — the default is 1:1, ``max_batches_per_commit``
@@ -465,12 +488,25 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             f"max_batches_per_commit, would serve duplicate vectors; "
             f"start a fresh new_root or re-run with the original "
             f"chunking")
+    # storage-aware backfill columns: the embedding (stored, or
+    # dequantized from codes) always rides for RE-ROUTING under the
+    # new structure; int8→int8 additionally carries the codes
+    # VERBATIM so the stored payload is never quantized twice
+    if old_storage == "int8":
+        from .codes import dequant_embedding
+        old_scan = old_scan.withColumn(
+            "embedding",
+            dequant_embedding(F.col("code"), F.col("scale")))
+    delta_cols = ["vec_id", "embedding"]
+    if old_storage == "int8" and new_storage == "int8":
+        delta_cols += ["code", "scale"]
+
     migrated, skipped, n_vectors = [], [], 0
     for chunk in chunks:
         want = sum(oms[b]["n_admitted"] for b in chunk)
         bid = _chunk_id(chunk)
         delta = (old_scan.filter(F.col("batch_id").isin(chunk))
-                 .select("vec_id", "embedding"))
+                 .select(*delta_cols))
         extra = ({"migrated_batches": chunk} if len(chunk) > 1
                  else None)
         try:

@@ -150,3 +150,100 @@ def test_migrate_index_trains_on_old_postings(spark, emb, tmp_path):
     r_old = R.measure_recall(spark, old, sq, nprobe=2)["recall"]
     r_new = R.measure_recall(spark, new, sq, nprobe=2)["recall"]
     assert r_new >= r_old, (r_old, r_new)
+
+
+def test_dot_metric_deterministic_and_monotone(spark, emb):
+    """metric="dot" (r11 brief #1) keeps the trainer's contract
+    properties: bit-equal centroids/inertia under any partitioning,
+    and (empirically pinned on this fixture — module docstring for
+    why there is no general theorem) non-increasing L2 dispersion."""
+    a = K.train_centroids(spark, emb, k=8, n_iters=6, metric="dot")
+    b = K.train_centroids(spark, emb.repartition(7), k=8, n_iters=6,
+                          metric="dot")
+    assert a["centroids"] == b["centroids"]
+    assert a["inertia"] == b["inertia"]
+    assert a["metric"] == "dot"
+    assert a["reseeds"] == [0] * a["n_iters_run"]
+    assert all(x >= y for x, y in itertools.pairwise(a["inertia"]))
+    assert a["inertia"][0] > a["inertia"][-1]
+    with pytest.raises(ValueError, match="metric"):
+        K.train_centroids(spark, emb, k=8, metric="cosine")
+
+
+def _overlap_fixture(emb):
+    """Deliberately OVERLAPPING clusters (r11 brief #1 done-
+    criterion): 68 rows — ids 0..7 on axis0 at bimodal radii
+    {1.0, 10.0} (the radial bait min-L2 training stratifies), ids
+    8..37 on axis1 and 38..67 on axis2 at radius 5, original
+    uniform embeddings shrunk to 0.1 as jitter. Deterministic
+    content; measured below: l2-trained labels collapse under the
+    quantizer's mean-dot placement (0.72 match), dot-trained labels
+    ARE the placement (1.0)."""
+    g = (F.when(F.col("vec_id") < 8, F.lit(0))
+         .when(F.col("vec_id") < 38, F.lit(1)).otherwise(F.lit(2)))
+    r = (F.when(F.col("vec_id") < 4, F.lit(1.0))
+         .when(F.col("vec_id") < 8, F.lit(10.0)).otherwise(F.lit(5.0)))
+    return (emb.filter("vec_id < 68").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x, i: (x * 0.1 + F.when(i == g, r)
+                                  .otherwise(F.lit(0.0)))
+                    .cast("float")).alias("embedding")))
+
+
+def test_dot_training_matches_placement_on_overlap(spark, emb,
+                                                   tmp_path):
+    """The r11 brief #1 headline: on overlapping data, min-L2
+    training labels vectors into cells the frozen quantizer will NOT
+    place them into (placement==label 0.72 measured), while
+    metric="dot" trains with the placement rule itself — ≥99% match
+    by construction (measured 1.0) — and the dot-trained index
+    measurably beats the l2-trained one on recall at the default
+    fan-out (0.9 vs 0.8125 measured at nprobe=2)."""
+    ov = _overlap_fixture(emb).localCheckpoint()
+    frac, rec = {}, {}
+    for metric in ("l2", "dot"):
+        t = K.train_centroids(spark, ov, k=4, n_iters=12,
+                              metric=metric)
+        lab = t["labeled"].localCheckpoint()
+        root = str(tmp_path / metric)
+        I.init_ivf_index(spark, root, lab)
+        assign = I.assign_cells(spark, root,
+                                lab.select("vec_id", "embedding"))
+        n = lab.count()
+        frac[metric] = (lab.join(assign, "vec_id")
+                        .filter(F.col("label") == F.col("cell"))
+                        .count()) / n
+        I.ivf_ingest_delta(spark, root, ov, "all")
+        qs = R.sample_queries(ov, 8)   # ids 0..7 = the bait rows
+        rec[metric] = R.measure_recall(spark, root, qs, k=10,
+                                       nprobe=2)["recall"]
+    assert frac["dot"] >= 0.99, frac
+    assert frac["l2"] <= 0.90, frac   # measured 0.7206
+    assert rec["dot"] >= rec["l2"] + 0.05, rec
+    assert rec["dot"] >= 0.9, rec
+
+
+def test_suggest_k_sizing(spark, emb, tmp_path):
+    """nlist sizing heuristic (r11 brief #5): √N convention without
+    a target, ⌈n/target⌉ with one, clamped to the corpus; and the
+    end-to-end ``train_k="auto"`` index's occupancy median lands
+    within 2× of the √N-implied cell size."""
+    assert [K.suggest_k(n) for n in (1, 100, 10000)] == [1, 10, 100]
+    assert K.suggest_k(10**8) == 10000
+    assert K.suggest_k(10**8, target_cell_rows=100_000) == 1000
+    assert K.suggest_k(5, target_cell_rows=1) == 5   # clamp: k <= n
+    assert K.suggest_k(10**10, k_max=4096) == 4096
+    with pytest.raises(ValueError, match="at least one"):
+        K.suggest_k(0)
+    with pytest.raises(ValueError, match="target_cell_rows"):
+        K.suggest_k(100, target_cell_rows=0)
+
+    root = str(tmp_path / "auto")
+    meta = I.init_ivf_index(spark, root, emb.drop("label"),
+                            train_k="auto", train_iters=4)
+    assert meta["n_cells"] == K.suggest_k(500) == 22
+    I.ivf_ingest_delta(spark, root, emb.drop("label"), "d1")
+    occ = I.verify_ivf_index(spark, root)["cell_occupancy"]
+    target = 500 / 22
+    assert target / 2 <= occ["median"] <= 2 * target, occ

@@ -366,49 +366,58 @@ def main() -> None:
         _fixed_point(_checked_dim(F.col("embedding"), 64,
                                   "plan-audit")).alias("ci"))
         .withColumn("x2", _fixed_dot("ci", "ci")).localCheckpoint())
-    cf = KM._centroid_frame(spark, KM._seed_centroids(dec, 8))
-    scored = (dec.crossJoin(F.broadcast(cf))
-              .select("vec_id", "ci", "x2", "cell",
-                      KM._assign_key().alias("key")))
-    assigned = (scored.groupBy("vec_id")
-                .agg(F.max_by(F.col("cell"),
-                              F.struct((-F.col("key")).alias("nk"),
-                                       (-F.col("cell")).alias("nc")))
-                     .alias("cell"),
-                     F.min("key").alias("key"),
-                     F.first("ci").alias("ci"),
-                     F.first("x2").alias("x2")))
+    # the 64 component sums + the max_by struct exceed the default
+    # plan-string field cap, which would TRUNCATE the very function
+    # list the assertions below inspect
+    spark.conf.set("spark.sql.debug.maxToStringFields", "4096")
+    cf = KM._centroid_literal(spark, KM._seed_centroids(dec, 8))
+    assigned = KM._assigned(dec, cf, "l2")
     stats = (assigned.groupBy("cell")
              .agg(F.array(*[F.sum(F.element_at("ci", i + 1))
                             for i in range(64)]).alias("csum"),
                   F.count("*").cast("bigint").alias("nv"),
-                  F.sum("x2").alias("sumx2")))
+                  F.sum("x2").alias("sumx2"),
+                  F.max_by(F.struct(F.col("vec_id"), F.col("ci")),
+                           F.struct(F.col("bad").alias("b"),
+                                    (-F.col("vec_id"))
+                                    .alias("nv_id"))).alias("far"),
+                  F.max("bad").alias("far_bad")))
     plan = stats._jdf.queryExecution().executedPlan().toString()
     lines.append("## kmeans train_centroids — one Lloyd iteration "
-                 "(unlabeled quantizer training)")
+                 "(unlabeled quantizer training; r12 array-native "
+                 "assignment)")
     assert "BroadcastNestedLoopJoin" in plan
     lines.append("- `BroadcastNestedLoopJoin BuildRight, Cross` — "
-                 "the k-row centroid table broadcast against the "
-                 "vectors; every vector's k candidate rows stay in "
-                 "its own partition")
-    assert "partial_max_by" in plan
-    lines.append("- `partial_max_by(cell, struct(-key, -cell))` "
-                 "BEFORE `Exchange hashpartitioning(vec_id)` — the "
-                 "argmin collapses MAP-SIDE, so the assignment "
-                 "shuffle moves N rows, never N·k")
-    assert "partial_sum" in plan
-    lines.append("- `partial_sum(element_at(ci, 1..64))` BEFORE "
-                 "`Exchange hashpartitioning(cell)` — the centroid "
-                 "update partial-aggregates pre-exchange; the final "
-                 "aggregate is k rows collected to the driver")
-    lines.append("- per iteration: 1 broadcast + 2 hash exchanges "
-                 "over one pass of the localCheckpoint-pinned "
-                 "decoded vectors; centroids re-enter as driver "
-                 "literals, so lineage never grows across "
-                 "iterations")
+                 "the centroid table broadcast as ONE "
+                 "array-of-structs row; assignment is an in-row "
+                 "`transform`+`aggregate` fold over the k "
+                 "candidates: NO candidate-row expansion, NO vec_id "
+                 "exchange (the r11 N·k crossJoin shape is gone)")
+    # exactly ONE exchange in the whole iteration: the k-row cell
+    # partials. Nothing before the partial cell aggregate shuffles.
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    lines.append("- exactly ONE `Exchange hashpartitioning(cell)` "
+                 "in the whole iteration — map-only assignment "
+                 "feeds the partial cell aggregate directly; the "
+                 "exchange moves k·P partial rows, never N")
+    assert "partial_sum" in plan and "partial_max_by" in plan
+    lines.append("- `partial_sum(element_at(ci, 1..64))` + "
+                 "`partial_max_by(struct(vec_id, ci), struct(bad, "
+                 "-vec_id))` BEFORE the exchange — the centroid "
+                 "update AND the per-cell farthest reseed candidate "
+                 "ride ONE fused aggregate (r11 brief #7: no "
+                 "separate reseed job)")
+    lines.append("- per iteration: 1 one-row broadcast + 1 k-row "
+                 "hash exchange over one pass of the "
+                 "localCheckpoint-pinned decoded vectors; centroids "
+                 "re-enter as driver literals, so lineage never "
+                 "grows across iterations")
     lines.append("- exact-integer keys and int64 sums make the "
                  "result partition-count-INVARIANT, not just the "
-                 "plan shape (test-pinned)")
+                 "plan shape (test-pinned); metric='dot' swaps the "
+                 "fold key for the NEGATED bit-identical "
+                 "_cell_scores expression (train ≡ serve placement)")
     lines.extend(audit(plan))
     lines.append("")
     print("# kmeans iteration done", file=sys.stderr)
