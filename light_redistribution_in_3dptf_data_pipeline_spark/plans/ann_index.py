@@ -73,12 +73,23 @@ def _merge_manifest_extra(manifest: dict,
     return {**manifest, **extra}
 
 
-def _ann_schema(dim: int) -> str:
+STORAGES = ("float", "int8")
+
+
+def _ann_schema(dim: int, storage: str = "float") -> str:
     # Explicit schema: partition-column types included, and an index
     # whose committed batches are all empty has no footers to infer
     # from (same reasoning as corpus._read_index).
+    if storage == "int8":
+        from .codes import CODE_COLS
+        return (f"vec_id BIGINT, {CODE_COLS}, "
+                f"bucket INT, batch_id STRING")
     return ("vec_id BIGINT, embedding ARRAY<FLOAT>, "
             "bucket INT, batch_id STRING")
+
+
+def _schema_of(meta: dict) -> str:
+    return _ann_schema(meta["dim"], meta.get("storage", "float"))
 
 
 def _meta_path(root: str) -> str:
@@ -113,16 +124,34 @@ def committed_ann_batches(spark: SparkSession, root: str) -> list[str]:
 
 
 def read_ann_index(spark: SparkSession, root: str) -> DataFrame:
-    """Every committed vector (vec_id, embedding, bucket, batch_id) —
-    visibility identical to the corpus reader: present ∩ committed via
-    the invisible-set complement, directory-level."""
+    """Every committed posting row in the root's STORED layout
+    (float: vec_id, embedding, bucket, batch_id; int8: vec_id, code,
+    scale, bucket, batch_id) — visibility identical to the corpus
+    reader: present ∩ committed via the invisible-set complement,
+    directory-level. For a storage-independent (vec_id, embedding)
+    view use :func:`ann_vectors`."""
     meta = _load_meta(spark, root)
     committed = committed_ann_batches(spark, root)
     path = f"{root}/{ANN_TABLE}"
     if not committed or not path_exists(spark, path):
-        return spark.createDataFrame([], _ann_schema(meta["dim"]))
-    return _visible_scan(spark, path, committed,
-                         _ann_schema(meta["dim"]))
+        return spark.createDataFrame([], _schema_of(meta))
+    return _visible_scan(spark, path, committed, _schema_of(meta))
+
+
+def ann_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """(vec_id, embedding) whatever the storage — int8 roots
+    dequantize (plans/codes.dequant_embedding, lossy by exactly the
+    sim5 reconstruction error); what recall grading and a
+    cross-storage migration read."""
+    meta = _load_meta(spark, root)
+    scan = read_ann_index(spark, root)
+    if meta.get("storage", "float") == "int8":
+        from .codes import dequant_embedding
+        return scan.select(
+            "vec_id",
+            dequant_embedding(F.col("code"), F.col("scale"))
+            .alias("embedding"))
+    return scan.select("vec_id", "embedding")
 
 
 def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
@@ -132,7 +161,8 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      dedup_ids: bool = True,
                      corpus_batch: "str | list[str] | None" = None,
                      _crash_after: str | None = None,
-                     manifest_extra: dict | None = None) -> dict:
+                     manifest_extra: dict | None = None,
+                     storage: str | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Returns the committed manifest (the ingest ledger row).
     ``manifest_extra`` merges caller metadata into the manifest
@@ -162,7 +192,7 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
         return _ann_ingest_delta(spark, root, emb, batch_id, id_col,
                                  vec_col, num_planes, dim, dedup_ids,
                                  corpus_batch, _crash_after, lease,
-                                 manifest_extra)
+                                 manifest_extra, storage)
 
 
 def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
@@ -171,14 +201,26 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       corpus_batch: "str | list[str] | None",
                       _crash_after: str | None,
                       lease=None,
-                      manifest_extra: dict | None = None) -> dict:
+                      manifest_extra: dict | None = None,
+                      storage: str | None = None) -> dict:
+    if storage is not None and storage not in STORAGES:
+        raise ValueError(f"storage must be one of {STORAGES}, "
+                         f"got {storage!r}")
     if path_exists(spark, _meta_path(root)):
-        _check_meta(_load_meta(spark, root), num_planes, dim, root,
-                    "ingest")
+        meta0 = _load_meta(spark, root)
+        _check_meta(meta0, num_planes, dim, root, "ingest")
+        stored_storage = meta0.get("storage", "float")
+        if storage is not None and storage != stored_storage:
+            raise ValueError(
+                f"incremental ANN index at {root} stores "
+                f"{stored_storage!r} postings; an ingest requesting "
+                f"{storage!r} would silently mix layouts")
+        storage = stored_storage
     else:
+        storage = storage or "float"
         write_text_atomic(spark, _meta_path(root), json.dumps({
             "kind": "ann_lsh_incremental", "num_planes": num_planes,
-            "dim": dim,
+            "dim": dim, "storage": storage,
             "planes_digest": _planes_digest(num_planes, dim),
         }, sort_keys=True))
 
@@ -190,9 +232,15 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     committed = sorted(b for b in ms if b not in _superseded(ms))
     delete_path(spark, f"{root}/{ANN_TABLE}/batch_id={batch_id}")
 
-    delta = emb.select(F.col(id_col).alias("vec_id"),
-                       F.col(vec_col).cast("array<float>")
-                       .alias("embedding"))
+    cols = [F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<float>").alias("embedding")]
+    if (storage == "int8" and "code" in emb.columns
+            and "scale" in emb.columns):
+        # codes arriving WITH the delta (an int8→int8 migration) are
+        # stored verbatim — no double-quantization loss
+        cols += [F.col("code").cast("array<tinyint>").alias("code"),
+                 F.col("scale").cast("bigint").alias("scale")]
+    delta = emb.select(*cols)
     n_input = delta.count()
     # path_exists guard: committed batches that all admitted zero
     # vectors (e.g. an empty first micro-batch) leave no buckets/
@@ -201,7 +249,7 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     if (dedup_ids and committed
             and path_exists(spark, f"{root}/{ANN_TABLE}")):
         ids = _visible_scan(spark, f"{root}/{ANN_TABLE}", committed,
-                            _ann_schema(dim)).select("vec_id")
+                            _ann_schema(dim, storage)).select("vec_id")
         delta = delta.join(ids, "vec_id", "left_anti")
     delta = delta.localCheckpoint()
     n_admitted = delta.count()
@@ -209,6 +257,13 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     tagged = (delta.join(lsh_buckets(delta, "vec_id", "embedding",
                                      num_planes, dim), "vec_id")
               .withColumn("batch_id", F.lit(batch_id)))
+    if storage == "int8":
+        # bucketing above used the ORIGINAL embedding; only the
+        # STORED columns compress (plans/codes module docstring)
+        from .codes import attach_codes
+        tagged = attach_codes(
+            tagged, dim, f"ann_ingest_delta({batch_id})").select(
+            "vec_id", "code", "scale", "bucket", "batch_id")
     if n_admitted:
         # repartition(bucket) so each bucket directory is written by
         # the tasks owning its rows — no tasks×buckets file blowup
@@ -233,6 +288,34 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     return manifest
 
 
+def _chunked_batch_topk(queries: DataFrame, id_col: str,
+                        max_queries: int, run) -> DataFrame:
+    """Degrade a too-big batch probe into a DETERMINISTIC loop of
+    broadcast-sized jobs (VERDICT r11 brief #6): the distinct query
+    ids are collected once (one bigint column — 8 bytes/query, fine
+    even at millions), split into sorted ranges of ``max_queries``,
+    and ``run`` executes the normal broadcast batch probe per range.
+    Each chunk's result is ≤ k rows/query and is materialized
+    (localCheckpoint) before the next chunk runs, so no job ever
+    broadcasts more than ``max_queries`` queries; the union is over
+    already-computed small frames. Per-qid results are independent,
+    so chunked ≡ unchunked row-for-row. Shared by
+    ``ann_batch_topk`` and ``ivf_batch_topk``."""
+    from functools import reduce
+
+    qids = sorted(r[0] for r in queries.select(
+        F.col(id_col).cast("bigint")).distinct().collect())
+    if len(qids) <= max_queries:
+        return run(queries)
+    parts = []
+    for i in range(0, len(qids), max_queries):
+        lo, hi = qids[i], qids[min(i + max_queries, len(qids)) - 1]
+        chunk = queries.filter(
+            F.col(id_col).cast("bigint").between(lo, hi))
+        parts.append(run(chunk).localCheckpoint())
+    return reduce(DataFrame.unionByName, parts)
+
+
 def _probe_set(b: int, num_planes: int, hamming: int) -> list[int]:
     """The query's probe buckets: every bucket within Hamming
     distance ≤ ``hamming`` of the query bucket — the LSH probe
@@ -250,7 +333,9 @@ def _probe_set(b: int, num_planes: int, hamming: int) -> list[int]:
 def ann_incremental_topk(spark: SparkSession, root: str,
                          query_vec: list, k: int = TOP_K,
                          exclude_id: int | None = None,
-                         hamming: int = 1) -> DataFrame:
+                         hamming: int = 1,
+                         rerank_vectors: DataFrame | None = None,
+                         rerank_cut: int = 4) -> DataFrame:
     """Top-k cosine over the COMMITTED index: probe set (query bucket
     + Hamming-≤h neighbors, default h=1) computed driver-side, so the
     scan carries a literal ``bucket IN (...)`` — static pruning to a
@@ -278,14 +363,55 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     probes = _probe_set(b, num_planes, hamming)
     scan = (read_ann_index(spark, root)
             .filter(F.col("bucket").isin(probes)))
+    if meta.get("storage", "float") == "int8":
+        return _ann_code_topk(scan, query_vec, k, exclude_id,
+                              rerank_vectors, rerank_cut)
     return _cosine_rerank(scan, query_vec, k, exclude_id)
+
+
+def _ann_code_topk(scan: DataFrame, query_vec: list, k: int,
+                   exclude_id: int | None,
+                   rerank_vectors: DataFrame | None,
+                   rerank_cut: int) -> DataFrame:
+    """Top-k over an already bucket-pruned int8 codes scan — the LSH
+    twin of ``ivf_index._ivf_code_topk``: exact scale-free code
+    cosine (plans/codes.code_cosine), then either the code-ranked
+    top-k directly or an exact fixed-point rerank of a
+    ``rerank_cut``·k candidate slice fetched (broadcast join) from
+    the caller's float vector source."""
+    import math
+
+    from .codes import code_cosine
+
+    if exclude_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_id)
+    qci = [math.floor(float(x) * 1000000000.0 + 0.5)
+           for x in query_vec]
+    qsq = float(sum(c * c for c in qci)) / 1e18
+    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
+    scored = scan.select(
+        "vec_id", "bucket",
+        code_cosine(qarr, F.col("code"), F.lit(qsq)).alias("cosine"))
+    ranked = (scored.select("vec_id", "cosine", "bucket")
+              .orderBy(F.desc("cosine"), F.asc("vec_id")))
+    if rerank_vectors is None:
+        return ranked.limit(k)
+    cand = ranked.limit(rerank_cut * k).select("vec_id", "bucket")
+    fetch = (rerank_vectors.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"))
+        .join(F.broadcast(cand), "vec_id"))
+    return _cosine_rerank(fetch, query_vec, k, None)
 
 
 def ann_batch_topk(spark: SparkSession, root: str,
                    queries: DataFrame, k: int = TOP_K,
                    hamming: int = 1,
                    id_col: str = "qid", vec_col: str = "embedding",
-                   exclude_self: bool = True) -> DataFrame:
+                   exclude_self: bool = True,
+                   max_queries_per_job: int | None = None,
+                   rerank_vectors: DataFrame | None = None,
+                   rerank_cut: int = 4) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the LSH side of
     ``ivf_index.ivf_batch_topk`` (r11): per query the rows equal
     ``ann_incremental_topk``'s (same signatures via the shared
@@ -300,13 +426,26 @@ def ann_batch_topk(spark: SparkSession, root: str,
     3. pruned buckets ⋈ broadcast (qid, bucket) pairs, rerank, one
        per-qid window keeps k.
 
-    Returns (qid, vec_id, cosine, bucket)."""
+    Returns (qid, vec_id, cosine, bucket). The (qid, bucket) probe
+    frame and the decoded query table are BROADCAST — pass
+    ``max_queries_per_job`` to degrade a too-big batch into a
+    deterministic loop of broadcast-sized jobs (r11 brief #6 —
+    :func:`_chunked_batch_topk`; chunked ≡ unchunked row-for-row)."""
     from pyspark.sql import Window
 
     from ..queries.similarity import _fixed_dot
     from .migration import resolve_probe_location
 
     root = resolve_probe_location(spark, root)
+    if max_queries_per_job:
+        return _chunked_batch_topk(
+            queries, id_col, max_queries_per_job,
+            lambda chunk: ann_batch_topk(
+                spark, root, chunk, k=k, hamming=hamming,
+                id_col=id_col, vec_col=vec_col,
+                exclude_self=exclude_self,
+                rerank_vectors=rerank_vectors,
+                rerank_cut=rerank_cut))
     meta = _load_meta(spark, root)
     num_planes, dim = meta["num_planes"], meta["dim"]
     _check_meta(meta, num_planes, dim, root, "query")
@@ -338,6 +477,28 @@ def ann_batch_topk(spark: SparkSession, root: str,
             .join(F.broadcast(dec_q), "qid"))
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    if meta.get("storage", "float") == "int8":
+        from pyspark.sql import Window as _W
+
+        from .codes import code_cosine
+        wk8 = _W.partitionBy("qid").orderBy(F.desc("cosine"),
+                                            F.asc("vec_id"))
+        scored = cand.select(
+            "qid", "vec_id",
+            code_cosine(F.col("qci"), F.col("code"), F.col("qsq"))
+            .alias("cosine"), "bucket")
+        top = (scored.withColumn("rn", F.row_number().over(wk8))
+               .filter(F.col("rn") <= (k if rerank_vectors is None
+                                       else rerank_cut * k))
+               .drop("rn"))
+        if rerank_vectors is None:
+            return top
+        cand = (rerank_vectors.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"))
+            .join(F.broadcast(top.select("qid", "vec_id", "bucket")),
+                  "vec_id")
+            .join(F.broadcast(dec_q), "qid"))
     rer = cand.select(
         "qid", "vec_id", "bucket", "qsq",
         _fixed_point(F.col("embedding")).alias("ci"),
@@ -394,7 +555,9 @@ def _cosine_rerank(scan: DataFrame, query_vec: list, k: int,
 def ann_pinned_topk(spark: SparkSession, root: str, pin,
                     query_vec: list, k: int = TOP_K,
                     exclude_id: int | None = None,
-                    hamming: int = 1) -> DataFrame:
+                    hamming: int = 1,
+                    rerank_vectors: DataFrame | None = None,
+                    rerank_cut: int = 4) -> DataFrame:
     """Top-k cosine over a PINNED view of the index
     (plans/snapshots.pin_snapshot): the scan is the pinned batch
     directories only (path selection — snapshots.read_pinned_table),
@@ -413,8 +576,12 @@ def ann_pinned_topk(spark: SparkSession, root: str, pin,
 
     b = query_bucket(query_vec, num_planes, dim)
     probes = _probe_set(b, num_planes, hamming)
-    scan = (read_pinned_table(spark, root, pin, ANN_TABLE)
+    scan = (read_pinned_table(spark, root, pin, ANN_TABLE,
+                              schema=_schema_of(meta))
             .filter(F.col("bucket").isin(probes)))
+    if meta.get("storage", "float") == "int8":
+        return _ann_code_topk(scan, query_vec, k, exclude_id,
+                              rerank_vectors, rerank_cut)
     return _cosine_rerank(scan, query_vec, k, exclude_id)
 
 
@@ -464,7 +631,7 @@ def _compact_ann_batches(spark: SparkSession, root: str,
     if path_exists(spark, path):
         # input pinned with a localCheckpoint before the same-table
         # append starts (the corpus compaction discipline, ADVICE r7)
-        rows = (spark.read.schema(_ann_schema(meta["dim"]))
+        rows = (spark.read.schema(_schema_of(meta))
                 .parquet(path)
                 .filter(F.col("batch_id").isin(ids))
                 .withColumn("batch_id", F.lit(cid))
@@ -557,7 +724,7 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
     violations: list[str] = []
 
     path = f"{root}/{ANN_TABLE}"
-    ix = (_visible_scan(spark, path, live, _ann_schema(meta["dim"]))
+    ix = (_visible_scan(spark, path, live, _schema_of(meta))
           if live and path_exists(spark, path) else None)
     n_rows = 0
     occupancy: dict = {"n_buckets_occupied": 0, "max": 0,
@@ -602,17 +769,30 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
                 "mean": round(sum(occ) / len(occ), 2),
                 "hottest_bucket": max(per_bucket,
                                       key=per_bucket.get)}
-        expected = lsh_buckets(ix.select("vec_id", "embedding"),
-                               "vec_id", "embedding",
-                               meta["num_planes"], meta["dim"])
-        n_drift = (ix.select("vec_id", "bucket")
-                   .join(expected.withColumnRenamed("bucket", "_want"),
-                         "vec_id")
-                   .filter(F.col("bucket") != F.col("_want")).count())
-        if n_drift:
-            violations.append(
-                f"bucketing: {n_drift} rows sit in a partition whose "
-                f"bucket != the bucket of their own embedding")
+        if meta.get("storage", "float") == "int8":
+            # codes, not the original embeddings, are stored: a
+            # re-derived bucket from the DEQUANTIZED vector can
+            # legitimately differ near a hyperplane, so the drift
+            # check would false-positive — skipped, and SAID so
+            bucketing_check = ("skipped: int8 storage stores codes; "
+                               "bucket re-derivation needs the "
+                               "original embeddings")
+        else:
+            bucketing_check = "checked"
+            expected = lsh_buckets(ix.select("vec_id", "embedding"),
+                                   "vec_id", "embedding",
+                                   meta["num_planes"], meta["dim"])
+            n_drift = (ix.select("vec_id", "bucket")
+                       .join(expected.withColumnRenamed("bucket",
+                                                        "_want"),
+                             "vec_id")
+                       .filter(F.col("bucket") != F.col("_want"))
+                       .count())
+            if n_drift:
+                violations.append(
+                    f"bucketing: {n_drift} rows sit in a partition "
+                    f"whose bucket != the bucket of their own "
+                    f"embedding")
 
     live_set = set(live)
     orphans = {
@@ -624,8 +804,14 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
     # garbage — same split as corpus.verify_corpus
     from .snapshots import pinned_batches
     pinned = orphans & pinned_batches(spark, root)
+    from ..fs import dir_bytes
     return {"live_batches": len(live), "index_rows": n_rows,
             "bucket_occupancy": occupancy,
+            "storage": meta.get("storage", "float"),
+            "bucketing_check": (bucketing_check if ix is not None
+                                else "skipped: no live data"),
+            "table_bytes": (dir_bytes(spark, path)
+                            if path_exists(spark, path) else 0),
             "orphans": sorted(orphans - pinned),
             "pinned_held": sorted(pinned), "violations": violations}
 
@@ -680,8 +866,7 @@ def delete_vectors(spark: SparkSession, root: str,
     Returns the new batch id. Takes the writer lease."""
     with corpus_writer_lock(spark, root, op="ann_retain") as lease:
         return _retain_vectors(spark, root, ANN_TABLE, "bucket",
-                               _ann_schema(_load_meta(spark,
-                                                      root)["dim"]),
+                               _schema_of(_load_meta(spark, root)),
                                vec_ids, n_files_per_bucket, lease,
                                _crash_after,
                                release_conflicting_pins)

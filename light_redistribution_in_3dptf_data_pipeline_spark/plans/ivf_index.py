@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..fs import delete_path, path_exists, read_text, write_text_atomic
 from ..operators.similarity import EMB_DIM, TOP_K, _fixed_point
-from .ann_index import _retain_vectors
+from .ann_index import _chunked_batch_topk, _retain_vectors
 from .corpus import (BatchAlreadyIngested, _load_manifests,
                      _manifest_path, _next_seq_id, _superseded,
                      _visible_scan, _write_snapshot, corpus_writer_lock)
@@ -65,9 +65,20 @@ META_NAME = "_meta.json"
 CSUM_SPLIT = 1 << 20
 
 
-def _ivf_schema(dim: int) -> str:
+STORAGES = ("float", "int8")
+
+
+def _ivf_schema(dim: int, storage: str = "float") -> str:
+    if storage == "int8":
+        from .codes import CODE_COLS
+        return (f"vec_id BIGINT, {CODE_COLS}, "
+                f"cell BIGINT, batch_id STRING")
     return ("vec_id BIGINT, embedding ARRAY<FLOAT>, "
             "cell BIGINT, batch_id STRING")
+
+
+def _schema_of(meta: dict) -> str:
+    return _ivf_schema(meta["dim"], meta.get("storage", "float"))
 
 
 def _meta_path(root: str) -> str:
@@ -116,8 +127,10 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    cell_col: str = "label",
                    dim: int = EMB_DIM,
-                   train_k: int | None = None,
-                   train_iters: int | None = None) -> dict:
+                   train_k: "int | str | None" = None,
+                   train_iters: int | None = None,
+                   train_metric: str = "l2",
+                   storage: str = "float") -> dict:
     """TRAIN-ONCE: freeze the coarse quantizer from a labeled
     training frame (per-cell exact int64 nano-unit component sums +
     counts — the same wide aggregate the one-shot
@@ -130,15 +143,35 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
     the labels come from the deterministic distributed k-means
     trainer (:func:`plans.kmeans.train_centroids`) run on ``train``
     — no caller-side clustering required. ``train_iters`` caps the
-    Lloyd iterations (trainer default otherwise)."""
-    if train_k is not None:
-        from .kmeans import DEFAULT_ITERS, train_centroids
+    Lloyd iterations (trainer default otherwise).
+    ``train_k="auto"`` (r11 brief #5) sizes k from the training
+    count by :func:`plans.kmeans.suggest_k`'s √N convention.
+    ``train_metric="dot"`` (r11 brief #1) trains with the index's
+    OWN placement rule (argmax mean-scaled centroid dot) so training
+    labels equal serve-time placement on any data — recommended for
+    new indexes; the "l2" default preserves historical behavior.
 
+    ``storage="int8"`` (r11 brief #3) stores postings as symmetric
+    int8 codes + per-vector scale (plans/codes.py — ~4× smaller on
+    disk, measured by the fsck's ``table_bytes``) instead of float
+    embeddings; placement/routing still computes from the original
+    embeddings at ingest, probes score the exact scale-free code
+    cosine and optionally exact-rerank a short candidate list
+    against caller-supplied float vectors."""
+    if storage not in STORAGES:
+        raise ValueError(f"storage must be one of {STORAGES}, "
+                         f"got {storage!r}")
+    if train_k is not None:
+        from .kmeans import DEFAULT_ITERS, suggest_k, train_centroids
+
+        if train_k == "auto":
+            train_k = suggest_k(train.count())
         train = train_centroids(
             spark, train, k=train_k,
             n_iters=(train_iters if train_iters is not None
                      else DEFAULT_ITERS),
-            id_col=id_col, vec_col=vec_col, dim=dim)["labeled"]
+            id_col=id_col, vec_col=vec_col, dim=dim,
+            metric=train_metric)["labeled"]
         id_col, vec_col, cell_col = "vec_id", "embedding", "label"
     with corpus_writer_lock(spark, root, op="ivf_init") as lease:
         if path_exists(spark, _meta_path(root)):
@@ -160,6 +193,7 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
                 .select("cell", "csum", "nv").collect())
         meta = {"kind": "ivf_incremental", "dim": dim,
                 "n_cells": len(rows),
+                "storage": storage,
                 "centroid_digest": _centroid_digest(rows)}
         lease.fence()
         write_text_atomic(spark, _meta_path(root),
@@ -230,15 +264,34 @@ def committed_ivf_batches(spark: SparkSession, root: str) -> list[str]:
 
 
 def read_ivf_postings(spark: SparkSession, root: str) -> DataFrame:
-    """Every committed vector (vec_id, embedding, cell, batch_id) —
-    visibility identical to the corpus reader."""
+    """Every committed posting row, in the root's STORED layout
+    (float: vec_id, embedding, cell, batch_id; int8: vec_id, code,
+    scale, cell, batch_id) — visibility identical to the corpus
+    reader. For a storage-independent (vec_id, embedding) view use
+    :func:`ivf_vectors`."""
     meta = _load_meta(spark, root)
     committed = committed_ivf_batches(spark, root)
     path = f"{root}/{IVF_TABLE}"
     if not committed or not path_exists(spark, path):
-        return spark.createDataFrame([], _ivf_schema(meta["dim"]))
-    return _visible_scan(spark, path, committed,
-                         _ivf_schema(meta["dim"]))
+        return spark.createDataFrame([], _schema_of(meta))
+    return _visible_scan(spark, path, committed, _schema_of(meta))
+
+
+def ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """(vec_id, embedding) for every committed vector, whatever the
+    storage: float roots project the stored column, int8 roots
+    DEQUANTIZE (plans/codes.dequant_embedding — lossy by exactly the
+    sim5 reconstruction error). What training, recall grading, and a
+    cross-storage migration read."""
+    meta = _load_meta(spark, root)
+    scan = read_ivf_postings(spark, root)
+    if meta.get("storage", "float") == "int8":
+        from .codes import dequant_embedding
+        return scan.select(
+            "vec_id",
+            dequant_embedding(F.col("code"), F.col("scale"))
+            .alias("embedding"))
+    return scan.select("vec_id", "embedding")
 
 
 def ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
@@ -290,6 +343,7 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     # dim-check the stored column itself so the PROVIDED-cell path is
     # guarded too (its rows never pass through _cell_scores, but a
     # wrong-dim vector would still be unprobeable: NULL re-rank cosine)
+    storage = meta.get("storage", "float")
     emb_cast = F.col(vec_col).cast("array<float>")
     cols = [F.col(id_col).alias("vec_id"),
             _checked_dim(emb_cast, meta["dim"],
@@ -297,11 +351,17 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
             .alias("embedding")]
     if cell_col is not None:
         cols.append(F.col(cell_col).cast("bigint").alias("cell"))
+    if (storage == "int8" and "code" in emb.columns
+            and "scale" in emb.columns):
+        # codes arriving WITH the delta (an int8→int8 migration)
+        # are stored verbatim — no double-quantization loss
+        cols += [F.col("code").cast("array<tinyint>").alias("code"),
+                 F.col("scale").cast("bigint").alias("scale")]
     delta = emb.select(*cols)
     n_input = delta.count()
     if dedup_ids and committed and path_exists(spark, path):
         ids = _visible_scan(spark, path, committed,
-                            _ivf_schema(meta["dim"])).select("vec_id")
+                            _schema_of(meta)).select("vec_id")
         delta = delta.join(ids, "vec_id", "left_anti")
     delta = delta.localCheckpoint()
     n_admitted = delta.count()
@@ -332,8 +392,19 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
         tagged = delta.join(assign, "vec_id")
     tagged = tagged.withColumn("batch_id", F.lit(batch_id))
 
+    if storage == "int8":
+        # placement above used the ORIGINAL embedding; only the
+        # STORED columns compress (plans/codes module docstring)
+        from .codes import attach_codes
+        stored = attach_codes(
+            tagged, meta["dim"],
+            f"ivf_ingest_delta({batch_id})").select(
+            "vec_id", "code", "scale", "cell", "batch_id")
+    else:
+        stored = tagged.select("vec_id", "embedding", "cell",
+                               "batch_id")
     if n_admitted:
-        (tagged.repartition(F.col("cell"))
+        (stored.repartition(F.col("cell"))
          .write.mode("append").partitionBy("batch_id", "cell")
          .parquet(path))
     if _crash_after == IVF_TABLE:
@@ -359,7 +430,9 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
 def ivf_incremental_topk(spark: SparkSession, root: str,
                          query_vec: list, k: int = TOP_K,
                          nprobe: int = 2,
-                         exclude_id: int | None = None) -> DataFrame:
+                         exclude_id: int | None = None,
+                         rerank_vectors: DataFrame | None = None,
+                         rerank_cut: int = 4) -> DataFrame:
     """Top-k cosine over the COMMITTED index: rank cells DRIVER-SIDE
     against the frozen centroids (exact arbitrary-precision integer
     dots — identical to the executor-side placement score), then scan
@@ -373,7 +446,14 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
     (plans/migration.set_index_pointer) — resolved transparently —
     or an :class:`migration.IndexPointerHandle` whose cached
     resolution serves high-QPS probe loops without per-probe FS
-    reads."""
+    reads.
+
+    int8 roots (r11 brief #3) score the exact SCALE-FREE code cosine
+    over the pruned codes scan; pass ``rerank_vectors`` (a
+    (vec_id, embedding) float source — the corpus, or the embeddings
+    the index was built from) to take a top-(``rerank_cut``·k) cut
+    on code scores and exact-rerank ONLY those candidates with the
+    full fixed-point cosine (plans/codes module docstring)."""
     import math
 
     from .migration import resolve_probe_location
@@ -397,7 +477,41 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
 
     scan = (read_ivf_postings(spark, root)
             .filter(F.col("cell").isin(probe_cells)))
+    if meta.get("storage", "float") == "int8":
+        return _ivf_code_topk(scan, qci, qsq, k, exclude_id,
+                              rerank_vectors, rerank_cut)
     return _ivf_rerank(scan, qci, qsq, k, exclude_id)
+
+
+def _ivf_code_topk(scan: DataFrame, qci: list, qsq: float, k: int,
+                   exclude_id: int | None,
+                   rerank_vectors: DataFrame | None,
+                   rerank_cut: int) -> DataFrame:
+    """Top-k over an already cell-pruned int8 codes scan: exact
+    scale-free code cosine (plans/codes.code_cosine), then either
+    return the code-ranked top-k directly (the cosine IS the exact
+    cosine of the dequantized vectors) or exact-rerank a
+    ``rerank_cut``·k candidate slice against the caller's float
+    vectors — the candidate list is probe-sized, so the fetch is a
+    broadcast join; point ``rerank_vectors`` at an id-prunable
+    source at scale."""
+    from .codes import code_cosine
+
+    if exclude_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_id)
+    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
+    scored = scan.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"),
+        code_cosine(qarr, F.col("code"), F.lit(qsq)).alias("cosine"))
+    ranked = scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    if rerank_vectors is None:
+        return ranked.limit(k)
+    cand = ranked.limit(rerank_cut * k).select("vec_id", "cell")
+    fetch = (rerank_vectors.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"))
+        .join(F.broadcast(cand), "vec_id"))
+    return _ivf_rerank(fetch, qci, qsq, k, None)
 
 
 def _ivf_rerank(scan: DataFrame, qci: list, qsq: float, k: int,
@@ -431,7 +545,10 @@ def ivf_batch_topk(spark: SparkSession, root: str,
                    queries: DataFrame, k: int = TOP_K,
                    nprobe: int = 2,
                    id_col: str = "qid", vec_col: str = "embedding",
-                   exclude_self: bool = True) -> DataFrame:
+                   exclude_self: bool = True,
+                   max_queries_per_job: int | None = None,
+                   rerank_vectors: DataFrame | None = None,
+                   rerank_cut: int = 4) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the eval/serving
     shape :func:`recall.measure_recall`'s docstring defers to: a
     driver loop issues one small job per query (right for tens),
@@ -455,13 +572,31 @@ def ivf_batch_topk(spark: SparkSession, root: str,
 
     Returns (qid, vec_id, cosine, cell). ``exclude_self`` drops
     ``vec_id == qid`` matches (self-neighborhood grading).
-    ``root`` may be a pointer/handle like the single-query probe."""
+    ``root`` may be a pointer/handle like the single-query probe.
+
+    The (qid, cell) probe frame and the decoded query table are
+    BROADCAST — right for the thousands-of-queries serving/grading
+    shape, but a million-query batch would blow the broadcast limit:
+    pass ``max_queries_per_job`` (r11 brief #6) and the batch
+    degrades to a deterministic loop of broadcast-sized jobs over
+    qid ranges (each chunk's small result is materialized, then
+    unioned) — per-qid results are independent, so chunked ≡
+    unchunked row-for-row (test-pinned)."""
     from pyspark.sql import Window
 
     from ..queries.similarity import _fixed_dot
     from .migration import resolve_probe_location
 
     root = resolve_probe_location(spark, root)
+    if max_queries_per_job:
+        return _chunked_batch_topk(
+            queries, id_col, max_queries_per_job,
+            lambda chunk: ivf_batch_topk(
+                spark, root, chunk, k=k, nprobe=nprobe,
+                id_col=id_col, vec_col=vec_col,
+                exclude_self=exclude_self,
+                rerank_vectors=rerank_vectors,
+                rerank_cut=rerank_cut))
     meta = _load_meta(spark, root)
     dim = meta["dim"]
     cents = spark.createDataFrame(
@@ -499,9 +634,42 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     cand = scan.join(F.broadcast(probe), "cell")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.asc("vec_id"))
+    if meta.get("storage", "float") == "int8":
+        # exact scale-free code cosine per (query, posting) — the
+        # same single-query arithmetic, per-qid window instead of a
+        # global sort; optional exact rerank of a cut·k slice
+        from .codes import code_cosine
+        scored = cand.select(
+            "qid", "vec_id",
+            code_cosine(
+                F.col("qci"), F.col("code"),
+                _fixed_dot("qci", "qci").cast("double") / F.lit(1e18))
+            .alias("cosine"),
+            F.col("cell").cast("bigint").alias("cell"))
+        top = (scored.withColumn("rn", F.row_number().over(wk))
+               .filter(F.col("rn") <= (k if rerank_vectors is None
+                                       else rerank_cut * k))
+               .drop("rn"))
+        if rerank_vectors is None:
+            return top
+        fetch = (rerank_vectors.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"))
+            .join(F.broadcast(top.select("qid", "vec_id", "cell")),
+                  "vec_id")
+            .join(F.broadcast(q.withColumnRenamed("qci", "qci2")
+                              .select("qid", "qci2")), "qid"))
+        rer2 = fetch.select(
+            "qid", "vec_id", "cell",
+            _fixed_point(F.col("embedding")).alias("ci"),
+            F.col("qci2").alias("qci"))
+        cand = rer2   # falls through to the shared float rerank
     dec = cand.select(
         "qid", "vec_id", "cell", "qci",
-        _fixed_point(F.col("embedding")).alias("ci"))
+        (F.col("ci") if "ci" in cand.columns
+         else _fixed_point(F.col("embedding"))).alias("ci"))
     rer = dec.select(
         "qid", "vec_id", "cell",
         (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
@@ -513,8 +681,6 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     cosine = F.round(
         F.col("dot")
         / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 9)
-    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
-                                           F.asc("vec_id"))
     return (rer.select("qid", "vec_id", cosine.alias("cosine"),
                        F.col("cell").cast("bigint").alias("cell"))
             .withColumn("rn", F.row_number().over(wk))
@@ -524,7 +690,9 @@ def ivf_batch_topk(spark: SparkSession, root: str,
 def ivf_pinned_topk(spark: SparkSession, root: str, pin,
                     query_vec: list, k: int = TOP_K,
                     nprobe: int = 2,
-                    exclude_id: int | None = None) -> DataFrame:
+                    exclude_id: int | None = None,
+                    rerank_vectors: DataFrame | None = None,
+                    rerank_cut: int = 4) -> DataFrame:
     """Top-k cosine over a PINNED view of the IVF index — pinned
     batch directories only (path selection), the same frozen-
     quantizer driver-side cell ranking, and the same exact re-rank
@@ -551,8 +719,12 @@ def ivf_pinned_topk(spark: SparkSession, root: str, pin,
 
     from .snapshots import read_pinned_table
 
-    scan = (read_pinned_table(spark, root, pin, IVF_TABLE)
+    scan = (read_pinned_table(spark, root, pin, IVF_TABLE,
+                              schema=_schema_of(meta))
             .filter(F.col("cell").isin(probe_cells)))
+    if meta.get("storage", "float") == "int8":
+        return _ivf_code_topk(scan, qci, qsq, k, exclude_id,
+                              rerank_vectors, rerank_cut)
     return _ivf_rerank(scan, qci, qsq, k, exclude_id)
 
 
@@ -597,7 +769,7 @@ def _compact_ivf_batches(spark: SparkSession, root: str,
     path = f"{root}/{IVF_TABLE}"
     delete_path(spark, f"{path}/batch_id={cid}")
     if path_exists(spark, path):
-        rows = (spark.read.schema(_ivf_schema(meta["dim"]))
+        rows = (spark.read.schema(_schema_of(meta))
                 .parquet(path)
                 .filter(F.col("batch_id").isin(ids))
                 .withColumn("batch_id", F.lit(cid))
@@ -647,7 +819,7 @@ def delete_ivf_vectors(spark: SparkSession, root: str,
     with corpus_writer_lock(spark, root, op="ivf_retain") as lease:
         return _retain_vectors(
             spark, root, IVF_TABLE, "cell",
-            _ivf_schema(_load_meta(spark, root)["dim"]),
+            _schema_of(_load_meta(spark, root)),
             vec_ids, n_files_per_cell, lease, _crash_after,
             release_conflicting_pins)
 
@@ -726,6 +898,7 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
 
     meta = _load_meta(spark, root)
     violations: list[str] = []
+    placement_check = "skipped: no live data or no quantizer"
     try:
         cent_rows = _load_centroids(spark, root, meta)
     except ValueError as e:
@@ -736,7 +909,7 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
     gone = _superseded(ms)
     live = sorted(b for b in ms if b not in gone)
     path = f"{root}/{IVF_TABLE}"
-    ix = (_visible_scan(spark, path, live, _ivf_schema(meta["dim"]))
+    ix = (_visible_scan(spark, path, live, _schema_of(meta))
           if live and path_exists(spark, path) else None)
     n_rows = 0
     occupancy: dict = {"n_cells_occupied": 0, "max": 0, "median": 0,
@@ -789,7 +962,18 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
                     f"cells (stored but never probed)")
             assigned = [b for b in live
                         if ms[b].get("cell_source") == "assigned"]
-            if assigned:
+            if meta.get("storage", "float") == "int8":
+                # codes, not the original embeddings, are stored: a
+                # cell re-derived from the DEQUANTIZED vector can
+                # legitimately differ near a boundary, so the
+                # placement re-derivation would false-positive —
+                # skipped, and SAID so (membership/ledger/uniqueness
+                # still checked above)
+                placement_check = ("skipped: int8 storage stores "
+                                   "codes; placement re-derivation "
+                                   "needs the original embeddings")
+            elif assigned:
+                placement_check = "checked"
                 sub = ix.filter(F.col("batch_id").isin(assigned))
                 cents = spark.createDataFrame(
                     [(int(r.cell), [int(s) for s in r.csum],
@@ -813,6 +997,8 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
                         f"placement: {n_drift} assigned rows sit in "
                         f"a cell != their own embedding's nearest "
                         f"frozen centroid")
+            else:
+                placement_check = "skipped: no assigned-cell batches"
 
     live_set = set(live)
     orphans = {
@@ -824,7 +1010,12 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
     # garbage — same split as corpus.verify_corpus
     from .snapshots import pinned_batches
     pinned = orphans & pinned_batches(spark, root)
+    from ..fs import dir_bytes
     return {"live_batches": len(live), "index_rows": n_rows,
             "cell_occupancy": occupancy,
+            "storage": meta.get("storage", "float"),
+            "placement_check": placement_check,
+            "table_bytes": (dir_bytes(spark, path)
+                            if path_exists(spark, path) else 0),
             "orphans": sorted(orphans - pinned),
             "pinned_held": sorted(pinned), "violations": violations}

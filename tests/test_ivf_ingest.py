@@ -412,3 +412,40 @@ def test_batch_topk_equals_per_query_probe(spark, emb, tmp_path):
                     spark, root, qvec, k=10, nprobe=2,
                     exclude_id=qid).collect()]
         assert got[qid] == want, qid
+
+
+def test_batch_topk_chunked_equals_unchunked(spark, emb, tmp_path):
+    """max_queries_per_job (r11 brief #6): a batch bigger than the
+    broadcast budget degrades to a deterministic loop of
+    broadcast-sized jobs — per-qid results are independent, so the
+    chunked run must equal the unchunked one ROW-FOR-ROW, for both
+    index families."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import ann_index as A
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
+        init_ivf_index, ivf_batch_topk, ivf_ingest_delta)
+
+    root = str(tmp_path / "ivf")
+    init_ivf_index(spark, root, emb)
+    ivf_ingest_delta(spark, root, emb.drop("label"), "d1")
+    aroot = str(tmp_path / "ann")
+    A.ann_ingest_delta(spark, aroot, emb, "d1")
+
+    queries = (emb.filter("vec_id < 25")
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+
+    def rows(df):
+        return sorted((int(r.qid), int(r.vec_id), float(r.cosine))
+                      for r in df.collect())
+
+    want = rows(ivf_batch_topk(spark, root, queries, k=5, nprobe=2))
+    got = rows(ivf_batch_topk(spark, root, queries, k=5, nprobe=2,
+                              max_queries_per_job=7))
+    assert got == want and len(want) == 25 * 5
+    # a cap larger than the batch takes the single-job path
+    assert rows(ivf_batch_topk(spark, root, queries, k=5, nprobe=2,
+                               max_queries_per_job=100)) == want
+
+    wa = rows(A.ann_batch_topk(spark, aroot, queries, k=5))
+    ga = rows(A.ann_batch_topk(spark, aroot, queries, k=5,
+                               max_queries_per_job=7))
+    assert ga == wa and len(wa) == 25 * 5
