@@ -59,13 +59,13 @@ def measure_recall(spark: SparkSession, root: str,
     root's ``_meta.json``; ``nprobe`` applies to IVF roots,
     ``hamming`` to LSH roots. Returns ``{"recall", "k",
     "n_queries", "param"}``."""
-    from .ann_index import ann_incremental_topk, read_ann_index
-    from .ivf_index import ivf_incremental_topk, read_ivf_postings
+    from .ann_index import ann_incremental_topk, ann_vectors
+    from .ivf_index import ivf_incremental_topk, ivf_vectors
     from .linkage import _index_kind
 
     kind = _index_kind(spark, root)
     if kind == "ann_lsh_incremental":
-        full = read_ann_index(spark, root)
+        full = ann_vectors(spark, root)
         param = {"hamming": hamming}
 
         def probe(qvec, qid):
@@ -73,7 +73,7 @@ def measure_recall(spark: SparkSession, root: str,
                                         exclude_id=qid,
                                         hamming=hamming)
     else:
-        full = read_ivf_postings(spark, root)
+        full = ivf_vectors(spark, root)
         param = {"nprobe": nprobe}
 
         def probe(qvec, qid):
@@ -192,16 +192,16 @@ def record_recall_sample(spark: SparkSession, root: str,
     import json as _json
 
     from ..fs import write_text_atomic
-    from .ann_index import read_ann_index
-    from .ivf_index import read_ivf_postings
+    from .ann_index import ann_vectors
+    from .ivf_index import ivf_vectors
     from .linkage import _index_kind
     from .migration import resolve_index_root
 
     root = resolve_index_root(spark, root)
     kind = _index_kind(spark, root)
-    scan = (read_ann_index(spark, root)
+    scan = (ann_vectors(spark, root)
             if kind == "ann_lsh_incremental"
-            else read_ivf_postings(spark, root))
+            else ivf_vectors(spark, root))
     queries = sample_queries(scan.select("vec_id", "embedding"),
                              n_queries)
     if len(queries) < max(2, n_queries // 2):
