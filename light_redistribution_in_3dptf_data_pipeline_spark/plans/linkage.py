@@ -75,7 +75,8 @@ def _committed_vec_ids(spark: SparkSession,
 def verify_deployment(spark: SparkSession, corpus_root: str,
                       index_roots: "list[str]",
                       max_pin_age_seconds: float | None = None,
-                      max_pin_held_bytes: int | None = None) -> dict:
+                      max_pin_held_bytes: int | None = None,
+                      advise: bool = False) -> dict:
     """The whole deployment's health in ONE call — what an operator
     runs before a critical training build or after maintenance:
 
@@ -98,9 +99,16 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
       one-call health check as structural damage (r11; roots
       without samples cost nothing).
 
+    ``advise=True`` (r11 brief #4) additionally runs
+    :func:`advisory.suggest_maintenance` per index root and returns
+    the ranked action lists under ``advice`` — health check and
+    "what should I run on this root" in the same call (the advisory
+    reuses this check's thresholds for the pin policy).
+
     Returns ``{"roots": {root: fsck}, "linked": {root: report},
     "pins": {root: report}, "pin_fscks": {root: {digest: report}},
     "linked_pin_fscks": {digest: report}, "recall": {root: history},
+    "advice": {root: advisory} (advise=True only),
     "violations": [...]}`` — the flat ``violations`` list aggregates
     every sub-report's, each prefixed with its root, so "is
     everything consistent" is one empty-list check. Each sub-check
@@ -175,6 +183,15 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
                 f"{iroot}: recall canary below floor at batch {bid} "
                 f"(recall@{s['k']} {s['recall']} < floor "
                 f"{s['floor']})")
+
+    if advise:
+        from .advisory import suggest_maintenance
+        out["advice"] = {
+            iroot: suggest_maintenance(
+                spark, iroot,
+                max_pin_age_seconds=max_pin_age_seconds,
+                max_pin_held_bytes=max_pin_held_bytes)
+            for iroot in index_roots}
 
     linked_docs = list_linked_pins(spark, corpus_root)
     for ldigest in sorted(linked_docs):
