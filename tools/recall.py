@@ -42,9 +42,10 @@ N_CLUSTERS = 8
 
 
 def _sweep(spark, emb, queries, label: str,
-           ivf_init_kwargs: dict) -> dict:
-    """One regime: build LSH + IVF roots over ``emb``, sweep the
-    probe knobs, tear down."""
+           ivf_init_kwargs: dict, storage: str = "float") -> dict:
+    """One regime: build LSH + IVF roots over ``emb`` (float or
+    int8-compressed postings — r12), sweep the probe knobs, tear
+    down."""
     from light_redistribution_in_3dptf_data_pipeline_spark.plans import recall as R
     from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
         ann_ingest_delta)
@@ -55,7 +56,8 @@ def _sweep(spark, emb, queries, label: str,
     lsh_root = tempfile.mkdtemp(prefix=f"recall_{label}_lsh_")
     ivf_root = tempfile.mkdtemp(prefix=f"recall_{label}_ivf_")
     try:
-        ann_ingest_delta(spark, lsh_root, emb, "all")
+        ann_ingest_delta(spark, lsh_root, emb, "all",
+                         storage=storage)
         for h in (0, 1, 2):
             rep = R.measure_recall(spark, lsh_root, queries,
                                    hamming=h)
@@ -63,7 +65,8 @@ def _sweep(spark, emb, queries, label: str,
             print(f"# {label} lsh hamming={h}: recall@10 = "
                   f"{rep['recall']}", file=sys.stderr)
 
-        init_ivf_index(spark, ivf_root, emb, **ivf_init_kwargs)
+        init_ivf_index(spark, ivf_root, emb, storage=storage,
+                       **ivf_init_kwargs)
         ivf_ingest_delta(spark, ivf_root,
                          emb.select("vec_id", "embedding"), "all")
         for np_ in (1, 2, 4):
@@ -98,12 +101,21 @@ def main() -> None:
     queries = R.sample_queries(emb, N_QUERIES)
     out["fixtures"]["uniform"] = _sweep(
         spark, emb, queries, "uniform", {"cell_col": "label"})
+    # int8-compressed postings (r12): same fixture, same quantizer
+    # family — the done-criterion is "recall unchanged at default
+    # fan-out" vs the float rows above
+    out["fixtures"]["uniform_int8"] = _sweep(
+        spark, emb, queries, "uniform_int8", {"cell_col": "label"},
+        storage="int8")
     # clustered regime: quantizer trained UNLABELED (plans/kmeans)
     cl = R.clustered_embeddings(emb, n_clusters=N_CLUSTERS) \
         .localCheckpoint()
     cl_queries = R.sample_queries(cl, N_QUERIES)
     out["fixtures"]["clustered"] = _sweep(
         spark, cl, cl_queries, "clustered", {"train_k": N_CLUSTERS})
+    out["fixtures"]["clustered_int8"] = _sweep(
+        spark, cl, cl_queries, "clustered_int8",
+        {"train_k": N_CLUSTERS}, storage="int8")
 
     line = json.dumps(out)
     print(line)
