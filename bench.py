@@ -348,6 +348,41 @@ def main() -> None:
     finally:
         shutil.rmtree(ivf_root, ignore_errors=True)
 
+    # int8-postings probe legs (r12): the same compacted-index probe
+    # over codes-only storage — at 100 TB the postings scan dominates
+    # probe cost and this is the compressed-scan number (bytes ~3×
+    # down; scoring is the exact scale-free code cosine). Setup
+    # (init/ingest/compact) untimed, probe first/warm like the float
+    # twins above.
+    for fam, mk in (("ivf8_topk", "ivf"), ("ann8_topk", "ann")):
+        root8 = tempfile.mkdtemp(prefix=f"bench_{fam}_")
+        try:
+            embt = load_table(spark, SF_DIR, "embeddings")
+            if mk == "ivf":
+                init_ivf_index(spark, root8, embt, storage="int8")
+                ivf_ingest_delta(spark, root8, embt.drop("label"),
+                                 "all")
+                compact_ivf_batches(spark, root8)
+                probe = lambda: ivf_incremental_topk(  # noqa: E731
+                    spark, root8, qvec, exclude_id=0)
+            else:
+                ann_ingest_delta(spark, root8, embt, "all",
+                                 storage="int8")
+                compact_ann_batches(spark, root8)
+                probe = lambda: ann_incremental_topk(  # noqa: E731
+                    spark, root8, qvec, exclude_id=0)
+            cold, warm, _ = _run(
+                lambda: probe()
+                .write.format("noop").mode("overwrite").save())
+            per_query[fam] = round(cold, 3)
+            per_query_warm[fam] = round(warm, 3)
+            total += cold
+            total_warm += warm
+            print(f"# {fam}: {cold:.3f}s (warm median {warm:.3f}s)",
+                  file=sys.stderr)
+        finally:
+            shutil.rmtree(root8, ignore_errors=True)
+
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),

@@ -418,13 +418,30 @@ def read_vectors_pinned(spark: SparkSession, index_root: str,
     """The pinned committed vectors of an incremental index root —
     :func:`read_pinned_table` over the kind's data table (LSH
     ``buckets`` / IVF ``postings``, dispatched on ``_meta.json``
-    like every other cross-family entry point)."""
+    like every other cross-family entry point). int8-storage roots
+    (r12, plans/codes.py) additionally carry a DEQUANTIZED
+    ``embedding`` column next to the stored code/scale, so linked
+    multimodal training reads (``read_linked_pinned``) are
+    storage-independent — lossy by exactly the sim5 reconstruction
+    error, like every other dequantizing view."""
+    import json as _json
+
+    from ..fs import read_text
     from .linkage import _index_kind
 
     table = ("buckets"
              if _index_kind(spark, index_root) == "ann_lsh_incremental"
              else "postings")
-    return read_pinned_table(spark, index_root, pin, table)
+    scan = read_pinned_table(spark, index_root, pin, table)
+    meta = _json.loads(read_text(spark, f"{index_root}/_meta.json"))
+    if meta.get("storage", "float") == "int8":
+        from pyspark.sql import functions as F
+
+        from .codes import dequant_embedding
+        scan = scan.withColumn(
+            "embedding",
+            dequant_embedding(F.col("code"), F.col("scale")))
+    return scan
 
 
 def pin_linked(spark: SparkSession, corpus_root: str,

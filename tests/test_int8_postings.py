@@ -237,6 +237,12 @@ def test_int8_compact_retain_pin_dedup(spark, emb, tmp_path):
 
     qv = _qvec(emb, 0)
     pin = SN.pin_snapshot(spark, root)
+    # the pinned-vectors view is storage-independent: int8 roots
+    # carry a dequantized embedding next to the stored code/scale,
+    # so linked multimodal training reads keep working
+    pv = SN.read_vectors_pinned(spark, root, pin)
+    assert {"embedding", "code", "scale"} <= set(pv.columns)
+    assert pv.count() == 400
     before = [(int(r.vec_id), float(r.cosine)) for r in
               I.ivf_pinned_topk(spark, root, pin, qv, k=5,
                                 exclude_id=0).collect()]
