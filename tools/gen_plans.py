@@ -347,6 +347,38 @@ def main() -> None:
         lines.append("")
         print("# migrated probe done", file=sys.stderr)
 
+    # int8-compressed postings probe (r12): the codes-only scan must
+    # keep the exact same pruned zero-exchange shape as the float
+    # probe — compression changes the bytes read, never the plan.
+    with tempfile.TemporaryDirectory() as td:
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+            ivf_index as IV8)
+
+        IV8.init_ivf_index(spark, f"{td}/ivf8", emb, storage="int8")
+        IV8.ivf_ingest_delta(spark, f"{td}/ivf8", emb.drop("label"),
+                             "d1")
+        df = IV8.ivf_incremental_topk(spark, f"{td}/ivf8", qvec,
+                                      exclude_id=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ivf_incremental_topk over int8 postings "
+                     "(codes-only scan, scale-free code cosine)")
+        assert "ReadSchema" in plan and "embedding" not in plan
+        lines.append("- `ReadSchema` carries code/scale only — the "
+                     "scan reads the ~4×-smaller columns; no float "
+                     "embedding exists in the plan at all")
+        m = _re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        if m:
+            lines.append(f"- `{m.group(0)}` — the same literal "
+                         "cell-IN pruning as the float probe")
+        assert "Exchange" not in plan
+        lines.append("- no Exchange (TakeOrderedAndProject over the "
+                     "pruned codes scan); the code cosine is two "
+                     "exact int64 in-row folds, no hi/lo split "
+                     "needed (|q| ≤ 127)")
+        lines.extend(audit(plan))
+        lines.append("")
+        print("# int8 probe done", file=sys.stderr)
+
     # k-means trainer (r11): one Lloyd iteration's update aggregate —
     # the argmin must collapse MAP-SIDE (partial max_by before the
     # vec_id exchange: N rows shuffled, never N·k), the centroid
