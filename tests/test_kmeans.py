@@ -247,3 +247,26 @@ def test_suggest_k_sizing(spark, emb, tmp_path):
     occ = I.verify_ivf_index(spark, root)["cell_occupancy"]
     target = 500 / 22
     assert target / 2 <= occ["median"] <= 2 * target, occ
+
+
+def test_reseed_shortfall_fallback(spark):
+    """MORE starved cells than occupied cells (5 identical vectors,
+    k=4 → one occupied cell, three empty): the fused per-cell
+    candidates can't cover the empties, so the fallback top-N pass
+    supplies the remainder — deterministically, under any
+    partitioning, and the trainer still returns k centroids."""
+    rows = [(i, [float(i == 99)] * 8) for i in (1, 2, 3, 4, 5)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    rep = K.train_centroids(spark, vecs, k=4, n_iters=2, dim=8)
+    assert rep["reseeds"][0] == 3       # 1 occupied, 3 starved
+    assert len(rep["centroids"]) == 4   # every cell re-seeded
+    rep2 = K.train_centroids(spark, vecs.repartition(5), k=4,
+                             n_iters=2, dim=8)
+    assert rep2["centroids"] == rep["centroids"]
+    assert rep2["reseeds"] == rep["reseeds"]
+    # the dot metric takes the same fallback path
+    rep3 = K.train_centroids(spark, vecs, k=4, n_iters=2, dim=8,
+                             metric="dot")
+    assert rep3["reseeds"][0] == 3
+    assert len(rep3["centroids"]) == 4
