@@ -144,6 +144,23 @@ def main() -> None:
     # host-load spike per leg.
     WARM_RUNS = 3
 
+    # HOST-CALIBRATION leg (r12 brief #6): a fixed, DATA-INDEPENDENT
+    # CPU-bound aggregation — identical work every round, every
+    # scale factor — so a uniformly slower host (r12: driver 1.29 vs
+    # builder 1.12) is separated from plan drift MECHANICALLY: the
+    # per-leg ratios below divide by this leg's round-over-round
+    # ratio before the outlier rule runs. Not counted in the totals
+    # (it is a ruler, not a workload).
+    from pyspark.sql import functions as _F
+
+    def _calibration_leg():
+        (spark.range(0, 48_000_000, 1, 32)
+         .select((_F.col("id") % 9973).alias("k"),
+                 ((_F.col("id") * 2654435761) % 1000003).alias("v"))
+         .groupBy("k")
+         .agg(_F.sum("v").alias("s"), _F.count("*").alias("n"))
+         .write.format("noop").mode("overwrite").save())
+
     def _run(fn) -> "tuple[float, float, list[float]]":
         t0 = time.perf_counter()
         fn()
@@ -154,6 +171,10 @@ def main() -> None:
             fn()
             warms.append(time.perf_counter() - t0)
         return cold, statistics.median(warms), warms
+
+    calib_cold, calib_warm, _ = _run(_calibration_leg)
+    print(f"# calibration: {calib_cold:.3f}s (warm median "
+          f"{calib_warm:.3f}s)", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     per_query_warm: dict[str, float] = {}
@@ -383,6 +404,82 @@ def main() -> None:
         finally:
             shutil.rmtree(root8, ignore_errors=True)
 
+    # Early-exit probe legs (r12 brief #1): a CLUSTERED int8 IVF
+    # root probed at nprobe=4 — the regime where the direction-box
+    # bound prunes (a uniform fixture's boxes are loose by design;
+    # tools/recall.py measures that split). Plain vs early_exit=True
+    # on the SAME root: the delta is the measured pruning win. Plus
+    # the LSH pair at hamming=2 (25 of 256 buckets probed).
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.recall import (
+        clustered_embeddings)
+
+    ee_root = tempfile.mkdtemp(prefix="bench_ee_")
+    ann_ee_root = tempfile.mkdtemp(prefix="bench_ee_ann_")
+    try:
+        embt = load_table(spark, SF_DIR, "embeddings")
+        clu = clustered_embeddings(embt.drop("label")).localCheckpoint()
+        init_ivf_index(spark, ee_root, clu, train_k=8,
+                       train_metric="dot", storage="int8")
+        ivf_ingest_delta(spark, ee_root, clu, "all")
+        compact_ivf_batches(spark, ee_root)
+        ann_ingest_delta(spark, ann_ee_root, clu, "all",
+                         storage="int8")
+        compact_ann_batches(spark, ann_ee_root)
+        qvec_c = [float(x) for x in
+                  clu.filter("vec_id = 0").select("embedding")
+                  .head()[0]]
+        for fam, probe in (
+                ("ivf8_np4_topk",
+                 lambda: ivf_incremental_topk(
+                     spark, ee_root, qvec_c, nprobe=4, exclude_id=0)),
+                ("ivf8_np4_ee_topk",
+                 lambda: ivf_incremental_topk(
+                     spark, ee_root, qvec_c, nprobe=4, exclude_id=0,
+                     early_exit=True)),
+                ("ann8_h2_topk",
+                 lambda: ann_incremental_topk(
+                     spark, ann_ee_root, qvec_c, hamming=2,
+                     exclude_id=0)),
+                ("ann8_h2_ee_topk",
+                 lambda: ann_incremental_topk(
+                     spark, ann_ee_root, qvec_c, hamming=2,
+                     exclude_id=0, early_exit=True))):
+            cold, warm, _ = _run(
+                lambda: probe()
+                .write.format("noop").mode("overwrite").save())
+            per_query[fam] = round(cold, 3)
+            per_query_warm[fam] = round(warm, 3)
+            total += cold
+            total_warm += warm
+            print(f"# {fam}: {cold:.3f}s (warm median {warm:.3f}s)",
+                  file=sys.stderr)
+
+        # Chunked-batch concurrency legs (r12 brief #2): 128 queries
+        # at max_queries_per_job=16 (8 chunks) — serial vs the
+        # bounded driver pool; results are parity-pinned equal, the
+        # delta is pure occupancy between chunk tails.
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans.ivf_index import (
+            ivf_batch_topk)
+        q128 = (clu.filter("vec_id < 128")
+                .select(F.col("vec_id").alias("qid"), "embedding")
+                .localCheckpoint())
+        for fam, conc in (("ivf8_batch128_chunk16_serial", 1),
+                          ("ivf8_batch128_chunk16_par", 4)):
+            cold, warm, _ = _run(
+                lambda: ivf_batch_topk(
+                    spark, ee_root, q128, nprobe=2,
+                    max_queries_per_job=16, chunk_concurrency=conc)
+                .write.format("noop").mode("overwrite").save())
+            per_query[fam] = round(cold, 3)
+            per_query_warm[fam] = round(warm, 3)
+            total += cold
+            total_warm += warm
+            print(f"# {fam}: {cold:.3f}s (warm median {warm:.3f}s)",
+                  file=sys.stderr)
+    finally:
+        shutil.rmtree(ee_root, ignore_errors=True)
+        shutil.rmtree(ann_ee_root, ignore_errors=True)
+
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -393,6 +490,9 @@ def main() -> None:
         "queries_warm": per_query_warm,
         "queries_warm_median": per_query_warm,
         "value_warm": round(total_warm, 3),
+        # the fixed CPU ruler (r12 brief #6) — NOT in the totals
+        "calibration": {"cold": round(calib_cold, 3),
+                        "warm": round(calib_warm, 3)},
         "sf": sf,
     }
 
@@ -408,18 +508,33 @@ def main() -> None:
         ratios = {n: round(per_query_warm[n] / pw[n], 3)
                   for n in per_query_warm
                   if n in pw and pw[n] and per_query_warm[n]}
+        # host factor from the CALIBRATION ruler when the prior run
+        # recorded one (r12 brief #6) — byte-identical CPU work, so
+        # its ratio IS the host-speed change; per-leg ratios divide
+        # it out and the outlier rule keys off the ADJUSTED numbers.
+        # Falls back to 1.0 against pre-r13 summaries.
+        prev_cal = (prev.get("calibration") or {}).get("warm")
+        host = round(calib_warm / prev_cal, 3) if prev_cal else 1.0
         if ratios:
             med = statistics.median(ratios.values())
+            adjusted = {n: round(r / host, 3)
+                        for n, r in ratios.items()}
+            med_adj = statistics.median(adjusted.values())
             summary["normalized_vs_prev"] = {
                 "prev_source": prev_src,
                 "n_shared_legs": len(ratios),
                 "median_ratio": round(med, 3),
+                "host_factor": host,
+                "median_ratio_host_adjusted": round(med_adj, 3),
                 "value_warm_normalized": round(total_warm / med, 3),
+                "value_warm_host_adjusted": round(total_warm / host,
+                                                  3),
                 "outlier_legs": {
-                    n: r for n, r in sorted(ratios.items())
-                    if r > med * 1.5 or r < med / 1.5},
+                    n: r for n, r in sorted(adjusted.items())
+                    if r > med_adj * 1.5 or r < med_adj / 1.5},
             }
             print(f"# normalized vs {prev_src}: median ratio {med:.3f} "
+                  f"(host factor {host:.3f}, adjusted {med_adj:.3f}) "
                   f"over {len(ratios)} legs -> value_warm_normalized "
                   f"{summary['normalized_vs_prev']['value_warm_normalized']}",
                   file=sys.stderr)

@@ -470,6 +470,24 @@ def query_bucket(vec: list, num_planes: int = NUM_PLANES,
     return bucket
 
 
+def query_margins(vec: list, num_planes: int = NUM_PLANES,
+                  dim: int = EMB_DIM) -> list[int]:
+    """Per-plane SIGNED integer margins of a query vector against the
+    md5 hyperplanes — the exact int dots whose signs ``query_bucket``
+    packs into the bucket id (bit-identical arithmetic: same fixed
+    point, same sign matrix). |margin_j| is how close the query sits
+    to plane j: the multi-probe ordering flips the nearest planes
+    first (plans/ann_index.multiprobe_set)."""
+    import math
+
+    if len(vec) != dim:
+        raise ValueError(f"expected {dim}-dim query vector, got {len(vec)}")
+    signs = _plane_signs(num_planes, dim)
+    ci = [math.floor(float(x) * 1000000000.0 + 0.5) for x in vec]
+    return [sum(s * c for s, c in zip(signs[j], ci))
+            for j in range(num_planes)]
+
+
 def ann_indexed_topk(spark: SparkSession, path: str, query_vec: list,
                      k: int = TOP_K, num_planes: int = NUM_PLANES,
                      dim: int = EMB_DIM,

@@ -1,5 +1,9 @@
-"""ONE ranked maintenance advisory per vector-index root (VERDICT
-r11 brief #4): the signals already exist — occupancy canaries
+"""ONE ranked maintenance advisory per root — vector-index roots
+(VERDICT r11 brief #4) AND corpus roots (r12 brief #4; the corpus
+side has its own signals: ingest-ledger gate-drop skew, live-batch
+fan-out, prunable superseded bytes, pin pricing —
+:func:`_suggest_corpus`): the signals already exist — occupancy
+canaries
 (``verify_ann_index``/``verify_ivf_index``), the measured recall
 history (``recall.recall_history``), the live-batch ledger
 (small-files debt), and pin pricing (``snapshots.pins_report``) —
@@ -39,7 +43,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 SEVERITY = {"retrain_migrate": 90, "compact_hot": 70,
-            "compact_batches": 50, "release_pins": 30}
+            "investigate_gates": 60, "compact_batches": 50,
+            "prune_superseded": 40, "release_pins": 30}
 
 
 def suggest_maintenance(spark: SparkSession, root: str,
@@ -48,12 +53,19 @@ def suggest_maintenance(spark: SparkSession, root: str,
                         recall_floor: float | None = None,
                         max_pin_age_seconds: float | None = None,
                         max_pin_held_bytes: int | None = None,
-                        now: float | None = None) -> dict:
-    """The ranked maintenance advisory for one index root (module
-    docstring). ``root`` may be a pointer/alias. ``recall_floor``
-    re-grades the recall series against a caller floor (otherwise
-    each sample's own recorded floor applies); the pin thresholds
-    mirror ``pins_report``'s. Returns::
+                        now: float | None = None,
+                        fsck: dict | None = None,
+                        target_cell_rows: int | None = None) -> dict:
+    """The ranked maintenance advisory for one root — index OR
+    corpus (kind-dispatched on the manifest/meta layout; corpus
+    signals in :func:`_suggest_corpus` — r12 brief #4). ``root`` may
+    be a pointer/alias. ``recall_floor`` re-grades the recall series
+    against a caller floor (otherwise each sample's own recorded
+    floor applies); the pin thresholds mirror ``pins_report``'s;
+    ``target_cell_rows`` (r12 brief #5) makes the retrain advice
+    size its k from the MEASURED occupancy against that posting-scan
+    budget (:func:`kmeans.suggest_k_feedback`) instead of √N.
+    Returns::
 
         {"root", "kind", "actions": [
             {"action", "severity", "reason", "signal": {...}}, ...],
@@ -62,24 +74,48 @@ def suggest_maintenance(spark: SparkSession, root: str,
     ``actions`` is sorted most-severe first; an empty list means the
     root needs nothing. Structural fsck violations are surfaced
     verbatim under ``fsck_violations`` — they are damage, not
-    maintenance, and ``verify_deployment`` already alarms on them."""
+    maintenance, and ``verify_deployment`` already alarms on them.
+
+    ``fsck`` accepts an ALREADY-COMPUTED kind-matched fsck report
+    (ADVICE r12): ``verify_deployment(advise=True)`` just ran the
+    same ``verify_ann_index``/``verify_ivf_index`` aggregate scan —
+    passing it in makes advise=True add only the recall/pin reads
+    instead of doubling the scan cost on large roots. When given, it
+    must be the report of THIS root's current fsck (the caller's
+    responsibility — there is no cheap way to re-verify that without
+    re-running the scan this parameter exists to avoid)."""
+    from ..fs import path_exists
     from .ann_index import verify_ann_index
     from .ivf_index import verify_ivf_index
     from .linkage import _index_kind
-    from .migration import resolve_index_root
+    from .migration import resolve_corpus_root, resolve_index_root
     from .recall import recall_history
-    from .snapshots import pins_report
 
-    root = resolve_index_root(spark, root)
+    # kind dispatch (r12 brief #4): corpus roots — manifest protocol
+    # but no _meta.json — get the corpus advisory; anything that is
+    # neither stays loud via _index_kind below
+    resolved = resolve_index_root(spark, root, strict=False)
+    if not path_exists(spark, f"{resolved}/_meta.json"):
+        from .corpus import MANIFEST_DIR
+        croot = resolve_corpus_root(spark, root, strict=False)
+        if path_exists(spark, f"{croot}/{MANIFEST_DIR}"):
+            return _suggest_corpus(
+                spark, croot, fsck=fsck,
+                max_live_batches=max_live_batches,
+                max_pin_age_seconds=max_pin_age_seconds,
+                max_pin_held_bytes=max_pin_held_bytes, now=now)
+    root = resolved
     kind = _index_kind(spark, root)
     if kind == "ann_lsh_incremental":
-        fsck = verify_ann_index(spark, root)
+        if fsck is None:
+            fsck = verify_ann_index(spark, root)
         occ = fsck["bucket_occupancy"]
         hot_key, hot = "hottest_bucket", occ.get("hottest_bucket")
         compact_call = ("compact_ann_batches(root, "
                         "rows_per_file=...)")
     else:
-        fsck = verify_ivf_index(spark, root)
+        if fsck is None:
+            fsck = verify_ivf_index(spark, root)
         occ = fsck["cell_occupancy"]
         hot_key, hot = "hottest_cell", occ.get("hottest_cell")
         compact_call = ("compact_ivf_batches(root, "
@@ -87,10 +123,26 @@ def suggest_maintenance(spark: SparkSession, root: str,
 
     actions: list[dict] = []
 
-    # 1. quality decay → re-train the routing structure
+    # 1. quality decay → re-train the routing structure. The series
+    # is ordered by each sample's monotonic recording seq (ADVICE
+    # r12 — batch ids sort lexicographically: 'f10' < 'f9'), so
+    # [-1] IS the newest sample, not the lexicographically last id.
     hist = recall_history(spark, root, floor=recall_floor)
     if hist["samples"] and hist["samples"][-1].get("below_floor"):
         last = hist["samples"][-1]
+        # the retrain advice NAMES its k (r12 brief #5): from the
+        # fsck's MEASURED occupancy when a posting-scan budget is
+        # configured (suggest_k_feedback — the closed loop), else
+        # the √N convention over the measured row count
+        k_sugg = None
+        if kind == "ivf_incremental" and fsck.get("index_rows"):
+            from .kmeans import suggest_k, suggest_k_feedback
+            k_sugg = (suggest_k_feedback(fsck["index_rows"], occ,
+                                         target_cell_rows)
+                      if target_cell_rows
+                      else suggest_k(fsck["index_rows"]))
+        k_txt = (f"train_k={k_sugg}" if k_sugg is not None
+                 else "train_k=...")
         actions.append({
             "action": "retrain_migrate",
             "severity": SEVERITY["retrain_migrate"],
@@ -101,13 +153,17 @@ def suggest_maintenance(spark: SparkSession, root: str,
                 f"({len(hist['below_floor'])} below-floor sample(s))"
                 f" — the frozen structure no longer routes the "
                 f"current distribution; run migration.migrate_index("
-                f"train_k=..., train_metric='dot') and cut over"),
+                f"{k_txt}, train_metric='dot') and cut over"),
             "signal": {"recall": last,
-                       "below_floor": hist["below_floor"]}})
+                       "below_floor": hist["below_floor"],
+                       **({"suggested_k": k_sugg}
+                          if k_sugg is not None else {})}})
 
     # 2. occupancy skew → size-aware compaction (split the hot files)
     med = occ.get("median") or 0
-    if med and occ.get("max", 0) > occupancy_skew * med:
+    if med and occ.get("max", 0) > occupancy_skew * med \
+            and not _hot_suppressed(spark, root, kind, hot,
+                                    occ.get("max", 0)):
         actions.append({
             "action": "compact_hot",
             "severity": SEVERITY["compact_hot"],
@@ -136,25 +192,264 @@ def suggest_maintenance(spark: SparkSession, root: str,
                        "threshold": max_live_batches}})
 
     # 4. pin hoarding → release the flagged holds
-    prep = pins_report(spark, root,
-                       max_age_seconds=max_pin_age_seconds,
-                       max_held_bytes=max_pin_held_bytes, now=now)
-    if prep["flagged_pins"]:
-        flagged = {d: {"flags": prep["pins"][d]["flags"],
-                       "age_seconds": prep["pins"][d]["age_seconds"],
-                       "held_bytes": prep["pins"][d]["held_bytes"]}
-                   for d in prep["flagged_pins"]}
-        total = sum(v["held_bytes"] for v in flagged.values())
-        actions.append({
-            "action": "release_pins",
-            "severity": SEVERITY["release_pins"],
-            "reason": (
-                f"pins {sorted(flagged)} break the lifecycle policy "
-                f"(holding {total} superseded bytes) — "
-                f"release_pin(...) the forgotten holds, then the "
-                f"next prune reclaims the batches"),
-            "signal": {"flagged": flagged}})
+    pin_act = _pins_action(spark, root, max_pin_age_seconds,
+                           max_pin_held_bytes, now)
+    if pin_act is not None:
+        actions.append(pin_act)
 
     actions.sort(key=lambda a: (-a["severity"], a["action"]))
     return {"root": root, "kind": kind, "actions": actions,
+            "fsck_violations": list(fsck["violations"])}
+
+
+def _hot_suppressed(spark, root: str, kind: str, hot,
+                    max_rows: int) -> bool:
+    """compact_hot LOOP-BREAKER (r12 brief #8): once a size-aware
+    compaction has split the hot partition down to its RECORDED
+    ``rows_per_file`` target (the compact manifest carries it),
+    re-advising compact_hot would ping-pong forever — the residual
+    ROW skew is the data's shape, not a file-layout problem (the
+    action's own reason text already tells operators that skew
+    returning after compaction means the distribution shifted).
+    Suppressed iff a live size-aware compact manifest exists AND the
+    hot partition's average rows/file is within the newest recorded
+    target. Control-plane: manifests + one directory listing of the
+    hot partition per live batch."""
+    from ..fs import list_dir
+    from .corpus import _load_manifests, _superseded
+
+    if hot is None:
+        return False
+    ms = _load_manifests(spark, root)
+    live = sorted(b for b in ms if b not in _superseded(ms))
+    sized = [ms[b]["rows_per_file"] for b in live
+             if ms[b].get("rows_per_file")]
+    if not sized:
+        return False
+    target = sized[-1]
+    table, key = (("buckets", "bucket")
+                  if kind == "ann_lsh_incremental"
+                  else ("postings", "cell"))
+    n_files = sum(
+        1 for b in live
+        for f in list_dir(spark,
+                          f"{root}/{table}/batch_id={b}/{key}={hot}")
+        if f.endswith(".parquet"))
+    return n_files > 0 and max_rows / n_files <= target
+
+
+NONDESTRUCTIVE = ("compact_hot", "compact_batches",
+                  "prune_superseded")
+
+
+def apply_maintenance(spark: SparkSession, root: str,
+                      rows_per_file: int = 1 << 20,
+                      dry_run: bool = False,
+                      **thresholds) -> dict:
+    """ADVISORY-DRIVEN runbook automation (r12 brief #8, stretch):
+    run :func:`suggest_maintenance` and EXECUTE the non-destructive
+    actions — ``compact_hot`` (size-aware compaction at
+    ``rows_per_file``), ``compact_batches`` (plain fold), and the
+    corpus side's ``prune_superseded`` (sweeping INVISIBLE garbage
+    only). Each executed step takes the root's writer lease through
+    the operation it calls, exactly as a human running the advised
+    command would. ``retrain_migrate``, ``release_pins`` and
+    ``investigate_gates`` are judgement calls and stay
+    operator-approved — reported under ``skipped``.
+
+    When both compaction actions fire, ONE size-aware compaction
+    serves both (a plain fold immediately after a size-aware one
+    would undo the file split).
+
+    ``dry_run=True`` reports the plan and touches nothing.
+    ``thresholds`` pass through to :func:`suggest_maintenance`.
+    Returns ``{"root", "kind", "advice_before", "applied":
+    [{"action", "result"}...], "skipped": [{"action", "why"}...],
+    "advice_after"}`` — on a healed root ``advice_after["actions"]``
+    reads empty (test-pinned e2e)."""
+    before = suggest_maintenance(spark, root, **thresholds)
+    kind = before["kind"]
+    root = before["root"]
+    applied: list[dict] = []
+    skipped: list[dict] = []
+    names = [a["action"] for a in before["actions"]]
+    compacted = False
+    for act in before["actions"]:
+        name = act["action"]
+        if name not in NONDESTRUCTIVE:
+            skipped.append({"action": name,
+                            "why": "operator-approved only"})
+            continue
+        if dry_run:
+            applied.append({"action": name, "result": "dry-run"})
+            continue
+        if name in ("compact_hot", "compact_batches"):
+            if compacted:
+                applied.append({"action": name,
+                                "result": "folded into the "
+                                          "size-aware compaction"})
+                continue
+            sized = "compact_hot" in names
+            rpf = rows_per_file if sized else None
+            if kind == "ann_lsh_incremental":
+                from .ann_index import compact_ann_batches
+                cid = compact_ann_batches(spark, root,
+                                          rows_per_file=rpf)
+            elif kind == "ivf_incremental":
+                from .ivf_index import compact_ivf_batches
+                cid = compact_ivf_batches(spark, root,
+                                          rows_per_file=rpf)
+            else:
+                from .corpus import compact_batches
+                cid = compact_batches(spark, root)
+            compacted = True
+            applied.append({"action": name, "result": cid})
+        elif name == "prune_superseded":
+            from .corpus import prune_superseded, prune_uncommitted
+            swept = sorted(set(prune_superseded(spark, root))
+                           | set(prune_uncommitted(spark, root)))
+            applied.append({"action": name, "result": swept})
+    after = (before if dry_run
+             else suggest_maintenance(spark, root, **thresholds))
+    return {"root": root, "kind": kind, "advice_before": before,
+            "applied": applied, "skipped": skipped,
+            "advice_after": after}
+
+
+def _pins_action(spark, root, max_pin_age_seconds,
+                 max_pin_held_bytes, now) -> "dict | None":
+    """The release_pins action (or None) — identical policy and
+    pricing for index and corpus roots (snapshots.pins_report is
+    root-generic)."""
+    from .snapshots import pins_report
+
+    prep = pins_report(spark, root,
+                       max_age_seconds=max_pin_age_seconds,
+                       max_held_bytes=max_pin_held_bytes, now=now)
+    if not prep["flagged_pins"]:
+        return None
+    flagged = {d: {"flags": prep["pins"][d]["flags"],
+                   "age_seconds": prep["pins"][d]["age_seconds"],
+                   "held_bytes": prep["pins"][d]["held_bytes"]}
+               for d in prep["flagged_pins"]}
+    total = sum(v["held_bytes"] for v in flagged.values())
+    return {
+        "action": "release_pins",
+        "severity": SEVERITY["release_pins"],
+        "reason": (
+            f"pins {sorted(flagged)} break the lifecycle policy "
+            f"(holding {total} superseded bytes) — "
+            f"release_pin(...) the forgotten holds, then the "
+            f"next prune reclaims the batches"),
+        "signal": {"flagged": flagged}}
+
+
+def _suggest_corpus(spark: SparkSession, root: str,
+                    fsck: dict | None,
+                    max_live_batches: int,
+                    max_pin_age_seconds: float | None,
+                    max_pin_held_bytes: int | None,
+                    now: float | None,
+                    gate_skew: float = 3.0,
+                    min_gate_dropped: int = 10,
+                    min_gate_ratio: float = 0.05) -> dict:
+    """The CORPUS-root advisory (VERDICT r12 brief #4 — the side
+    ``verify_deployment(advise=True)`` was one-eyed on). Signals, all
+    committed control-plane state:
+
+    - **investigate_gates** (60): one live ingest batch's
+      passage-gate drop ratio (``n_passage_dropped/n_gated`` from
+      its manifest — the ingest ledger) is ≥ ``gate_skew``× the
+      median ratio AND above the absolute floor — either an upstream
+      content shift (boilerplate flood) or a poisoned/hot
+      fingerprint family; a human should look before the gate eats
+      real data. Order-free (max vs median), so opaque batch ids
+      need no recency.
+    - **compact_batches** (50): live-batch fan-out past threshold —
+      ``corpus.compact_batches`` folds it (same debt as the index
+      side; every scan lists per-batch directories).
+    - **prune_superseded** (40): superseded/unmanifested partitions
+      still on disk (the fsck's ``orphans``), PRICED in bytes — run
+      ``corpus.prune_superseded`` / ``prune_uncommitted``.
+    - **release_pins** (30): the shared pin-pricing policy.
+    """
+    import statistics
+
+    from ..fs import dir_bytes, path_exists
+    from .corpus import (INGEST_TABLES, _load_manifests, _superseded,
+                         verify_corpus)
+
+    if fsck is None:
+        fsck = verify_corpus(spark, root)
+    actions: list[dict] = []
+
+    ms = _load_manifests(spark, root)
+    gone = _superseded(ms)
+    ingest_live = [b for b in ms if b not in gone
+                   and not b.startswith(("compact-", "retain-"))]
+    ratios = {b: ms[b]["n_passage_dropped"] / ms[b]["n_gated"]
+              for b in ingest_live
+              if ms[b].get("n_gated")
+              and "n_passage_dropped" in ms[b]}
+    if len(ratios) >= 2:
+        med = statistics.median(ratios.values())
+        hot_b = max(ratios, key=lambda b: (ratios[b], b))
+        hot_r = ratios[hot_b]
+        if (hot_r >= gate_skew * med and hot_r >= min_gate_ratio
+                and ms[hot_b]["n_passage_dropped"]
+                >= min_gate_dropped):
+            actions.append({
+                "action": "investigate_gates",
+                "severity": SEVERITY["investigate_gates"],
+                "reason": (
+                    f"passage gate dropped "
+                    f"{ms[hot_b]['n_passage_dropped']} of "
+                    f"{ms[hot_b]['n_gated']} gated docs in batch "
+                    f"{hot_b} ({hot_r:.1%} vs median {med:.1%}) — "
+                    f"an upstream boilerplate flood or a hot "
+                    f"fingerprint family; inspect the batch before "
+                    f"the gate eats real data"),
+                "signal": {"batch_id": hot_b, "ratio": round(hot_r, 4),
+                           "median_ratio": round(med, 4),
+                           "threshold": gate_skew}})
+
+    n_live = fsck["live_batches"]
+    if n_live > max_live_batches:
+        actions.append({
+            "action": "compact_batches",
+            "severity": SEVERITY["compact_batches"],
+            "reason": (
+                f"{n_live} live batches (> {max_live_batches}) — "
+                f"per-batch directory fan-out is small-files debt on "
+                f"every corpus scan's listing; fold them "
+                f"(corpus.compact_batches)"),
+            "signal": {"live_batches": n_live,
+                       "threshold": max_live_batches}})
+
+    orphans = fsck.get("orphans") or []
+    if orphans:
+        held = 0
+        for b in orphans:
+            for table in INGEST_TABLES:
+                p = f"{root}/{table}/batch_id={b}"
+                if path_exists(spark, p):
+                    held += dir_bytes(spark, p)
+        actions.append({
+            "action": "prune_superseded",
+            "severity": SEVERITY["prune_superseded"],
+            "reason": (
+                f"{len(orphans)} superseded/unmanifested batch "
+                f"partitions still on disk holding {held} prunable "
+                f"bytes — run corpus.prune_superseded (and "
+                f"prune_uncommitted for crashed ingests)"),
+            "signal": {"orphans": list(orphans),
+                       "prunable_bytes": held}})
+
+    pin_act = _pins_action(spark, root, max_pin_age_seconds,
+                           max_pin_held_bytes, now)
+    if pin_act is not None:
+        actions.append(pin_act)
+
+    actions.sort(key=lambda a: (-a["severity"], a["action"]))
+    return {"root": root, "kind": "corpus", "actions": actions,
             "fsck_violations": list(fsck["violations"])}

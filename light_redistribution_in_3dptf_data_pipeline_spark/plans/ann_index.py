@@ -282,6 +282,11 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     manifest = _merge_manifest_extra(manifest, manifest_extra)
     if lease is not None:   # fence: no zombie commit after takeover
         lease.fence()
+    # direction-box widening BEFORE the manifest commit, AFTER the
+    # fence — crash leaves a sound superset box (plans/cellstats)
+    if n_admitted:
+        from .cellstats import widen_stats
+        widen_stats(spark, root, tagged, "bucket", storage, dim)
     write_text_atomic(spark, _manifest_path(root, batch_id),
                       json.dumps(manifest, sort_keys=True))
     _write_snapshot(spark, root, {**ms, batch_id: manifest})
@@ -289,30 +294,54 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
 
 
 def _chunked_batch_topk(queries: DataFrame, id_col: str,
-                        max_queries: int, run) -> DataFrame:
-    """Degrade a too-big batch probe into a DETERMINISTIC loop of
+                        max_queries: int, run,
+                        concurrency: int = 4) -> DataFrame:
+    """Degrade a too-big batch probe into a DETERMINISTIC set of
     broadcast-sized jobs (VERDICT r11 brief #6): the distinct query
     ids are collected once (one bigint column — 8 bytes/query, fine
     even at millions), split into sorted ranges of ``max_queries``,
     and ``run`` executes the normal broadcast batch probe per range.
-    Each chunk's result is ≤ k rows/query and is materialized
-    (localCheckpoint) before the next chunk runs, so no job ever
-    broadcasts more than ``max_queries`` queries; the union is over
+    Each chunk's result is ≤ k rows/query and is MATERIALIZED
+    (localCheckpoint) inside its own job, so no job ever broadcasts
+    more than ``max_queries`` queries; the union is over
     already-computed small frames. Per-qid results are independent,
     so chunked ≡ unchunked row-for-row. Shared by
-    ``ann_batch_topk`` and ``ivf_batch_topk``."""
+    ``ann_batch_topk`` and ``ivf_batch_topk``.
+
+    ``concurrency`` (r12 brief #2): chunks are submitted from a
+    BOUNDED driver thread pool instead of strictly serially — the
+    r11 loop idled the cluster between each chunk's tail and the
+    next chunk's ramp-up; Spark's scheduler interleaves the
+    concurrent jobs' tasks, restoring full-width occupancy while
+    the per-JOB broadcast cap (the reason chunking exists) is
+    untouched. The union order is fixed by chunk index, and per-qid
+    results are single-chunk, so results are deterministic and
+    identical to the serial loop (test-pinned); ``concurrency=1``
+    restores strict serial submission (e.g. under a memory-starved
+    driver where even k·max_queries-row checkpoints should not
+    coexist)."""
+    from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
     qids = sorted(r[0] for r in queries.select(
         F.col(id_col).cast("bigint")).distinct().collect())
     if len(qids) <= max_queries:
         return run(queries)
-    parts = []
-    for i in range(0, len(qids), max_queries):
-        lo, hi = qids[i], qids[min(i + max_queries, len(qids)) - 1]
+    ranges = [(qids[i], qids[min(i + max_queries, len(qids)) - 1])
+              for i in range(0, len(qids), max_queries)]
+
+    def _one(bounds):
+        lo, hi = bounds
         chunk = queries.filter(
             F.col(id_col).cast("bigint").between(lo, hi))
-        parts.append(run(chunk).localCheckpoint())
+        return run(chunk).localCheckpoint()
+
+    if concurrency <= 1:
+        parts = [_one(b) for b in ranges]
+    else:
+        with ThreadPoolExecutor(
+                max_workers=min(concurrency, len(ranges))) as pool:
+            parts = list(pool.map(_one, ranges))
     return reduce(DataFrame.unionByName, parts)
 
 
@@ -330,12 +359,81 @@ def _probe_set(b: int, num_planes: int, hamming: int) -> list[int]:
             for flips in combinations(range(num_planes), r)]
 
 
+def multiprobe_set(query_vec: list, num_planes: int, dim: int,
+                   n_buckets: int) -> list[int]:
+    """MARGIN-RANKED probe sequence (VERDICT r12 brief #7 — the
+    multi-probe LSH of Lv et al., VLDB'07): instead of the blind
+    Hamming-ball fan-out (`_probe_set` — every 1-bit flip equally
+    likely to help), rank candidate buckets by the query's own
+    SIGNED-MARGIN distances: flipping plane j moves the probe across
+    a boundary the query sits |margin_j| away from, so the cheapest
+    flips (smallest Σ margin² over the flipped set) are the buckets
+    most likely to hold near neighbors. Probing a BUDGET of the
+    best-ranked buckets beats the Hamming ball at equal scan rows —
+    measured per-round in RECALL_r{N}.json (tools/recall.py).
+
+    Driver-side and exact: margins are the same integer plane dots
+    ``query_bucket`` signs (operators/similarity.query_margins);
+    scores are arbitrary-precision Σ margin² — deterministic, ties
+    broken by flip mask. The first element is always the query's own
+    bucket (empty flip set, score 0). For J ≤ 16 the 2^J flip sets
+    are enumerated outright (≤ 65536 driver-side scores); larger J
+    uses a best-first heap over margin-sorted flips, yielding the
+    identical order without materializing 2^J candidates."""
+    from ..operators.similarity import query_bucket, query_margins
+
+    b = query_bucket(query_vec, num_planes, dim)
+    n_buckets = max(1, min(n_buckets, 1 << num_planes))
+    m2 = [m * m for m in query_margins(query_vec, num_planes, dim)]
+    if num_planes <= 16:
+        ranked = sorted(range(1 << num_planes),
+                        key=lambda mask: (
+                            sum(m2[j] for j in range(num_planes)
+                                if mask >> j & 1), mask))
+        return [b ^ mask for mask in ranked[:n_buckets]]
+    # best-first expansion over margin-ascending flip order: each
+    # heap entry is a flip set represented by indices into the
+    # sorted-margin permutation; children = extend-last / replace-
+    # last (the classic Lv et al. generation — every subset reached
+    # exactly once, in nondecreasing score order)
+    import heapq
+
+    order = sorted(range(num_planes), key=lambda j: (m2[j], j))
+    sm2 = [m2[j] for j in order]
+
+    def mask_of(idxs):
+        out = 0
+        for i in idxs:
+            out |= 1 << order[i]
+        return out
+
+    heap = [(sm2[0], (0,))]
+    got = [b]
+    seen = set()
+    while heap and len(got) < n_buckets:
+        score, idxs = heapq.heappop(heap)
+        if idxs in seen:
+            continue
+        seen.add(idxs)
+        got.append(b ^ mask_of(idxs))
+        last = idxs[-1]
+        if last + 1 < num_planes:
+            heapq.heappush(heap, (score - sm2[last] + sm2[last + 1],
+                                  idxs[:-1] + (last + 1,)))
+            heapq.heappush(heap, (score + sm2[last + 1],
+                                  idxs + (last + 1,)))
+    return got
+
+
 def ann_incremental_topk(spark: SparkSession, root: str,
                          query_vec: list, k: int = TOP_K,
                          exclude_id: int | None = None,
                          hamming: int = 1,
                          rerank_vectors: DataFrame | None = None,
-                         rerank_cut: int = 4) -> DataFrame:
+                         rerank_cut: int = 4,
+                         early_exit: bool = False,
+                         probe_buckets: int | None = None
+                         ) -> DataFrame:
     """Top-k cosine over the COMMITTED index: probe set (query bucket
     + Hamming-≤h neighbors, default h=1) computed driver-side, so the
     scan carries a literal ``bucket IN (...)`` — static pruning to a
@@ -348,7 +446,22 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     file written by a migration cutover
     (plans/migration.set_index_pointer) — resolved transparently —
     or an :class:`migration.IndexPointerHandle` (cached resolution
-    for high-QPS probe loops)."""
+    for high-QPS probe loops).
+
+    ``early_exit=True`` (r12 brief #1): skip probed buckets whose
+    direction-box upper bound (plans/cellstats) cannot beat the
+    k-th candidate already found in the query's OWN bucket — rows
+    identical by the bound's soundness (test-pinned), the win is
+    the skipped posting lists; same trade-offs as
+    ``ivf_incremental_topk``'s knob.
+
+    ``probe_buckets=N`` (r12 brief #7) replaces the Hamming-ball
+    fan-out with the MARGIN-RANKED multi-probe sequence
+    (:func:`multiprobe_set`): the N candidate buckets whose flipped
+    planes the query sits nearest to — higher recall at the same
+    scan budget (measured in RECALL_r{N}.json); scoring, literal
+    pruning, and the early-exit knob are unchanged (the first probe
+    is still the query's own bucket). Overrides ``hamming``."""
     from .migration import resolve_probe_location
 
     root = resolve_probe_location(spark, root)
@@ -360,13 +473,81 @@ def ann_incremental_topk(spark: SparkSession, root: str,
             f"expected {dim}-dim query vector, got {len(query_vec)}")
 
     b = query_bucket(query_vec, num_planes, dim)
-    probes = _probe_set(b, num_planes, hamming)
-    scan = (read_ann_index(spark, root)
-            .filter(F.col("bucket").isin(probes)))
-    if meta.get("storage", "float") == "int8":
+    probes = (multiprobe_set(query_vec, num_planes, dim,
+                             probe_buckets)
+              if probe_buckets is not None
+              else _probe_set(b, num_planes, hamming))
+    storage = meta.get("storage", "float")
+    scan = read_ann_index(spark, root)
+    stats = None
+    if early_exit and len(probes) > 1:
+        from .cellstats import load_stats, payload_column
+        stats = load_stats(spark, root)
+        if stats is not None and \
+                stats["payload"] != payload_column(storage)[0]:
+            stats = None   # fsck names this drift; probe stays exact
+    if stats is not None:
+        from .cellstats import early_exit_scored
+        qci, qsq = _qdec(query_vec)
+        m = (rerank_cut * k
+             if storage == "int8" and rerank_vectors is not None
+             else k)
+        scored, _ = early_exit_scored(
+            stats, scan, "bucket", probes, qci, qsq, m,
+            lambda s: _ann_scores(s, qci, qsq, exclude_id, storage))
+        ranked = scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        if storage == "int8":
+            return _ann_rerank_tail(ranked, query_vec, k,
+                                    rerank_vectors, rerank_cut)
+        return ranked.limit(k)
+    scan = scan.filter(F.col("bucket").isin(probes))
+    if storage == "int8":
         return _ann_code_topk(scan, query_vec, k, exclude_id,
                               rerank_vectors, rerank_cut)
     return _cosine_rerank(scan, query_vec, k, exclude_id)
+
+
+def _ann_scores(scan: DataFrame, qci: list, qsq: float,
+                exclude_id: int | None, storage: str) -> DataFrame:
+    """UNSORTED exact scored rows (vec_id, cosine, bucket) of an
+    already bucket-pruned scan — the LSH twin of
+    ``ivf_index._ivf_scores``, factored out so the plain and the
+    EARLY-EXIT probes rank literally the same values."""
+    if exclude_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_id)
+    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
+    if storage == "int8":
+        from .codes import code_cosine
+        return scan.select(
+            "vec_id",
+            code_cosine(qarr, F.col("code"), F.lit(qsq))
+            .alias("cosine"), "bucket")
+    from ..queries.similarity import _fixed_dot
+
+    dec = scan.select("vec_id", "bucket",
+                      _fixed_point(F.col("embedding")).alias("ci"),
+                      qarr.alias("qci"))
+    scored = dec.select(
+        "vec_id", "bucket",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
+        .alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
+        .alias("nsq"))
+    cosine = F.col("dot") / (F.sqrt(F.col("nsq"))
+                             * F.sqrt(F.lit(qsq)))
+    return scored.select("vec_id",
+                         F.round(cosine, 9).alias("cosine"), "bucket")
+
+
+def _qdec(query_vec: list) -> "tuple[list, float]":
+    """(qci, qsq): the nano-unit fixed-point decode of a query
+    vector plus its ‖q‖²/1e18 — the two driver-side values every
+    probe path derives."""
+    import math
+
+    qci = [math.floor(float(x) * 1000000000.0 + 0.5)
+           for x in query_vec]
+    return qci, float(sum(c * c for c in qci)) / 1e18
 
 
 def _ann_code_topk(scan: DataFrame, query_vec: list, k: int,
@@ -379,21 +560,18 @@ def _ann_code_topk(scan: DataFrame, query_vec: list, k: int,
     top-k directly or an exact fixed-point rerank of a
     ``rerank_cut``·k candidate slice fetched (broadcast join) from
     the caller's float vector source."""
-    import math
-
-    from .codes import code_cosine
-
-    if exclude_id is not None:
-        scan = scan.filter(F.col("vec_id") != exclude_id)
-    qci = [math.floor(float(x) * 1000000000.0 + 0.5)
-           for x in query_vec]
-    qsq = float(sum(c * c for c in qci)) / 1e18
-    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
-    scored = scan.select(
-        "vec_id", "bucket",
-        code_cosine(qarr, F.col("code"), F.lit(qsq)).alias("cosine"))
-    ranked = (scored.select("vec_id", "cosine", "bucket")
+    qci, qsq = _qdec(query_vec)
+    ranked = (_ann_scores(scan, qci, qsq, exclude_id, "int8")
               .orderBy(F.desc("cosine"), F.asc("vec_id")))
+    return _ann_rerank_tail(ranked, query_vec, k, rerank_vectors,
+                            rerank_cut)
+
+
+def _ann_rerank_tail(ranked: DataFrame, query_vec: list, k: int,
+                     rerank_vectors: DataFrame | None,
+                     rerank_cut: int) -> DataFrame:
+    """The int8 probe tail over an already RANKED code-cosine frame
+    (the LSH twin of ``ivf_index._code_rerank_tail``)."""
     if rerank_vectors is None:
         return ranked.limit(k)
     cand = ranked.limit(rerank_cut * k).select("vec_id", "bucket")
@@ -404,6 +582,60 @@ def _ann_code_topk(scan: DataFrame, query_vec: list, k: int,
     return _cosine_rerank(fetch, query_vec, k, None)
 
 
+def _ann_batch_score(cand: DataFrame, storage: str) -> DataFrame:
+    """(qid, vec_id, cosine, bucket) exact per-pair scores over a
+    fanned-out candidate frame carrying (qid, vec_id, bucket, qci,
+    qsq, code|embedding) — the batch twin of :func:`_ann_scores`,
+    shared by the plain and the early-exit batch probes."""
+    from ..queries.similarity import _fixed_dot
+
+    if storage == "int8":
+        from .codes import code_cosine
+        return cand.select(
+            "qid", "vec_id",
+            code_cosine(F.col("qci"), F.col("code"), F.col("qsq"))
+            .alias("cosine"), "bucket")
+    rer = cand.select(
+        "qid", "vec_id", "bucket", "qsq",
+        _fixed_point(F.col("embedding")).alias("ci"),
+        F.col("qci"))
+    rer = rer.select(
+        "qid", "vec_id", "bucket", "qsq",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
+        .alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
+        .alias("nsq"))
+    cosine = F.round(
+        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))),
+        9)
+    return rer.select("qid", "vec_id", cosine.alias("cosine"),
+                      "bucket")
+
+
+def _ann_batch_tail(scored: DataFrame, dec_q: DataFrame, k: int,
+                    rerank_vectors: DataFrame | None,
+                    rerank_cut: int, storage: str) -> DataFrame:
+    """Per-qid top-k window, with the optional int8 exact-rerank of
+    each query's ``rerank_cut``·k code slice — the LSH twin of
+    ``ivf_index._ivf_batch_tail``."""
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.asc("vec_id"))
+    if storage == "int8" and rerank_vectors is not None:
+        top = (scored.withColumn("rn", F.row_number().over(wk))
+               .filter(F.col("rn") <= rerank_cut * k).drop("rn"))
+        fetch = (rerank_vectors.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"))
+            .join(F.broadcast(top.select("qid", "vec_id", "bucket")),
+                  "vec_id")
+            .join(F.broadcast(dec_q), "qid"))
+        scored = _ann_batch_score(fetch, "float")
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
 def ann_batch_topk(spark: SparkSession, root: str,
                    queries: DataFrame, k: int = TOP_K,
                    hamming: int = 1,
@@ -411,7 +643,9 @@ def ann_batch_topk(spark: SparkSession, root: str,
                    exclude_self: bool = True,
                    max_queries_per_job: int | None = None,
                    rerank_vectors: DataFrame | None = None,
-                   rerank_cut: int = 4) -> DataFrame:
+                   rerank_cut: int = 4,
+                   early_exit: bool = False,
+                   chunk_concurrency: int = 4) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the LSH side of
     ``ivf_index.ivf_batch_topk`` (r11): per query the rows equal
     ``ann_incremental_topk``'s (same signatures via the shared
@@ -430,9 +664,13 @@ def ann_batch_topk(spark: SparkSession, root: str,
     frame and the decoded query table are BROADCAST — pass
     ``max_queries_per_job`` to degrade a too-big batch into a
     deterministic loop of broadcast-sized jobs (r11 brief #6 —
-    :func:`_chunked_batch_topk`; chunked ≡ unchunked row-for-row)."""
-    from pyspark.sql import Window
+    :func:`_chunked_batch_topk`; chunked ≡ unchunked row-for-row).
 
+    ``early_exit=True`` (r12 brief #1): per-QUERY posting-list
+    pruning from the direction-box stats — each query's non-own
+    probe buckets drop when their box bound cannot beat that
+    query's m-th candidate from its OWN bucket; rows identical
+    (test-pinned), same shape as ``ivf_index._ivf_batch_early``."""
     from ..queries.similarity import _fixed_dot
     from .migration import resolve_probe_location
 
@@ -445,7 +683,9 @@ def ann_batch_topk(spark: SparkSession, root: str,
                 id_col=id_col, vec_col=vec_col,
                 exclude_self=exclude_self,
                 rerank_vectors=rerank_vectors,
-                rerank_cut=rerank_cut))
+                rerank_cut=rerank_cut,
+                early_exit=early_exit),
+            concurrency=chunk_concurrency)
     meta = _load_meta(spark, root)
     num_planes, dim = meta["num_planes"], meta["dim"]
     _check_meta(meta, num_planes, dim, root, "query")
@@ -455,99 +695,110 @@ def ann_batch_topk(spark: SparkSession, root: str,
         F.col(vec_col).cast("array<float>").alias("embedding"))
     masks = _probe_set(0, num_planes, hamming)
     qb = lsh_buckets(q, "qid", "embedding", num_planes, dim)
-    probe = (qb.select(
-        "qid",
-        F.explode(F.array(*[F.lit(int(m)) for m in masks]))
-        .alias("m"), "bucket")
-        .select("qid", F.col("bucket").bitwiseXOR(F.col("m"))
-                .alias("bucket"))
-        .localCheckpoint())
-
-    # static pruning: probed-bucket union ≤ 2^J values
-    buckets = sorted({int(r.bucket) for r in
-                      probe.select("bucket").distinct().collect()})
-    scan = (read_ann_index(spark, root)
-            .filter(F.col("bucket").isin(buckets)))
-
     dec_q = q.select(
         "qid", _fixed_point(F.col("embedding")).alias("qci")) \
         .withColumn("qsq", (_fixed_dot("qci", "qci").cast("double")
                             / F.lit(1e18)))
-    cand = (scan.join(F.broadcast(probe), "bucket")
-            .join(F.broadcast(dec_q), "qid"))
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("qid"))
-    if meta.get("storage", "float") == "int8":
-        from pyspark.sql import Window as _W
+    # probe pairs carry the flip mask: m == 0 IS the query's own
+    # bucket — the early-exit seed (the single-query probes' first
+    # probe key)
+    probe_all = (qb.select(
+        "qid",
+        F.explode(F.array(*[F.lit(int(m)) for m in masks]))
+        .alias("m"), "bucket")
+        .select("qid", F.col("bucket").bitwiseXOR(F.col("m"))
+                .alias("bucket"), "m")
+        .localCheckpoint())
+    probe = probe_all.drop("m")
 
-        from .codes import code_cosine
-        wk8 = _W.partitionBy("qid").orderBy(F.desc("cosine"),
-                                            F.asc("vec_id"))
-        scored = cand.select(
-            "qid", "vec_id",
-            code_cosine(F.col("qci"), F.col("code"), F.col("qsq"))
-            .alias("cosine"), "bucket")
-        top = (scored.withColumn("rn", F.row_number().over(wk8))
-               .filter(F.col("rn") <= (k if rerank_vectors is None
-                                       else rerank_cut * k))
-               .drop("rn"))
-        if rerank_vectors is None:
-            return top
-        cand = (rerank_vectors.select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            F.col("embedding").cast("array<float>").alias("embedding"))
-            .join(F.broadcast(top.select("qid", "vec_id", "bucket")),
-                  "vec_id")
-            .join(F.broadcast(dec_q), "qid"))
-    rer = cand.select(
-        "qid", "vec_id", "bucket", "qsq",
-        _fixed_point(F.col("embedding")).alias("ci"),
-        F.col("qci"))
-    rer = rer.select(
-        "qid", "vec_id", "bucket", "qsq",
-        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
-        .alias("dot"),
-        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
-        .alias("nsq"))
-    cosine = F.round(
-        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))),
-        9)
+    storage = meta.get("storage", "float")
+    stats = None
+    if early_exit and len(masks) > 1:
+        from .cellstats import load_stats, payload_column
+        stats = load_stats(spark, root)
+        if stats is not None and \
+                stats["payload"] != payload_column(storage)[0]:
+            stats = None   # fsck names this drift; probe stays exact
+    scan = read_ann_index(spark, root)
+
+    def _fanout(pairs, buckets):
+        c = (scan.filter(F.col("bucket").isin(buckets))
+             .join(F.broadcast(pairs), "bucket")
+             .join(F.broadcast(dec_q), "qid"))
+        return (c.filter(F.col("vec_id") != F.col("qid"))
+                if exclude_self else c)
+
+    def _buckets_of(pairs):
+        # static pruning: probed-bucket union ≤ 2^J values
+        return sorted({int(r.bucket) for r in
+                       pairs.select("bucket").distinct().collect()})
+
+    if stats is not None:
+        return _ann_batch_early(spark, stats, probe_all, dec_q, k,
+                                rerank_vectors, rerank_cut, storage,
+                                _fanout, _buckets_of)
+    scored = _ann_batch_score(_fanout(probe, _buckets_of(probe)),
+                              storage)
+    return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
+                           rerank_cut, storage)
+
+
+def _ann_batch_early(spark, stats, probe_all, dec_q, k,
+                     rerank_vectors, rerank_cut, storage, fanout,
+                     buckets_of):
+    """The LSH batch early exit — structurally
+    ``ivf_index._ivf_batch_early`` with (bucket, flip mask) in place
+    of (cell, rank): seed = each query's OWN bucket (mask 0),
+    prune = the rank>0 pairs whose box bound is below that query's
+    m-th seed cosine, union, shared tail. Soundness and the
+    row-for-row parity pin are the same argument."""
+    from pyspark.sql import Window
+
+    from .cellstats import bounds_frame, upper_bound_col
+
+    m = (rerank_cut * k
+         if storage == "int8" and rerank_vectors is not None else k)
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
-    return (rer.select("qid", "vec_id", cosine.alias("cosine"),
-                       "bucket")
+    p1 = probe_all.filter(F.col("m") == 0).drop("m")
+    seed = (_ann_batch_score(fanout(p1, buckets_of(p1)), storage)
             .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= k).drop("rn"))
+            .filter(F.col("rn") <= m).drop("rn")
+            .localCheckpoint())
+    lq = (seed.groupBy("qid")
+          .agg(F.count("*").alias("_n"), F.min("cosine").alias("_L"))
+          .filter(F.col("_n") >= m).select("qid", "_L"))
+
+    rest = probe_all.filter(F.col("m") != 0).drop("m")
+    bf = bounds_frame(spark, stats, "bucket", buckets_of(rest))
+    survivors = (rest.join(F.broadcast(dec_q), "qid")
+                 .join(F.broadcast(bf), "bucket", "left")
+                 .join(F.broadcast(lq), "qid", "left")
+                 .withColumn("_ub", upper_bound_col(F.col("qci"),
+                                                    F.col("qsq")))
+                 .filter(F.col("_L").isNull()
+                         | F.col("dmin").isNull()
+                         | (F.col("_ub") >= F.col("_L")))
+                 .select("qid", "bucket")
+                 .localCheckpoint())
+    scored = seed
+    buckets2 = buckets_of(survivors)
+    if buckets2:
+        scored = seed.unionByName(
+            _ann_batch_score(fanout(survivors, buckets2), storage))
+    return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
+                           rerank_cut, storage)
 
 
 def _cosine_rerank(scan: DataFrame, query_vec: list, k: int,
                    exclude_id: int | None) -> DataFrame:
     """The exact fixed-point cosine re-rank over an already-pruned
     (vec_id, embedding, bucket) scan — shared by the committed probe
-    and the pinned probe so their scoring can never drift."""
-    import math
-
-    if exclude_id is not None:
-        scan = scan.filter(F.col("vec_id") != exclude_id)
-    qci = [math.floor(float(x) * 1000000000.0 + 0.5)
-           for x in query_vec]
-    qsq = float(sum(c * c for c in qci)) / 1e18
-
-    from ..queries.similarity import _fixed_dot
-
-    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
-    dec = scan.select("vec_id", "bucket",
-                      _fixed_point(F.col("embedding")).alias("ci"),
-                      qarr.alias("qci"))
-    scored = dec.select(
-        "vec_id", "bucket",
-        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
-        .alias("dot"),
-        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
-        .alias("nsq"))
-    cosine = F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq)))
-    return (scored.select("vec_id",
-                          F.round(cosine, 9).alias("cosine"), "bucket")
+    and the pinned probe so their scoring can never drift (the
+    scoring expression itself lives in :func:`_ann_scores`, shared
+    further with the early-exit probe)."""
+    qci, qsq = _qdec(query_vec)
+    return (_ann_scores(scan, qci, qsq, exclude_id, "float")
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
 
@@ -648,6 +899,11 @@ def _compact_ann_batches(spark: SparkSession, root: str,
         **{k: sum(ms[b].get(k, 0) for b in ids)
            for k in ("n_input", "n_id_dupes", "n_admitted")},
     }
+    if rows_per_file is not None:
+        # size-aware compactions RECORD their target: the advisory's
+        # compact_hot suppression reads it (advisory._hot_suppressed)
+        # so a just-split hot partition is not re-advised forever
+        manifest["rows_per_file"] = rows_per_file
     from .corpus import _union_provenance
     prov = _union_provenance(ms, ids)
     if prov is not None:   # lineage survives compaction
@@ -660,6 +916,12 @@ def _compact_ann_batches(spark: SparkSession, root: str,
 
     from .corpus import _prune_superseded
     _prune_superseded(spark, root, tables=(ANN_TABLE,), lease=lease)
+    # compaction re-tightens (or creates, on legacy roots) the
+    # early-exit direction boxes from the rows just rewritten
+    from .cellstats import recompute_stats
+    recompute_stats(spark, root, read_ann_index(spark, root),
+                    "bucket", meta.get("storage", "float"),
+                    meta["dim"])
     return cid
 
 
@@ -794,6 +1056,17 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
                     f"whose bucket != the bucket of their own "
                     f"embedding")
 
+    # early-exit direction boxes must COVER every live row — same
+    # soundness check as the IVF fsck (plans/cellstats)
+    from .cellstats import verify_stats
+    if ix is not None:
+        cellstats_check, cs_viol = verify_stats(
+            spark, root, ix, "bucket", meta.get("storage", "float"),
+            meta["dim"])
+        violations += cs_viol
+    else:
+        cellstats_check = "skipped: no live data"
+
     live_set = set(live)
     orphans = {
         child[len("batch_id="):]
@@ -808,6 +1081,7 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
     return {"live_batches": len(live), "index_rows": n_rows,
             "bucket_occupancy": occupancy,
             "storage": meta.get("storage", "float"),
+            "cellstats_check": cellstats_check,
             "bucketing_check": (bucketing_check if ix is not None
                                 else "skipped: no live data"),
             "table_bytes": (dir_bytes(spark, path)

@@ -1,0 +1,336 @@
+"""Per-cell / per-bucket DIRECTION-BOX statistics for probe-time
+early exit (VERDICT r12 brief #1): after the int8 byte cut, the
+dominant 100 TB probe cost is still "scan every posting row of every
+probed cell before the top-k fold". The classic inverted-list answer
+is an UPPER BOUND per posting list — skip lists whose best-possible
+score cannot beat the running kth candidate.
+
+The bound this module maintains is a component-wise box around the
+stored vectors' DIRECTIONS: for every cell (IVF) or bucket (LSH),
+``dmin[i] ≤ u[i] ≤ dmax[i]`` over all members, where ``u = v/‖v‖``
+is the unit direction of the STORED scoring payload — the int8 code
+(int8 roots) or the fixed-point nano components (float roots). The
+probes score exactly ``cos(q, v) = q·u / ‖q‖`` (plans/codes.
+code_cosine, ann_index._cosine_rerank), so for every member of a
+cell::
+
+    cos(q, v)  =  Σ_i q_i·u_i / ‖q‖
+              ≤  Σ_i max(q_i·dmin_i, q_i·dmax_i) / ‖q‖   (the box)
+
+Each stored bound is widened by ``EPS_COMPONENT`` and each evaluated
+bound by ``EPS_BOUND`` — orders of magnitude above the double
+rounding of the 64-term folds and of the probes' own round(·, 9), so
+float noise can never flip "provably below the kth" into a wrongly
+skipped true neighbor: pruning by this bound loses NOTHING
+(tests/test_early_exit.py pins early-exit ≡ full-scan row-for-row).
+
+Lifecycle — WIDEN-ONLY between compactions, which keeps every
+mutation sound:
+
+- **ingest** folds the delta's per-key boxes into
+  ``{root}/_cellstats.json`` BEFORE the manifest commit: a crash
+  between the two leaves boxes covering rows that never committed —
+  a SUPERSET, still a valid upper bound, merely looser.
+- **retention / batch delete** leave the boxes untouched: the
+  surviving rows are a subset of what the boxes covered.
+- **compaction** RECOMPUTES the boxes exactly from the live scan it
+  just rewrote — the re-tightening pass that also upgrades legacy
+  (pre-stats) roots.
+- a root that predates this module simply has no stats file:
+  ingests into it deliberately do NOT start a partial box (it would
+  exclude the older committed rows — unsound); the first compaction
+  creates the file.
+
+The file is driver-sized control plane by construction: IVF cells
+are "driver-sized by IVF construction" (plans/ivf_index.py), LSH
+buckets are ≤ 2^J (J = 8 by default). ~64-dim boxes at tens of
+thousands of keys would argue for a parquet sidecar; at the contract
+sizes JSON + ``write_text_atomic`` keeps the commit story one PUT.
+
+The reference rebuilds its whole search structure per run and scans
+it fully (operators/similarity.write_ivf_index cites it); list-level
+upper-bound pruning is the standard production refinement of that
+scan, stacked on the r12 int8 compression.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fs import path_exists, read_text, write_text_atomic
+
+STATS_NAME = "_cellstats.json"
+# per-component widening of the stored box (the direction fold is
+# ≤ 64 exactly-derived doubles — relative error ~1e-14; 1e-9 is a
+# 10^5 safety factor and costs no measurable pruning power)
+EPS_COMPONENT = 1e-9
+# final slack on every evaluated bound: also absorbs the probes'
+# round(cosine, 9) (a rounded score sits ≤ 5e-10 above the true one)
+EPS_BOUND = 1e-6
+
+
+def _stats_path(root: str) -> str:
+    return f"{root}/{STATS_NAME}"
+
+
+def _direction(payload: Column) -> Column:
+    """ARRAY<DOUBLE> unit direction of an integer payload array
+    (int8 codes or nano-unit fixed-point components): exact int64
+    norm fold, one sqrt, one divide per component — deterministic on
+    every executor (the same exactly-derived-doubles discipline as
+    plans/codes.code_cosine). An all-zero payload (legal: a zero
+    embedding's code) maps to the zero direction, whose box
+    contribution is 0 — matching its NULL/0 cosine, which never
+    ranks."""
+    # DOUBLE norm fold: nano components reach ~2^33, so the exact
+    # int64 square would overflow (the probes use the hi/lo split
+    # for this — queries/similarity._fixed_dot); the direction is a
+    # double either way and EPS_COMPONENT dominates the fold's
+    # ~1e-14 relative error by five orders of magnitude
+    nsq = F.aggregate(
+        F.transform(payload, lambda x: x.cast("double")
+                    * x.cast("double")),
+        F.lit(0.0), lambda acc, p: acc + p)
+    nrm = F.sqrt(nsq)
+    return F.transform(
+        payload,
+        lambda x: F.when(nsq == 0, F.lit(0.0))
+        .otherwise(x.cast("double") / nrm))
+
+
+def payload_column(storage: str) -> "tuple[str, Column]":
+    """(payload kind, payload Column over a stored posting row) for
+    a root's storage — the SAME integers the probe's cosine folds,
+    so the box bounds exactly the scored value:
+
+    - ``int8``  → kind "code": the stored code array;
+    - ``float`` → kind "nano": the fixed-point decode of the stored
+      embedding (operators.similarity._fixed_point — what
+      ``_cosine_rerank``/``_ivf_rerank`` score)."""
+    if storage == "int8":
+        return "code", F.col("code")
+    from ..operators.similarity import _fixed_point
+    return "nano", _fixed_point(F.col("embedding"))
+
+
+def _delta_bounds(delta: DataFrame, key_col: str, payload: Column,
+                  dim: int) -> dict:
+    """{key: {"dmin": [...], "dmax": [...], "n": int}} over one
+    frame — ONE groupBy(key) whose partials collapse map-side to
+    ≤ |keys| rows per partition (the k-means stats-aggregate shape);
+    bounds widened by EPS_COMPONENT at collection."""
+    u = _direction(payload)
+    rows = (delta.select(F.col(key_col).alias("_key"), u.alias("_u"))
+            .groupBy("_key")
+            .agg(F.array(*[F.min(F.element_at("_u", i + 1))
+                           for i in range(dim)]).alias("dmin"),
+                 F.array(*[F.max(F.element_at("_u", i + 1))
+                           for i in range(dim)]).alias("dmax"),
+                 F.count("*").alias("n"))
+            .collect())
+    return {str(int(r._key)): {
+        "dmin": [float(x) - EPS_COMPONENT for x in r.dmin],
+        "dmax": [float(x) + EPS_COMPONENT for x in r.dmax],
+        "n": int(r.n)} for r in rows}
+
+
+def load_stats(spark: SparkSession, root: str) -> "dict | None":
+    """The committed stats doc, or None (a legacy / never-compacted
+    root — probes fall back to the full pruned scan)."""
+    if not path_exists(spark, _stats_path(root)):
+        return None
+    return json.loads(read_text(spark, _stats_path(root)))
+
+
+def widen_stats(spark: SparkSession, root: str, delta: DataFrame,
+                key_col: str, storage: str, dim: int) -> None:
+    """Fold a delta's per-key boxes into the root's stats — the
+    INGEST hook, called BEFORE the manifest commit (module
+    docstring: write-ahead widening is sound; write-behind would
+    leave committed rows outside the box on a crash).
+
+    A root with committed batches but NO stats file stays stats-less
+    (widening only the delta would exclude the older rows — unsound);
+    the first compaction recomputes and creates the file."""
+    existing = load_stats(spark, root)
+    if existing is None:
+        from .corpus import _load_manifests, _superseded
+        ms = _load_manifests(spark, root)
+        if any(b for b in ms if b not in _superseded(ms)):
+            return   # legacy root: upgrade happens at compaction
+        existing = {"version": 1, "payload": None, "keys": {}}
+    kind, payload = payload_column(storage)
+    if existing["payload"] not in (None, kind):
+        raise ValueError(
+            f"stats under {root} bound {existing['payload']!r} "
+            f"payloads; this ingest stores {kind!r} — the root's "
+            f"storage changed out-of-band")
+    fresh = _delta_bounds(delta, key_col, payload, dim)
+    keys = existing["keys"]
+    for key, ent in fresh.items():
+        old = keys.get(key)
+        if old is None:
+            keys[key] = ent
+        else:
+            keys[key] = {
+                "dmin": [min(a, b) for a, b in zip(old["dmin"],
+                                                   ent["dmin"])],
+                "dmax": [max(a, b) for a, b in zip(old["dmax"],
+                                                   ent["dmax"])],
+                "n": old["n"] + ent["n"]}
+    doc = {"version": 1, "payload": kind, "keys": keys}
+    write_text_atomic(spark, _stats_path(root),
+                      json.dumps(doc, sort_keys=True))
+
+
+def recompute_stats(spark: SparkSession, root: str, scan: DataFrame,
+                    key_col: str, storage: str, dim: int) -> dict:
+    """EXACT per-key boxes from a full live scan — the COMPACTION
+    hook: re-tightens boxes widened by retention/crashes and
+    upgrades legacy roots. One aggregate scan (compaction just
+    rewrote the same rows)."""
+    kind, payload = payload_column(storage)
+    doc = {"version": 1, "payload": kind,
+           "keys": _delta_bounds(scan, key_col, payload, dim)}
+    write_text_atomic(spark, _stats_path(root),
+                      json.dumps(doc, sort_keys=True))
+    return doc
+
+
+def upper_bound(qci: list, qsq: float, ent: dict) -> float:
+    """DRIVER-side best-possible cosine of the query against any
+    member of one key's box (module docstring) — pure Python over
+    the ≤64-entry arrays, used by the single-query probes where the
+    probed keys (≤ nprobe / Hamming-ball) are a driver list."""
+    s = sum((q * ent["dmax"][i]) if q >= 0 else (q * ent["dmin"][i])
+            for i, q in enumerate(qci))
+    return s / ((qsq ** 0.5) * 1e9) + EPS_BOUND
+
+
+def bounds_frame(spark: SparkSession, stats: dict, key_col: str,
+                 keys: "list[int]") -> DataFrame:
+    """The boxes of ``keys`` as a broadcast-sized frame
+    (key, dmin ARRAY<DOUBLE>, dmax ARRAY<DOUBLE>) — the BATCH
+    probes' executor-side bound input. Keys without a box (possible
+    only on a tampered stats file — widening covers every ingested
+    key) are omitted; the batch pruner treats a missing box as
+    unprunable, never as empty."""
+    rows = [(int(k), stats["keys"][str(k)]["dmin"],
+             stats["keys"][str(k)]["dmax"])
+            for k in keys if str(k) in stats["keys"]]
+    return spark.createDataFrame(
+        rows, f"{key_col} BIGINT, dmin ARRAY<DOUBLE>, "
+              f"dmax ARRAY<DOUBLE>")
+
+
+def upper_bound_col(qci: Column, qsq: Column) -> Column:
+    """EXECUTOR-side :func:`upper_bound` — the same fold as a
+    Column over (qci, dmin, dmax, qsq), for the batch probes' pair
+    pruning. NULL dmin/dmax (a probed key with no box) folds to
+    NULL, which the pruner keeps (unprunable)."""
+    s = F.aggregate(
+        F.transform(
+            qci,
+            lambda q, i: F.greatest(
+                q.cast("double") * F.element_at(F.col("dmin"), i + 1),
+                q.cast("double") * F.element_at(F.col("dmax"),
+                                                i + 1))),
+        F.lit(0.0), lambda acc, p: acc + p)
+    return s / (F.sqrt(qsq) * F.lit(1e9)) + F.lit(EPS_BOUND)
+
+
+def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
+                      probe_keys: "list[int]", qci: list, qsq: float,
+                      m: int, score_fn) -> "tuple[DataFrame, list]":
+    """The SINGLE-QUERY early-exit candidate frame: a scored frame
+    whose top-m rows under (cosine desc, vec_id asc) equal the full
+    probed scan's top-m — built as
+
+    1. **seed**: score the FIRST probed key only (the query's own
+       nearest cell / own bucket — where the true neighbors
+       concentrate), keep its top-m, MATERIALIZE it
+       (localCheckpoint: one small extra job);
+    2. **L** = the seed's m-th cosine (driver-read from the ≤m-row
+       seed). Fewer than m seed rows → no pruning (L unknown);
+    3. **prune**: drop every remaining key whose box upper bound
+       (:func:`upper_bound`, already slack-widened) is < L — every
+       row it holds scores strictly below m rows we already have,
+       so the global top-m cannot contain it;
+    4. **union**: seed ∪ the surviving keys' scores (ONE scan with
+       a literal smaller IN-list — the directory pruning the plain
+       probe had, minus the skipped lists).
+
+    Returns (scored frame, pruned keys). ``score_fn`` maps an
+    already key-filtered scan to UNSORTED (vec_id, cosine, …) rows
+    — the same expression the plain probe ranks, so parity is by
+    construction (test-pinned row-for-row at every fan-out)."""
+    seed_key = probe_keys[0]
+    seed = (score_fn(scan.filter(F.col(key_col) == seed_key))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(m)
+            .localCheckpoint())
+    cosines = sorted((float(r.cosine) for r in
+                      seed.select("cosine").collect()
+                      if r.cosine is not None), reverse=True)
+    pruned: list[int] = []
+    rest = [int(c) for c in probe_keys[1:]]
+    if len(cosines) >= m:
+        L = cosines[m - 1]
+        keep = []
+        for c in rest:
+            ent = stats["keys"].get(str(c))
+            if ent is not None and upper_bound(qci, qsq, ent) < L:
+                pruned.append(c)
+            else:
+                keep.append(c)
+        rest = keep
+    if not rest:
+        return seed, pruned
+    return (seed.unionByName(
+        score_fn(scan.filter(F.col(key_col).isin(rest)))),
+        pruned)
+
+
+def verify_stats(spark: SparkSession, root: str, scan: DataFrame,
+                 key_col: str, storage: str,
+                 dim: int) -> "tuple[str, list[str]]":
+    """Fsck hook: SOUNDNESS of the committed boxes — every live
+    row's direction must sit inside its key's box (a row outside it
+    could be wrongly pruned: data loss at probe time, the one
+    failure class early exit can add). Returns (status, violations).
+    One aggregate scan; skipped (and said so) when the root has no
+    stats."""
+    stats = load_stats(spark, root)
+    if stats is None:
+        return "skipped: no stats file (legacy root — compaction "\
+               "creates it)", []
+    violations: list[str] = []
+    kind, payload = payload_column(storage)
+    if stats["payload"] != kind:
+        violations.append(
+            f"cellstats: file bounds {stats['payload']!r} payloads "
+            f"but the root stores {kind!r}")
+        return "checked", violations
+    bf = bounds_frame(spark, stats,  key_col,
+                      [int(k) for k in stats["keys"]])
+    u = _direction(payload)
+    probed = (scan.select(F.col(key_col).cast("bigint")
+                          .alias(key_col), u.alias("_u"))
+              .join(F.broadcast(bf), key_col, "left"))
+    inside = F.aggregate(
+        F.transform(
+            "_u",
+            lambda x, i: (x >= F.element_at(F.col("dmin"), i + 1))
+            & (x <= F.element_at(F.col("dmax"), i + 1))),
+        F.lit(True), lambda acc, p: acc & p)
+    n_out = probed.filter(F.col("dmin").isNull()
+                          | ~inside).count()
+    if n_out:
+        violations.append(
+            f"cellstats: {n_out} live rows sit outside their "
+            f"{key_col}'s recorded direction box — early-exit "
+            f"pruning could skip true neighbors; recompute via "
+            f"compaction")
+    return "checked", violations

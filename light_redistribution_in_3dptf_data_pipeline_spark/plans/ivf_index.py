@@ -130,7 +130,8 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
                    train_k: "int | str | None" = None,
                    train_iters: int | None = None,
                    train_metric: str = "l2",
-                   storage: str = "float") -> dict:
+                   storage: str = "float",
+                   train_normalize: bool = False) -> dict:
     """TRAIN-ONCE: freeze the coarse quantizer from a labeled
     training frame (per-cell exact int64 nano-unit component sums +
     counts — the same wide aggregate the one-shot
@@ -157,7 +158,16 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
     embeddings; placement/routing still computes from the original
     embeddings at ingest, probes score the exact scale-free code
     cosine and optionally exact-rerank a short candidate list
-    against caller-supplied float vectors."""
+    against caller-supplied float vectors.
+
+    ``train_normalize=True`` (r12 brief #3): the trainer runs TRUE
+    spherical k-means (``kmeans.train_centroids(normalize=True)``)
+    and the frozen centroids here aggregate the SAME unit-normed
+    directions — the mean-dot placement rule is scale-invariant in
+    the probed/ingested vector, so serve-time routing of raw
+    embeddings is consistent with direction-trained centroids while
+    the training objective stops being norm-biased. Recorded in
+    ``_meta`` for provenance; pair with ``train_metric="dot"``."""
     if storage not in STORAGES:
         raise ValueError(f"storage must be one of {STORAGES}, "
                          f"got {storage!r}")
@@ -171,7 +181,8 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
             n_iters=(train_iters if train_iters is not None
                      else DEFAULT_ITERS),
             id_col=id_col, vec_col=vec_col, dim=dim,
-            metric=train_metric)["labeled"]
+            metric=train_metric,
+            normalize=train_normalize)["labeled"]
         id_col, vec_col, cell_col = "vec_id", "embedding", "label"
     with corpus_writer_lock(spark, root, op="ivf_init") as lease:
         if path_exists(spark, _meta_path(root)):
@@ -179,10 +190,14 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
                 f"incremental IVF root {root} is already initialized "
                 f"— the quantizer is frozen by contract (build a new "
                 f"root to re-train)")
+        ci_col = _fixed_point(_checked_dim(F.col(vec_col), dim,
+                                           "init_ivf_index"))
+        if train_normalize:
+            from .kmeans import unit_fixed
+            ci_col = unit_fixed(ci_col)
         dec = train.select(
             F.col(cell_col).cast("bigint").alias("cell"),
-            _fixed_point(_checked_dim(F.col(vec_col), dim,
-                                      "init_ivf_index")).alias("ci"))
+            ci_col.alias("ci"))
         cents = (dec.groupBy("cell")
                  .agg(F.array(*[F.sum(F.element_at("ci", i + 1))
                                 for i in range(dim)]).alias("csum"),
@@ -195,6 +210,8 @@ def init_ivf_index(spark: SparkSession, root: str, train: DataFrame,
                 "n_cells": len(rows),
                 "storage": storage,
                 "centroid_digest": _centroid_digest(rows)}
+        if train_normalize:
+            meta["train_normalize"] = True   # provenance (r12 #3)
         lease.fence()
         write_text_atomic(spark, _meta_path(root),
                           json.dumps(meta, sort_keys=True))
@@ -421,6 +438,14 @@ def _ivf_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     from .ann_index import _merge_manifest_extra
     manifest = _merge_manifest_extra(manifest, manifest_extra)
     lease.fence()
+    # direction-box widening BEFORE the manifest commit (and AFTER
+    # the fence, so a zombie writer can never clobber a new lease
+    # holder's stats): a crash here leaves a sound superset box
+    # (plans/cellstats module docstring)
+    if n_admitted:
+        from .cellstats import widen_stats
+        widen_stats(spark, root, stored, "cell", storage,
+                    meta["dim"])
     write_text_atomic(spark, _manifest_path(root, batch_id),
                       json.dumps(manifest, sort_keys=True))
     _write_snapshot(spark, root, {**ms, batch_id: manifest})
@@ -432,7 +457,8 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
                          nprobe: int = 2,
                          exclude_id: int | None = None,
                          rerank_vectors: DataFrame | None = None,
-                         rerank_cut: int = 4) -> DataFrame:
+                         rerank_cut: int = 4,
+                         early_exit: bool = False) -> DataFrame:
     """Top-k cosine over the COMMITTED index: rank cells DRIVER-SIDE
     against the frozen centroids (exact arbitrary-precision integer
     dots — identical to the executor-side placement score), then scan
@@ -453,7 +479,18 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
     (vec_id, embedding) float source — the corpus, or the embeddings
     the index was built from) to take a top-(``rerank_cut``·k) cut
     on code scores and exact-rerank ONLY those candidates with the
-    full fixed-point cosine (plans/codes module docstring)."""
+    full fixed-point cosine (plans/codes module docstring).
+
+    ``early_exit=True`` (r12 brief #1) additionally SKIPS probed
+    cells whose direction-box upper bound (plans/cellstats) cannot
+    beat the k-th candidate already found in the query's nearest
+    cell — result rows are IDENTICAL by the bound's soundness
+    (test-pinned at every fan-out); the win is the skipped posting
+    lists' scan. Costs one extra small job (the seed cell's top-m),
+    so it pays at fan-out ≥ ~4 on clustered (real) distributions
+    and is a no-op on roots without committed stats. OFF by default
+    because on a uniform distribution the boxes are loose and the
+    seed job buys nothing."""
     import math
 
     from .migration import resolve_probe_location
@@ -475,55 +512,52 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
         key=lambda t: (-t[0], t[1]))
     probe_cells = [c for _, c in ranked[:nprobe]]
 
-    scan = (read_ivf_postings(spark, root)
-            .filter(F.col("cell").isin(probe_cells)))
-    if meta.get("storage", "float") == "int8":
-        return _ivf_code_topk(scan, qci, qsq, k, exclude_id,
-                              rerank_vectors, rerank_cut)
-    return _ivf_rerank(scan, qci, qsq, k, exclude_id)
+    storage = meta.get("storage", "float")
+    scan = read_ivf_postings(spark, root)
+    stats = None
+    if early_exit and len(probe_cells) > 1:
+        from .cellstats import load_stats, payload_column
+        stats = load_stats(spark, root)
+        if stats is not None and \
+                stats["payload"] != payload_column(storage)[0]:
+            stats = None   # fsck names this drift; probe stays exact
+    m = (rerank_cut * k
+         if storage == "int8" and rerank_vectors is not None else k)
+    if stats is not None:
+        from .cellstats import early_exit_scored
+        scored, _ = early_exit_scored(
+            stats, scan, "cell", probe_cells, qci, qsq, m,
+            lambda s: _ivf_scores(s, qci, qsq, exclude_id, storage))
+    else:
+        scored = _ivf_scores(
+            scan.filter(F.col("cell").isin(probe_cells)),
+            qci, qsq, exclude_id, storage)
+    ranked_rows = scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    if storage == "int8":
+        return _code_rerank_tail(ranked_rows, qci, qsq, k,
+                                 rerank_vectors, rerank_cut)
+    return ranked_rows.limit(k)
 
 
-def _ivf_code_topk(scan: DataFrame, qci: list, qsq: float, k: int,
-                   exclude_id: int | None,
-                   rerank_vectors: DataFrame | None,
-                   rerank_cut: int) -> DataFrame:
-    """Top-k over an already cell-pruned int8 codes scan: exact
-    scale-free code cosine (plans/codes.code_cosine), then either
-    return the code-ranked top-k directly (the cosine IS the exact
-    cosine of the dequantized vectors) or exact-rerank a
-    ``rerank_cut``·k candidate slice against the caller's float
-    vectors — the candidate list is probe-sized, so the fetch is a
-    broadcast join; point ``rerank_vectors`` at an id-prunable
-    source at scale."""
-    from .codes import code_cosine
-
+def _ivf_scores(scan: DataFrame, qci: list, qsq: float,
+                exclude_id: int | None, storage: str) -> DataFrame:
+    """UNSORTED exact scored rows (vec_id, cosine, cell) of an
+    already cell-pruned scan — the single scoring expression behind
+    ``_ivf_rerank`` (float) and the codes-only probe (int8),
+    factored out so the plain and the EARLY-EXIT probes rank
+    literally the same values (cellstats.early_exit_scored)."""
     if exclude_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_id)
     qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
-    scored = scan.select(
-        "vec_id", F.col("cell").cast("bigint").alias("cell"),
-        code_cosine(qarr, F.col("code"), F.lit(qsq)).alias("cosine"))
-    ranked = scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    if rerank_vectors is None:
-        return ranked.limit(k)
-    cand = ranked.limit(rerank_cut * k).select("vec_id", "cell")
-    fetch = (rerank_vectors.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("embedding").cast("array<float>").alias("embedding"))
-        .join(F.broadcast(cand), "vec_id"))
-    return _ivf_rerank(fetch, qci, qsq, k, None)
-
-
-def _ivf_rerank(scan: DataFrame, qci: list, qsq: float, k: int,
-                exclude_id: int | None) -> DataFrame:
-    """Exact fixed-point cosine re-rank over an already cell-pruned
-    (vec_id, embedding, cell) scan — shared by the committed and the
-    pinned probe so scoring can never drift."""
+    if storage == "int8":
+        from .codes import code_cosine
+        return scan.select(
+            "vec_id",
+            code_cosine(qarr, F.col("code"), F.lit(qsq))
+            .alias("cosine"),
+            F.col("cell").cast("bigint").alias("cell"))
     from ..queries.similarity import _fixed_dot
 
-    if exclude_id is not None:
-        scan = scan.filter(F.col("vec_id") != exclude_id)
-    qarr = F.array(*[F.lit(c).cast("bigint") for c in qci])
     dec = scan.select("vec_id", "cell",
                       _fixed_point(F.col("embedding")).alias("ci"),
                       qarr.alias("qci"))
@@ -535,10 +569,115 @@ def _ivf_rerank(scan: DataFrame, qci: list, qsq: float, k: int,
         .alias("nsq"))
     cosine = F.round(
         F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq))), 9)
-    return (scored.select("vec_id", cosine.alias("cosine"),
-                          F.col("cell").cast("bigint").alias("cell"))
+    return scored.select("vec_id", cosine.alias("cosine"),
+                         F.col("cell").cast("bigint").alias("cell"))
+
+
+def _code_rerank_tail(ranked: DataFrame, qci: list, qsq: float,
+                      k: int, rerank_vectors: DataFrame | None,
+                      rerank_cut: int) -> DataFrame:
+    """The int8 probe tail over an already RANKED code-cosine frame:
+    the code-ranked top-k directly (the cosine IS the exact cosine
+    of the dequantized vectors), or an exact rerank of the
+    ``rerank_cut``·k candidate slice against the caller's float
+    vectors — the candidate list is probe-sized, so the fetch is a
+    broadcast join; point ``rerank_vectors`` at an id-prunable
+    source at scale."""
+    if rerank_vectors is None:
+        # column order matches _ivf_rerank / the batch probes
+        # (vec_id, cosine, cell) so positional consumers and
+        # cross-storage unions never see cell/cosine swapped
+        # (ADVICE r12)
+        return ranked.select("vec_id", "cosine", "cell").limit(k)
+    cand = ranked.limit(rerank_cut * k).select("vec_id", "cell")
+    fetch = (rerank_vectors.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"))
+        .join(F.broadcast(cand), "vec_id"))
+    return _ivf_rerank(fetch, qci, qsq, k, None)
+
+
+def _ivf_code_topk(scan: DataFrame, qci: list, qsq: float, k: int,
+                   exclude_id: int | None,
+                   rerank_vectors: DataFrame | None,
+                   rerank_cut: int) -> DataFrame:
+    """Top-k over an already cell-pruned int8 codes scan: exact
+    scale-free code cosine (plans/codes.code_cosine), then the
+    shared rerank tail (:func:`_code_rerank_tail`)."""
+    ranked = (_ivf_scores(scan, qci, qsq, exclude_id, "int8")
+              .orderBy(F.desc("cosine"), F.asc("vec_id")))
+    return _code_rerank_tail(ranked, qci, qsq, k, rerank_vectors,
+                             rerank_cut)
+
+
+def _ivf_rerank(scan: DataFrame, qci: list, qsq: float, k: int,
+                exclude_id: int | None) -> DataFrame:
+    """Exact fixed-point cosine re-rank over an already cell-pruned
+    (vec_id, embedding, cell) scan — shared by the committed and the
+    pinned probe so scoring can never drift."""
+    return (_ivf_scores(scan, qci, qsq, exclude_id, "float")
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
+
+
+def _ivf_batch_score(cand: DataFrame, storage: str) -> DataFrame:
+    """(qid, vec_id, cosine, cell) exact per-pair scores over a
+    fanned-out candidate frame carrying (qid, vec_id, cell, qci,
+    code|embedding) — the single scoring expression behind the plain
+    AND the early-exit batch probes (the batch twin of
+    :func:`_ivf_scores`)."""
+    from ..queries.similarity import _fixed_dot
+
+    if storage == "int8":
+        from .codes import code_cosine
+        return cand.select(
+            "qid", "vec_id",
+            code_cosine(
+                F.col("qci"), F.col("code"),
+                _fixed_dot("qci", "qci").cast("double") / F.lit(1e18))
+            .alias("cosine"),
+            F.col("cell").cast("bigint").alias("cell"))
+    dec = cand.select(
+        "qid", "vec_id", "cell", "qci",
+        _fixed_point(F.col("embedding")).alias("ci"))
+    rer = dec.select(
+        "qid", "vec_id", "cell",
+        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
+        .alias("dot"),
+        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
+        .alias("nsq"),
+        (_fixed_dot("qci", "qci").cast("double") / F.lit(1e18))
+        .alias("qsq"))
+    cosine = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 9)
+    return rer.select("qid", "vec_id", cosine.alias("cosine"),
+                      F.col("cell").cast("bigint").alias("cell"))
+
+
+def _ivf_batch_tail(scored: DataFrame, q: DataFrame, k: int,
+                    rerank_vectors: DataFrame | None,
+                    rerank_cut: int, storage: str) -> DataFrame:
+    """Per-qid top-k window over exact scored pairs, with the
+    optional int8 exact-rerank of each query's ``rerank_cut``·k code
+    slice (``q`` is the decoded (qid, qci) query frame the rerank
+    join needs)."""
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.asc("vec_id"))
+    if storage == "int8" and rerank_vectors is not None:
+        top = (scored.withColumn("rn", F.row_number().over(wk))
+               .filter(F.col("rn") <= rerank_cut * k).drop("rn"))
+        fetch = (rerank_vectors.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"))
+            .join(F.broadcast(top.select("qid", "vec_id", "cell")),
+                  "vec_id")
+            .join(F.broadcast(q.select("qid", "qci")), "qid"))
+        scored = _ivf_batch_score(fetch, "float")
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k).drop("rn"))
 
 
 def ivf_batch_topk(spark: SparkSession, root: str,
@@ -548,7 +687,9 @@ def ivf_batch_topk(spark: SparkSession, root: str,
                    exclude_self: bool = True,
                    max_queries_per_job: int | None = None,
                    rerank_vectors: DataFrame | None = None,
-                   rerank_cut: int = 4) -> DataFrame:
+                   rerank_cut: int = 4,
+                   early_exit: bool = False,
+                   chunk_concurrency: int = 4) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the eval/serving
     shape :func:`recall.measure_recall`'s docstring defers to: a
     driver loop issues one small job per query (right for tens),
@@ -581,7 +722,13 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     degrades to a deterministic loop of broadcast-sized jobs over
     qid ranges (each chunk's small result is materialized, then
     unioned) — per-qid results are independent, so chunked ≡
-    unchunked row-for-row (test-pinned)."""
+    unchunked row-for-row (test-pinned).
+
+    ``early_exit=True`` (r12 brief #1): per-QUERY posting-list
+    pruning from the direction-box stats — see
+    :func:`_ivf_batch_early`; rows identical, the win is every
+    (qid, cell) pair whose best-possible cosine cannot beat that
+    query's m-th seed candidate."""
     from pyspark.sql import Window
 
     from ..queries.similarity import _fixed_dot
@@ -596,7 +743,9 @@ def ivf_batch_topk(spark: SparkSession, root: str,
                 id_col=id_col, vec_col=vec_col,
                 exclude_self=exclude_self,
                 rerank_vectors=rerank_vectors,
-                rerank_cut=rerank_cut))
+                rerank_cut=rerank_cut,
+                early_exit=early_exit),
+            concurrency=chunk_concurrency)
     meta = _load_meta(spark, root)
     dim = meta["dim"]
     cents = spark.createDataFrame(
@@ -619,72 +768,100 @@ def ivf_batch_topk(spark: SparkSession, root: str,
                        / (F.col("nv") * F.lit(1e18))).alias("score")))
     wc = Window.partitionBy("qid").orderBy(F.desc("score"),
                                            F.asc("cell"))
-    probe = (scored.withColumn("rn", F.row_number().over(wc))
-             .filter(F.col("rn") <= nprobe)
-             .select("qid", "qci", "cell").localCheckpoint())
+    probe_all = (scored.withColumn("rn", F.row_number().over(wc))
+                 .filter(F.col("rn") <= nprobe)
+                 .select("qid", "qci", "cell", "rn")
+                 .localCheckpoint())
+    probe = probe_all.drop("rn")
 
-    # static pruning: the probed-cell union is ≤ L values — a
-    # driver-sized collect that buys directory-level partition
-    # pruning on the postings scan, batch-count-independent
-    cells = sorted({int(r.cell) for r in
-                    probe.select("cell").distinct().collect()})
-    scan = (read_ivf_postings(spark, root)
-            .filter(F.col("cell").isin(cells)))
+    storage = meta.get("storage", "float")
+    stats = None
+    if early_exit and nprobe > 1:
+        from .cellstats import load_stats, payload_column
+        stats = load_stats(spark, root)
+        if stats is not None and \
+                stats["payload"] != payload_column(storage)[0]:
+            stats = None   # fsck names this drift; probe stays exact
+    scan = read_ivf_postings(spark, root)
 
-    cand = scan.join(F.broadcast(probe), "cell")
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    def _fanout(pairs, cells):
+        c = scan.filter(F.col("cell").isin(cells)) \
+            .join(F.broadcast(pairs), "cell")
+        return (c.filter(F.col("vec_id") != F.col("qid"))
+                if exclude_self else c)
+
+    def _cells_of(pairs):
+        # driver-sized collect (≤ L values): the literal cell IN
+        # list that buys directory pruning, batch-count-independent
+        return sorted({int(r.cell) for r in
+                       pairs.select("cell").distinct().collect()})
+
+    if stats is not None:
+        return _ivf_batch_early(spark, stats, probe_all, q, k,
+                                rerank_vectors, rerank_cut, storage,
+                                _fanout, _cells_of)
+    scored = _ivf_batch_score(_fanout(probe, _cells_of(probe)),
+                              storage)
+    return _ivf_batch_tail(scored, q, k, rerank_vectors, rerank_cut,
+                           storage)
+
+
+def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
+                     rerank_cut, storage, fanout, cells_of):
+    """The batch-probe early exit (r12 brief #1, batch shape) —
+    per-QUERY pruning, fully distributed:
+
+    1. **seed**: scan only each query's rank-1 cell (the union of
+       rank-1 pairs), score, keep each query's top-m, MATERIALIZE;
+    2. **L_q** = each query's m-th seed cosine (queries with fewer
+       than m seed rows get no L — unprunable);
+    3. **prune pairs**: a rank>1 (qid, cell) pair drops when the
+       cell's box upper bound against THAT query
+       (cellstats.upper_bound_col — executor-side, boxes broadcast)
+       is < L_q: every row it would fan out scores below m rows the
+       query already has;
+    4. **union** seed with the surviving pairs' scored fan-out —
+       the scan's literal IN-list shrinks to the surviving cells.
+
+    Per-qid results equal the plain batch probe row-for-row
+    (test-pinned) — the same soundness argument as the single-query
+    :func:`cellstats.early_exit_scored`."""
+    from ..queries.similarity import _fixed_dot
+    from .cellstats import bounds_frame, upper_bound_col
+
+    m = (rerank_cut * k
+         if storage == "int8" and rerank_vectors is not None else k)
+    from pyspark.sql import Window
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
-    if meta.get("storage", "float") == "int8":
-        # exact scale-free code cosine per (query, posting) — the
-        # same single-query arithmetic, per-qid window instead of a
-        # global sort; optional exact rerank of a cut·k slice
-        from .codes import code_cosine
-        scored = cand.select(
-            "qid", "vec_id",
-            code_cosine(
-                F.col("qci"), F.col("code"),
-                _fixed_dot("qci", "qci").cast("double") / F.lit(1e18))
-            .alias("cosine"),
-            F.col("cell").cast("bigint").alias("cell"))
-        top = (scored.withColumn("rn", F.row_number().over(wk))
-               .filter(F.col("rn") <= (k if rerank_vectors is None
-                                       else rerank_cut * k))
-               .drop("rn"))
-        if rerank_vectors is None:
-            return top
-        fetch = (rerank_vectors.select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            F.col("embedding").cast("array<float>").alias("embedding"))
-            .join(F.broadcast(top.select("qid", "vec_id", "cell")),
-                  "vec_id")
-            .join(F.broadcast(q.withColumnRenamed("qci", "qci2")
-                              .select("qid", "qci2")), "qid"))
-        rer2 = fetch.select(
-            "qid", "vec_id", "cell",
-            _fixed_point(F.col("embedding")).alias("ci"),
-            F.col("qci2").alias("qci"))
-        cand = rer2   # falls through to the shared float rerank
-    dec = cand.select(
-        "qid", "vec_id", "cell", "qci",
-        (F.col("ci") if "ci" in cand.columns
-         else _fixed_point(F.col("embedding"))).alias("ci"))
-    rer = dec.select(
-        "qid", "vec_id", "cell",
-        (_fixed_dot("ci", "qci").cast("double") / F.lit(1e18))
-        .alias("dot"),
-        (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
-        .alias("nsq"),
-        (_fixed_dot("qci", "qci").cast("double") / F.lit(1e18))
-        .alias("qsq"))
-    cosine = F.round(
-        F.col("dot")
-        / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 9)
-    return (rer.select("qid", "vec_id", cosine.alias("cosine"),
-                       F.col("cell").cast("bigint").alias("cell"))
+    p1 = probe_all.filter(F.col("rn") == 1).drop("rn")
+    seed = (_ivf_batch_score(fanout(p1, cells_of(p1)), storage)
             .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= k).drop("rn"))
+            .filter(F.col("rn") <= m).drop("rn")
+            .localCheckpoint())
+    lq = (seed.groupBy("qid")
+          .agg(F.count("*").alias("_n"), F.min("cosine").alias("_L"))
+          .filter(F.col("_n") >= m).select("qid", "_L"))
+
+    rest = probe_all.filter(F.col("rn") > 1).drop("rn")
+    bf = bounds_frame(spark, stats, "cell", cells_of(rest))
+    qsq = _fixed_dot("qci", "qci").cast("double") / F.lit(1e18)
+    survivors = (rest.join(F.broadcast(bf), "cell", "left")
+                 .join(F.broadcast(lq), "qid", "left")
+                 .withColumn("_ub", upper_bound_col(F.col("qci"),
+                                                    qsq))
+                 .filter(F.col("_L").isNull()
+                         | F.col("dmin").isNull()
+                         | (F.col("_ub") >= F.col("_L")))
+                 .select("qid", "qci", "cell")
+                 .localCheckpoint())
+    scored = seed
+    cells2 = cells_of(survivors)
+    if cells2:
+        scored = seed.unionByName(
+            _ivf_batch_score(fanout(survivors, cells2), storage))
+    return _ivf_batch_tail(scored, q, k, rerank_vectors, rerank_cut,
+                           storage)
 
 
 def ivf_pinned_topk(spark: SparkSession, root: str, pin,
@@ -790,6 +967,10 @@ def _compact_ivf_batches(spark: SparkSession, root: str,
         "cell_source": (sources.pop() if len(sources) == 1
                         else "mixed"),
     }
+    if rows_per_file is not None:
+        # size-aware compactions RECORD their target (see the LSH
+        # twin) — the advisory's compact_hot suppression reads it
+        manifest["rows_per_file"] = rows_per_file
     from .corpus import _union_provenance
     prov = _union_provenance(ms, ids)
     if prov is not None:   # lineage survives compaction
@@ -801,6 +982,13 @@ def _compact_ivf_batches(spark: SparkSession, root: str,
 
     from .corpus import _prune_superseded
     _prune_superseded(spark, root, tables=(IVF_TABLE,), lease=lease)
+    # compaction is the direction-box RE-TIGHTENING pass: recompute
+    # the early-exit stats exactly from the live rows just rewritten
+    # (also upgrades legacy pre-stats roots — plans/cellstats)
+    from .cellstats import recompute_stats
+    recompute_stats(spark, root, read_ivf_postings(spark, root),
+                    "cell", meta.get("storage", "float"),
+                    meta["dim"])
     return cid
 
 
@@ -1000,6 +1188,18 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
             else:
                 placement_check = "skipped: no assigned-cell batches"
 
+    # early-exit direction boxes must COVER every live row — a row
+    # outside its box could be wrongly pruned at probe time, the one
+    # data-loss class early exit can add (plans/cellstats)
+    from .cellstats import verify_stats
+    if ix is not None:
+        cellstats_check, cs_viol = verify_stats(
+            spark, root, ix, "cell", meta.get("storage", "float"),
+            meta["dim"])
+        violations += cs_viol
+    else:
+        cellstats_check = "skipped: no live data"
+
     live_set = set(live)
     orphans = {
         child[len("batch_id="):]
@@ -1014,6 +1214,7 @@ def verify_ivf_index(spark: SparkSession, root: str) -> dict:
     return {"live_batches": len(live), "index_rows": n_rows,
             "cell_occupancy": occupancy,
             "storage": meta.get("storage", "float"),
+            "cellstats_check": cellstats_check,
             "placement_check": placement_check,
             "table_bytes": (dir_bytes(spark, path)
                             if path_exists(spark, path) else 0),

@@ -106,6 +106,62 @@ def suggest_k(n_vectors: int, target_cell_rows: int | None = None,
     return max(k_min, min(k, k_max, n_vectors))
 
 
+def suggest_k_feedback(n_vectors: int, occupancy: dict,
+                       target_cell_rows: int,
+                       k_min: int = 1, k_max: int = 65536) -> int:
+    """nlist sizing from MEASURED occupancy (VERDICT r12 brief #5 —
+    the closed loop): :func:`suggest_k`'s ``n/target`` rule assumes
+    rows spread uniformly over cells, so on a skewed distribution the
+    MEDIAN cell lands far under target while a few hot cells blow the
+    probe budget. The fsck's occupancy canary
+    (``verify_ivf_index()["cell_occupancy"]``) measures that skew
+    directly: with mean/median ratio ``s`` over occupied cells, a
+    retrain at ``k' = n/(target·s)`` puts the MEDIAN cell — what a
+    typical probe actually scans — at ≈ target, accepting that the
+    hot directions hold more (they are the data, not the layout; the
+    size-aware compaction handles their files). ``s`` is clamped to
+    ≥ 1 so a uniform root degrades exactly to ``suggest_k``'s rule.
+
+    Used by ``migration.migrate_index(train_k="auto",
+    target_cell_rows=...)`` — the retrain consumes the OLD root's
+    measured distribution instead of re-guessing √N — and named by
+    the advisory's ``retrain_migrate`` action."""
+    import math
+
+    if n_vectors < 1:
+        raise ValueError(f"need at least one vector, got {n_vectors}")
+    if target_cell_rows < 1:
+        raise ValueError(
+            f"target_cell_rows must be >= 1, got {target_cell_rows}")
+    med = occupancy.get("median") or 0
+    mean = occupancy.get("mean") or 0
+    s = max(1.0, mean / med) if med else 1.0
+    k = math.ceil(n_vectors / (target_cell_rows * s))
+    return max(k_min, min(k, k_max, n_vectors))
+
+
+def unit_fixed(ci):
+    """Unit-normalize a nano-unit int64 component array EXACTLY at
+    fixed-point decode (VERDICT r12 brief #3): each component becomes
+    ``round(c·1e9/‖c‖)`` — back on the nano grid with ‖u‖ ≈ 1e9, so
+    every downstream exact-integer fold (``_fixed_dot`` hi/lo split,
+    per-cell int64 sums) is unchanged. The norm is a double folded
+    from exactly-derived squares and the rounding is half-up floor —
+    deterministic on every executor, any partitioning, like
+    ``_fixed_point`` itself. An all-zero vector maps to the zero
+    vector (it has no direction; it lands wherever the dot argmax
+    ties — cell 0 — exactly as the raw path would place it)."""
+    nsq = F.aggregate(
+        F.transform(ci, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, p: acc + p)
+    nrm = F.sqrt(nsq)
+    return F.transform(
+        ci,
+        lambda x: F.when(nsq == 0.0, F.lit(0).cast("bigint"))
+        .otherwise(F.floor(x.cast("double") * F.lit(1e9) / nrm
+                           + F.lit(0.5)).cast("bigint")))
+
+
 def _centroid_literal(spark: SparkSession, cents: list) -> DataFrame:
     """The driver-held centroid list [(cell, csum ints, nv)] as ONE
     broadcastable row holding the k-entry array of structs the
@@ -273,7 +329,8 @@ def train_centroids(spark: SparkSession, emb: DataFrame, k: int,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     dim: int = EMB_DIM,
-                    metric: str = "l2") -> dict:
+                    metric: str = "l2",
+                    normalize: bool = False) -> dict:
     """Lloyd's k-means over an UNLABELED (id, embedding) frame —
     deterministic by construction (module docstring). Returns::
 
@@ -297,7 +354,18 @@ def train_centroids(spark: SparkSession, emb: DataFrame, k: int,
     vectors into, by construction, on ANY data. Prefer "dot" when
     the trained quantizer feeds ``init_ivf_index`` (the serve-side
     metric is mean-dot); "l2" remains the default for backward
-    compatibility and for pure clustering uses."""
+    compatibility and for pure clustering uses.
+
+    ``normalize=True`` (VERDICT r12 brief #3) unit-norms every input
+    at fixed-point decode (:func:`unit_fixed`) BEFORE anything else,
+    making ``metric="dot"`` TRUE SPHERICAL k-means (the cosine
+    objective): the mean-dot update is no longer norm-biased — a
+    large-norm outlier contributes one unit direction, not a
+    mean-dragging multiple. Because the serve-side placement score
+    ``argmax x·μ_c/nv`` is scale-invariant in ``x``, training on
+    directions stays placement-consistent for raw vectors; pair it
+    with ``init_ivf_index(train_normalize=True)`` so the frozen
+    centroids aggregate the same directions."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if metric not in METRICS:
@@ -305,11 +373,14 @@ def train_centroids(spark: SparkSession, emb: DataFrame, k: int,
                          f"got {metric!r}")
     from ..queries.similarity import _fixed_dot
 
+    ci_col = _fixed_point(_checked_dim(F.col(vec_col), dim,
+                                       "train_centroids"))
+    if normalize:
+        ci_col = unit_fixed(ci_col)
     dec = (emb.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast("array<float>").alias("embedding"),
-        _fixed_point(_checked_dim(F.col(vec_col), dim,
-                                  "train_centroids")).alias("ci"))
+        ci_col.alias("ci"))
         .withColumn("x2", _fixed_dot("ci", "ci"))
         # ONE setup shuffle (hash on vec_id — content-keyed, so the
         # layout is irrelevant to every exact aggregate downstream)
@@ -360,4 +431,5 @@ def train_centroids(spark: SparkSession, emb: DataFrame, k: int,
     return {"labeled": labeled, "centroids": cents,
             "inertia": inertia, "reseeds": reseeds,
             "n_iters_run": len(inertia), "k": k,
-            "converged": converged, "metric": metric}
+            "converged": converged, "metric": metric,
+            "normalize": normalize}

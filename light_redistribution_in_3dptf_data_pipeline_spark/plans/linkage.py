@@ -186,12 +186,23 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
 
     if advise:
         from .advisory import suggest_maintenance
+        # the fsck just computed above is handed in so advise=True
+        # adds only the recall/pin reads, not a second aggregate
+        # scan per root (ADVICE r12)
         out["advice"] = {
             iroot: suggest_maintenance(
                 spark, iroot,
                 max_pin_age_seconds=max_pin_age_seconds,
-                max_pin_held_bytes=max_pin_held_bytes)
+                max_pin_held_bytes=max_pin_held_bytes,
+                fsck=out["roots"][iroot])
             for iroot in index_roots}
+        # EVERY root kind carries advice (r12 brief #4): the corpus
+        # root gets its own advisory, also fsck-reusing
+        out["advice"][corpus_root] = suggest_maintenance(
+            spark, corpus_root,
+            max_pin_age_seconds=max_pin_age_seconds,
+            max_pin_held_bytes=max_pin_held_bytes,
+            fsck=out["roots"][corpus_root])
 
     linked_docs = list_linked_pins(spark, corpus_root)
     for ldigest in sorted(linked_docs):

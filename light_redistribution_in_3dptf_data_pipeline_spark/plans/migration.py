@@ -337,8 +337,10 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                   train_k: "int | str | None" = None,
                   train_iters: int | None = None,
                   train_metric: str = "l2",
+                  train_normalize: bool = False,
                   storage: str | None = None,
-                  max_batches_per_commit: int | None = None) -> dict:
+                  max_batches_per_commit: int | None = None,
+                  target_cell_rows: int | None = None) -> dict:
     """Re-train the routing structure into ``new_root`` and backfill
     it from ``old_root``'s COMMITTED postings (module docstring for
     the why and the crash/cutover story).
@@ -353,13 +355,19 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
       distribution-shift re-train needs nothing from the caller but
       k (or ``train_k="auto"``, sized by √N). ``train_metric="dot"``
       trains with the quantizer's own placement rule (r11 brief #1
-      — recommended for re-trains chasing recall).
+      — recommended for re-trains chasing recall);
+      ``train_normalize=True`` makes that true spherical k-means
+      (r12 brief #3 — unit-normed training, norm-bias-free
+      centroids; recorded in the new root's ``_meta``).
     - LSH: ``num_planes``/``dim`` parameterize the new hyperplanes
       (defaults = the old meta's, i.e. a pure re-bucketing).
     - ``pointer``: optional alias file to atomically cut over AFTER
       the count verification passes.
     - ``storage``: the NEW root's posting layout ("float"/"int8" —
-      r11 brief #3); defaults to the old root's. int8→int8 carries
+      r11 brief #3); defaults to the old root's on a fresh build, or
+      to the new root's OWN committed meta on a resume (ADVICE r12 —
+      an interrupted float→int8 migration re-runs without re-passing
+      storage=; an explicit conflicting value raises). int8→int8 carries
       the stored codes VERBATIM (re-routing still re-derives
       cells/buckets from the dequantized embedding under the new
       structure — no double-quantization of the stored codes);
@@ -396,8 +404,23 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                                 read_ivf_postings)
         ometa = _load_meta(spark, old_root)
         old_storage = ometa.get("storage", "float")
-        new_storage = storage or old_storage
-        if not path_exists(spark, f"{new_root}/_meta.json"):
+        if path_exists(spark, f"{new_root}/_meta.json"):
+            # RESUME (ADVICE r12): the new root's own meta is the
+            # layout authority — an interrupted float→int8 migration
+            # re-run WITHOUT storage= must keep the new layout, not
+            # fall back to the old root's (the ingest would refuse
+            # loudly, but avoidably). An explicit conflicting
+            # storage= is a caller error, said here not mid-backfill.
+            new_storage = _load_meta(spark, new_root).get(
+                "storage", "float")
+            if storage is not None and storage != new_storage:
+                raise ValueError(
+                    f"new root {new_root} is already initialized "
+                    f"with storage={new_storage!r}; resuming with "
+                    f"storage={storage!r} would mix layouts — drop "
+                    f"the argument or start a fresh new_root")
+        else:
+            new_storage = storage or old_storage
             n_dim = dim or ometa["dim"]
             if train_k is not None:
                 # unlabeled path: re-train on the given sample, or on
@@ -408,10 +431,22 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                 # reconstruction error is noise at that altitude)
                 sample = (train if train is not None
                           else ivf_vectors(spark, old_root))
+                if train_k == "auto" and target_cell_rows is not None:
+                    # CLOSED-LOOP sizing (r12 brief #5): k from the
+                    # old root's MEASURED occupancy skew, not √N —
+                    # the retrain targets the configured posting-scan
+                    # budget on the actual distribution
+                    from .ivf_index import verify_ivf_index
+                    from .kmeans import suggest_k_feedback
+                    ofsck = verify_ivf_index(spark, old_root)
+                    train_k = suggest_k_feedback(
+                        ofsck["index_rows"],
+                        ofsck["cell_occupancy"], target_cell_rows)
                 init_ivf_index(spark, new_root, sample, dim=n_dim,
                                train_k=train_k,
                                train_iters=train_iters,
                                train_metric=train_metric,
+                               train_normalize=train_normalize,
                                storage=new_storage)
             elif train is not None:
                 init_ivf_index(spark, new_root, train,
@@ -435,7 +470,21 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                                 read_ann_index)
         ometa = _load_meta(spark, old_root)
         old_storage = ometa.get("storage", "float")
-        new_storage = storage or old_storage
+        if path_exists(spark, f"{new_root}/_meta.json"):
+            # RESUME: same layout-authority rule as the IVF branch
+            # (ADVICE r12) — the new root's first ingest froze its
+            # storage; a resume must not re-derive it from the old
+            # root (the per-ingest guard would refuse, avoidably)
+            new_storage = _load_meta(spark, new_root).get(
+                "storage", "float")
+            if storage is not None and storage != new_storage:
+                raise ValueError(
+                    f"new root {new_root} is already initialized "
+                    f"with storage={new_storage!r}; resuming with "
+                    f"storage={storage!r} would mix layouts — drop "
+                    f"the argument or start a fresh new_root")
+        else:
+            new_storage = storage or old_storage
         n_planes = num_planes if num_planes is not None \
             else ometa["num_planes"]
         n_dim = dim if dim is not None else ometa["dim"]

@@ -51,14 +51,17 @@ def measure_recall(spark: SparkSession, root: str,
                    queries: "list[tuple[int, list[float]]]",
                    k: int = TOP_K,
                    nprobe: int = 2,
-                   hamming: int = 1) -> dict:
+                   hamming: int = 1,
+                   probe_buckets: int | None = None) -> dict:
     """recall@k of the root's incremental probe vs exact brute force
     over its OWN committed vectors, averaged over ``queries``
     (``(exclude_id, query_vec)`` pairs — pass the vector's own id to
     grade self-neighborhoods, or None). Kind-dispatched on the
     root's ``_meta.json``; ``nprobe`` applies to IVF roots,
-    ``hamming`` to LSH roots. Returns ``{"recall", "k",
-    "n_queries", "param"}``."""
+    ``hamming`` to LSH roots (``probe_buckets`` switches LSH to the
+    margin-ranked multi-probe sequence at a fixed bucket budget —
+    ann_index.multiprobe_set, r12 brief #7). Returns ``{"recall",
+    "k", "n_queries", "param"}``."""
     from .ann_index import ann_incremental_topk, ann_vectors
     from .ivf_index import ivf_incremental_topk, ivf_vectors
     from .linkage import _index_kind
@@ -66,12 +69,15 @@ def measure_recall(spark: SparkSession, root: str,
     kind = _index_kind(spark, root)
     if kind == "ann_lsh_incremental":
         full = ann_vectors(spark, root)
-        param = {"hamming": hamming}
+        param = ({"probe_buckets": probe_buckets}
+                 if probe_buckets is not None
+                 else {"hamming": hamming})
 
         def probe(qvec, qid):
             return ann_incremental_topk(spark, root, qvec, k=k,
                                         exclude_id=qid,
-                                        hamming=hamming)
+                                        hamming=hamming,
+                                        probe_buckets=probe_buckets)
     else:
         full = ivf_vectors(spark, root)
         param = {"nprobe": nprobe}
@@ -188,7 +194,15 @@ def record_recall_sample(spark: SparkSession, root: str,
     cells), not the query set. Returns the recorded doc, or None
     when the index holds too few vectors to grade (< 2·queries).
     Cost: n_queries small jobs — each probe is the production plan;
-    size n_queries for the serving budget, not statistics."""
+    size n_queries for the serving budget, not statistics.
+
+    Each sample carries a monotonic ``seq`` (1 + the max seq already
+    committed under the root — ADVICE r12): batch ids are opaque
+    strings, and streaming file-derived ids sort lexicographically
+    ('f10' < 'f9'), so recency CANNOT come from the id.
+    ``recall_history`` orders the series by ``seq``, which makes
+    "the newest sample" well-defined for the advisory's retrain
+    trigger however the ids are spelled."""
     import json as _json
 
     from ..fs import write_text_atomic
@@ -208,7 +222,9 @@ def record_recall_sample(spark: SparkSession, root: str,
         return None
     rep = measure_recall(spark, root, queries, k=k, nprobe=nprobe,
                          hamming=hamming)
-    doc = {**rep, "batch_id": batch_id}
+    prior = recall_history(spark, root)["samples"]
+    seq = 1 + max((d.get("seq", -1) for d in prior), default=-1)
+    doc = {**rep, "batch_id": batch_id, "seq": seq}
     if floor is not None:
         doc["floor"] = floor
         doc["below_floor"] = rep["recall"] < floor
@@ -221,10 +237,14 @@ def recall_history(spark: SparkSession, root: str,
                    floor: float | None = None) -> dict:
     """The committed recall series of a root — every sample the
     streaming canary (or an operator's direct
-    :func:`record_recall_sample`) appended, sorted by batch id, with
-    the below-floor ones NAMED. ``floor`` re-grades the series
-    against a new threshold; without it each sample's own recorded
-    floor applies. Control-plane: small JSON reads only."""
+    :func:`record_recall_sample`) appended, sorted by RECORDING
+    ORDER (the monotonic ``seq`` each sample carries; legacy samples
+    without one sort first, by batch id — ADVICE r12: batch ids sort
+    lexicographically, so 'f10' < 'f9' would otherwise make the
+    series' "last" entry a stale sample), with the below-floor ones
+    NAMED. ``floor`` re-grades the series against a new threshold;
+    without it each sample's own recorded floor applies.
+    Control-plane: small JSON reads only."""
     import json as _json
 
     from ..fs import list_dir, read_text
@@ -241,7 +261,8 @@ def recall_history(spark: SparkSession, root: str,
             doc["floor"] = floor
             doc["below_floor"] = doc["recall"] < floor
         out["samples"].append(doc)
-    out["samples"].sort(key=lambda d: d["batch_id"])
+    out["samples"].sort(key=lambda d: (d.get("seq", -1),
+                                       d["batch_id"]))
     out["below_floor"] = [d["batch_id"] for d in out["samples"]
                           if d.get("below_floor")]
     return out

@@ -157,3 +157,264 @@ def test_verify_deployment_carries_advice(spark, emb, cl, tmp_path):
     # without advise the section is absent (default unchanged)
     rep2 = verify_deployment(spark, croot, [iroot])
     assert "advice" not in rep2
+
+
+def test_recall_series_orders_by_seq_not_batch_id(spark, cl,
+                                                  tmp_path):
+    """ADVICE r12 (medium): streaming file-derived batch ids sort
+    lexicographically ('f10' < 'f9'), so recency must come from the
+    monotonic ``seq`` each sample records, not the id. A stale
+    below-floor sample at id 'f9' followed by a RECOVERED sample at
+    id 'f10' must leave the advisory quiet — and the reverse must
+    fire it."""
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, cl, train_k=8)
+    I.ivf_ingest_delta(spark, root, cl, "f9")
+    # stale below-floor sample recorded FIRST under id 'f9'
+    # (floor 1.01 forces below_floor regardless of measured recall)
+    d1 = R.record_recall_sample(spark, root, "f9", n_queries=4,
+                                floor=1.01)
+    assert d1["below_floor"] and d1["seq"] == 0
+    # newest sample, healthy, under the lexicographically SMALLER id
+    d2 = R.record_recall_sample(spark, root, "f10", n_queries=4,
+                                floor=0.5)
+    assert not d2["below_floor"] and d2["seq"] == 1
+    hist = R.recall_history(spark, root)
+    assert [s["batch_id"] for s in hist["samples"]] == ["f9", "f10"]
+    rep = ADV.suggest_maintenance(spark, root)
+    assert [a["action"] for a in rep["actions"]] == [], rep["actions"]
+
+    # reverse order on a fresh root: newest IS below floor → fires
+    root2 = str(tmp_path / "ivf2")
+    I.init_ivf_index(spark, root2, cl, train_k=8)
+    I.ivf_ingest_delta(spark, root2, cl, "f9")
+    R.record_recall_sample(spark, root2, "f10", n_queries=4,
+                           floor=0.5)
+    R.record_recall_sample(spark, root2, "f9", n_queries=4,
+                           floor=1.01)
+    rep2 = ADV.suggest_maintenance(spark, root2)
+    assert [a["action"] for a in rep2["actions"]] == \
+        ["retrain_migrate"]
+
+
+def test_advisory_reuses_caller_fsck(spark, cl, tmp_path):
+    """ADVICE r12 (low): suggest_maintenance(fsck=...) consumes the
+    already-computed fsck instead of re-running the aggregate scan —
+    proven by handing it a DOCTORED report whose skew the healthy
+    root does not have: the advisory must act on the doctored
+    numbers."""
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, cl, train_k=8)
+    I.ivf_ingest_delta(spark, root, cl, "d1")
+    real = I.verify_ivf_index(spark, root)
+    assert ADV.suggest_maintenance(spark, root,
+                                   fsck=real)["actions"] == []
+    doctored = {**real,
+                "cell_occupancy": {**real["cell_occupancy"],
+                                   "max": 10_000, "median": 10,
+                                   "hottest_cell": 3}}
+    rep = ADV.suggest_maintenance(spark, root, fsck=doctored)
+    assert [a["action"] for a in rep["actions"]] == ["compact_hot"]
+    assert "hottest_cell=3" in rep["actions"][0]["reason"]
+
+
+# --- corpus-root advisory (r12 brief #4) ---------------------------
+
+def _cdocs(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), t, "en", "s", len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, lang STRING, "
+        "source STRING, n_chars LONG")
+
+
+def _clean_doc(i):
+    return " ".join(f"w{i}x{j}q{(i * 7 + j * 13) % 997}"
+                    for j in range(20))
+
+
+_PASSAGE = ("meanwhile seventeen violet umbrellas drifted calmly "
+            "beneath wooden bridges nine kilometers north of the "
+            "quiet observatory where nobody counted the stars")
+
+
+def test_corpus_root_healthy_needs_nothing(spark, tmp_path):
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+    root = str(tmp_path / "c")
+    corpus.ingest_delta(spark, root,
+                        _cdocs(spark, [(i, _clean_doc(i))
+                                       for i in range(10)]), "c1")
+    rep = ADV.suggest_maintenance(spark, root)
+    assert rep["kind"] == "corpus"
+    assert rep["actions"] == [] and rep["fsck_violations"] == []
+
+
+def test_corpus_gate_skew_says_investigate(spark, tmp_path):
+    """One batch's passage-gate drop ratio far above the median →
+    investigate_gates, naming the batch (order-free: max vs median,
+    so 'f10'<'f9' id games cannot misroute it)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+    root = str(tmp_path / "c")
+    gate = dict(passage_min_shared=2, passage_max_doc_freq=100)
+    corpus.ingest_delta(spark, root, _cdocs(
+        spark, [(0, _clean_doc(0) + " " + _PASSAGE)]), "c1", **gate)
+    corpus.ingest_delta(spark, root, _cdocs(
+        spark, [(i, _clean_doc(i)) for i in range(10, 20)]),
+        "c2", **gate)
+    # 12 docs re-embedding the committed passage → all dropped
+    corpus.ingest_delta(spark, root, _cdocs(
+        spark, [(100 + i, _clean_doc(100 + i) + " " + _PASSAGE)
+                for i in range(12)]), "c3", **gate)
+    assert corpus.read_manifest(spark, root,
+                                "c3")["n_passage_dropped"] == 12
+    rep = ADV.suggest_maintenance(spark, root)
+    names = [a["action"] for a in rep["actions"]]
+    assert names and names[0] == "investigate_gates", rep["actions"]
+    assert rep["actions"][0]["signal"]["batch_id"] == "c3"
+    assert "batch c3" in rep["actions"][0]["reason"]
+
+
+def test_corpus_fanout_orphans_and_pins(spark, tmp_path):
+    """5 live batches → compact_batches; a crashed (unmanifested)
+    ingest partition → prune_superseded PRICED in bytes; an aged pin
+    → release_pins; severities rank them in that order."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+    root = str(tmp_path / "c")
+    for b in range(5):
+        corpus.ingest_delta(spark, root, _cdocs(
+            spark, [(b * 100 + i, _clean_doc(b * 100 + i))
+                    for i in range(8)]), f"c{b}")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        corpus.ingest_delta(spark, root, _cdocs(
+            spark, [(900 + i, _clean_doc(900 + i))
+                    for i in range(8)]), "crashed",
+            _crash_after="corpus")
+    pin = SN.pin_snapshot(spark, root, owner="old",
+                          created_at=1000.0)
+    rep = ADV.suggest_maintenance(spark, root, max_live_batches=3,
+                                  max_pin_age_seconds=3600.0,
+                                  now=1000.0 + 7200.0)
+    names = [a["action"] for a in rep["actions"]]
+    assert names == ["compact_batches", "prune_superseded",
+                     "release_pins"], rep["actions"]
+    prune = rep["actions"][1]
+    assert prune["signal"]["orphans"] == ["crashed"]
+    assert prune["signal"]["prunable_bytes"] > 0
+    SN.release_pin(spark, root, pin["snapshot_digest"], owner=None)
+
+
+def test_verify_deployment_advises_corpus_root(spark, cl, tmp_path):
+    """advise=True now carries advice for EVERY root kind — the
+    corpus entry present, kind-tagged, and quiet on a healthy
+    deployment (fsck handed in, not recomputed)."""
+    from test_snapshots import _docs
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.linkage import (
+        verify_deployment)
+
+    croot = str(tmp_path / "c")
+    got = corpus.ingest_delta(spark, croot,
+                              _docs(spark, range(0, 20)), "c1")
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    iroot = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, iroot, cl, train_k=8)
+    I.ivf_ingest_delta(spark, iroot,
+                       cl.filter(F.col("vec_id").isin(ids)), "d1",
+                       corpus_batch="c1")
+    rep = verify_deployment(spark, croot, [iroot], advise=True)
+    assert rep["violations"] == []
+    assert rep["advice"][iroot]["kind"] == "ivf_incremental"
+    assert rep["advice"][croot]["kind"] == "corpus"
+    assert rep["advice"][croot]["actions"] == []
+
+
+# --- advisory-driven runbook automation (r12 brief #8) --------------
+
+def _pile(cl):
+    """200 extra vectors on ONE axis — the hot-cell pile of
+    test_skew_ranks_hot_compaction_first."""
+    return cl.filter("vec_id < 200").select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: (x * 0.0
+                                  + F.when(i == 0, 5.0)
+                                  .otherwise(F.lit(0.0)))
+                    .cast("float")).alias("embedding"))
+
+
+def test_apply_maintenance_heals_skewed_root(spark, cl, tmp_path):
+    """The e2e loop: injected hot-cell skew → advisory says
+    compact_hot → ONE apply_maintenance call executes the size-aware
+    compaction (manifest records the target) → the advisory reads
+    EMPTY after (the loop-breaker: the hot partition's files now
+    respect the recorded target; the residual row skew is the data's
+    shape), and the fsck stays clean."""
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, cl, train_k=8)
+    I.ivf_ingest_delta(spark, root, cl, "d1")
+    I.ivf_ingest_delta(spark, root, _pile(cl), "d2")
+    rep = ADV.apply_maintenance(spark, root, rows_per_file=64,
+                                occupancy_skew=3.0)
+    assert [a["action"] for a in
+            rep["advice_before"]["actions"]] == ["compact_hot"]
+    assert rep["applied"][0]["action"] == "compact_hot"
+    assert rep["applied"][0]["result"].startswith("compact-")
+    assert rep["skipped"] == []
+    assert rep["advice_after"]["actions"] == [], rep["advice_after"]
+    fsck = I.verify_ivf_index(spark, root)
+    assert fsck["violations"] == []
+    # the recorded target is what suppresses the re-advice
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.corpus import (
+        _load_manifests)
+    ms = _load_manifests(spark, root)
+    live = [m for b, m in ms.items() if b.startswith("compact-")]
+    assert live and live[-1]["rows_per_file"] == 64
+
+
+def test_apply_maintenance_corpus_and_dry_run(spark, tmp_path):
+    """Corpus side: fan-out + a crashed ingest heal in one call;
+    dry_run reports the same plan and mutates NOTHING."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+    root = str(tmp_path / "c")
+    for b in range(5):
+        corpus.ingest_delta(spark, root, _cdocs(
+            spark, [(b * 100 + i, _clean_doc(b * 100 + i))
+                    for i in range(8)]), f"c{b}")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        corpus.ingest_delta(spark, root, _cdocs(
+            spark, [(900, _clean_doc(900))]), "crashed",
+            _crash_after="corpus")
+
+    dry = ADV.apply_maintenance(spark, root, dry_run=True,
+                                max_live_batches=3)
+    assert [a["result"] for a in dry["applied"]] == \
+        ["dry-run", "dry-run"]
+    assert corpus.verify_corpus(spark, root)["live_batches"] == 5
+    assert dry["advice_after"] is dry["advice_before"]
+
+    rep = ADV.apply_maintenance(spark, root, max_live_batches=3)
+    assert [a["action"] for a in rep["applied"]] == \
+        ["compact_batches", "prune_superseded"]
+    assert rep["advice_after"]["actions"] == [], rep["advice_after"]
+    fsck = corpus.verify_corpus(spark, root)
+    assert fsck["live_batches"] == 1 and fsck["violations"] == []
+    assert fsck["orphans"] == []
+
+
+def test_apply_maintenance_keeps_retrain_for_operators(spark, emb,
+                                                       cl, tmp_path):
+    """Quality decay is a judgement call: apply_maintenance reports
+    retrain_migrate under skipped and leaves it standing."""
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, cl.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"),
+        train_k=8)
+    I.ivf_ingest_delta(spark, root, cl.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"), "d1")
+    I.ivf_ingest_delta(spark, root, _drift(emb), "d2")
+    R.record_recall_sample(spark, root, "d2", n_queries=8, floor=0.9)
+    rep = ADV.apply_maintenance(spark, root)
+    assert rep["skipped"] == [{"action": "retrain_migrate",
+                               "why": "operator-approved only"}]
+    assert [a["action"] for a in
+            rep["advice_after"]["actions"]] == ["retrain_migrate"]

@@ -266,3 +266,22 @@ def test_int8_compact_retain_pin_dedup(spark, emb, tmp_path):
     assert rid.startswith("retain-")
     assert I.verify_ivf_index(spark, root)["violations"] == []
     assert I.read_ivf_postings(spark, root).count() == 397
+
+
+def test_codes_only_probe_column_order(spark, emb, roots):
+    """Every probe path returns (vec_id, cosine, cell|bucket) in the
+    SAME column order — the codes-only IVF probe used to emit
+    (vec_id, cell, cosine), so positional consumers or schema-order
+    unions across float/int8 roots got cell/cosine swapped
+    (ADVICE r12)."""
+    qv = _qvec(emb, 0)
+    want_ivf = I.ivf_incremental_topk(
+        spark, roots["ivf_float"], qv, k=3, exclude_id=0).columns
+    got_ivf = I.ivf_incremental_topk(
+        spark, roots["ivf_int8"], qv, k=3, exclude_id=0).columns
+    assert got_ivf == want_ivf == ["vec_id", "cosine", "cell"]
+    want_ann = A.ann_incremental_topk(
+        spark, roots["ann_float"], qv, k=3, exclude_id=0).columns
+    got_ann = A.ann_incremental_topk(
+        spark, roots["ann_int8"], qv, k=3, exclude_id=0).columns
+    assert got_ann == want_ann == ["vec_id", "cosine", "bucket"]

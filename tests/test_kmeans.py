@@ -270,3 +270,151 @@ def test_reseed_shortfall_fallback(spark):
                              metric="dot")
     assert rep3["reseeds"][0] == 3
     assert len(rep3["centroids"]) == 4
+
+
+def _mixed_norm_fixture(emb, n_clusters=8, mag=20.0, heavy_mod=3):
+    """Light axis clusters + a heavy (20× norm) DIAGONAL group every
+    ``heavy_mod``-th row (direction between axis g and g+1) — the
+    norm-bias regime (VERDICT r12 brief #3): under raw mean-dot the
+    heavy rows drag their cells' means toward the diagonal, starving
+    a cell and splitting light clusters across cells; unit-normed
+    training is immune."""
+    g = F.pmod(F.col("vec_id"), n_clusters)
+    heavy = (F.pmod(F.col("vec_id"), heavy_mod) == 0)
+    cl = R.clustered_embeddings(emb, n_clusters=n_clusters)
+    diag = F.transform(
+        "embedding",
+        lambda x, i: (F.when(i == g, mag)
+                      .when(i == F.pmod(g + 1, n_clusters), mag * 0.8)
+                      .otherwise(x * 0.1)).cast("float"))
+    return cl.select(
+        "vec_id",
+        F.when(heavy, diag).otherwise(F.col("embedding"))
+        .alias("embedding"))
+
+
+def test_spherical_deterministic_and_unit_normed(spark, emb):
+    """normalize=True (r12 brief #3): bit-equal centroids under
+    repartitioning, and every training input contributes ONE unit
+    direction — each cell's ‖csum‖ ≤ nv·(1e9 + dim) (a sum of nv
+    unit-norm int vectors), which the raw path's heavy rows break by
+    construction."""
+    mx = _mixed_norm_fixture(emb).localCheckpoint()
+    a = K.train_centroids(spark, mx, k=8, n_iters=6, metric="dot",
+                          normalize=True)
+    b = K.train_centroids(spark, mx.repartition(13), k=8, n_iters=6,
+                          metric="dot", normalize=True)
+    assert a["centroids"] == b["centroids"]
+    assert a["normalize"] is True
+    # monotone L2 dispersion on the normalized inputs (empirical pin,
+    # same convention as the raw dot-metric test)
+    assert all(y <= x + 1e-9 for x, y in
+               zip(a["inertia"], a["inertia"][1:]))
+    for cell, csum, nv in a["centroids"]:
+        norm = sum(int(s) * int(s) for s in csum) ** 0.5
+        assert norm <= nv * (1e9 + 64), (cell, norm, nv)
+
+
+def test_spherical_beats_raw_dot_on_mixed_norms(spark, emb,
+                                                tmp_path):
+    """The measured claim: on the mixed-norm fixture at nprobe=1,
+    spherical training recalls MORE than raw dot (raw ≈0.92 vs
+    normalized 1.0 measured) AND occupies every cell (raw starves
+    one — its mean chased the heavy diagonal)."""
+    mx = _mixed_norm_fixture(emb).localCheckpoint()
+    qs = R.sample_queries(
+        mx.filter(F.pmod(F.col("vec_id"), 3) != 0), 16)
+    rec, occ = {}, {}
+    for norm in (False, True):
+        root = str(tmp_path / f"sph_{norm}")
+        I.init_ivf_index(spark, root, mx, train_k=8,
+                         train_metric="dot", train_normalize=norm)
+        I.ivf_ingest_delta(spark, root, mx, "d1")
+        rec[norm] = R.measure_recall(spark, root, qs, k=10,
+                                     nprobe=1)["recall"]
+        occ[norm] = I.verify_ivf_index(
+            spark, root)["cell_occupancy"]["n_cells_occupied"]
+        meta = I._load_meta(spark, root)
+        assert meta.get("train_normalize", False) is norm
+    assert rec[True] >= rec[False] + 0.05, rec
+    assert rec[True] >= 0.99, rec
+    assert occ[True] == 8 and occ[False] < 8, occ
+
+
+def test_spherical_plumbs_through_migration(spark, emb, tmp_path):
+    """migrate_index(train_normalize=True) re-trains spherically and
+    the new root's meta records it."""
+    mx = _mixed_norm_fixture(emb).localCheckpoint()
+    old = str(tmp_path / "old")
+    I.init_ivf_index(spark, old, mx, train_k=8)
+    I.ivf_ingest_delta(spark, old, mx, "d1")
+    new = str(tmp_path / "new")
+    rep = M.migrate_index(spark, old, new, train_k=8,
+                          train_metric="dot", train_normalize=True)
+    assert rep["n_vectors"] == mx.count()
+    assert I._load_meta(spark, new)["train_normalize"] is True
+    assert I.verify_ivf_index(spark, new)["violations"] == []
+
+
+def test_suggest_k_feedback_units():
+    """The closed-loop sizing rule (r12 brief #5): uniform occupancy
+    degrades exactly to suggest_k's n/target; measured skew s shrinks
+    k by s so the MEDIAN cell hits target; clamps hold."""
+    uniform = {"median": 50, "mean": 50.0}
+    assert K.suggest_k_feedback(1000, uniform, 50) == \
+        K.suggest_k(1000, 50) == 20
+    skewed = {"median": 20, "mean": 80.0}   # s = 4
+    assert K.suggest_k_feedback(1000, skewed, 50) == 5
+    assert K.suggest_k_feedback(10, skewed, 50, k_min=2) == 2
+    assert K.suggest_k_feedback(10**9, {"median": 1, "mean": 1.0},
+                                1) == 65536
+    with pytest.raises(ValueError):
+        K.suggest_k_feedback(0, uniform, 50)
+    with pytest.raises(ValueError):
+        K.suggest_k_feedback(10, uniform, 0)
+
+
+def test_feedback_k_lands_scan_budget_on_skewed_root(spark, emb,
+                                                     tmp_path):
+    """The closed loop e2e (r12 brief #5): a graded-skew root
+    (cluster sizes 200/100/50/50/25×4), posting-scan budget
+    target_cell_rows=80. √N sizing (k=22) re-trains to median
+    occupancy 37.5 — MISSES the budget by >2× — while
+    migrate_index(train_k="auto", target_cell_rows=80) consumes the
+    old root's measured skew (suggest_k_feedback → k=4) and lands
+    median 125, within 2×. Measured numbers pinned loosely (the
+    trainer is deterministic, but the pin tolerates fixture-content
+    drift)."""
+    m = F.pmod(F.col("vec_id"), 20)
+    g = (F.when(m < 8, 0).when(m < 12, 1).when(m < 14, 2)
+         .when(m < 16, 3).otherwise(m - 12))
+    skewed = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x, i:
+                    (x * 0.1 + F.when(i == g, 5.0)
+                     .otherwise(F.lit(0.0))).cast("float"))
+        .alias("embedding")).localCheckpoint()
+    old = str(tmp_path / "old")
+    I.init_ivf_index(spark, old, skewed, train_k=8,
+                     train_metric="dot")
+    I.ivf_ingest_delta(spark, old, skewed, "d1")
+    occ = I.verify_ivf_index(spark, old)["cell_occupancy"]
+    target = 80
+    k_fb = K.suggest_k_feedback(500, occ, target)
+    assert k_fb < K.suggest_k(500) // 2   # √N=22 vs feedback 4
+
+    # √N-sized retrain misses the budget by more than 2×
+    sq = str(tmp_path / "sqrt")
+    M.migrate_index(spark, old, sq, train_k="auto",
+                    train_metric="dot")
+    med_sq = I.verify_ivf_index(spark, sq)["cell_occupancy"]["median"]
+    assert med_sq < target / 2, med_sq
+
+    # feedback-sized retrain lands within 2× of the budget
+    fb = str(tmp_path / "fb")
+    M.migrate_index(spark, old, fb, train_k="auto",
+                    train_metric="dot", target_cell_rows=target)
+    meta_fb = I._load_meta(spark, fb)
+    assert meta_fb["n_cells"] == k_fb
+    med_fb = I.verify_ivf_index(spark, fb)["cell_occupancy"]["median"]
+    assert target / 2 <= med_fb <= target * 2, med_fb

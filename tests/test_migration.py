@@ -597,3 +597,55 @@ def test_manifest_extra_refuses_protocol_keys(spark, emb, tmp_path):
         IVF.ivf_ingest_delta(spark, root,
                              emb.filter("vec_id < 10").drop("label"),
                              "d1", manifest_extra={"replaces": ["x"]})
+
+
+def test_resume_keeps_new_roots_storage(spark, emb, tmp_path,
+                                        monkeypatch):
+    """ADVICE r12: resuming an interrupted float→int8 migration
+    WITHOUT re-passing storage= must read the new root's own
+    ``_meta.json`` as the layout authority — not fall back to the
+    old root's float layout (the ingest's mix-layouts guard made
+    that loud but avoidable). An explicitly conflicting storage= on
+    resume raises up front."""
+    # --- LSH: crash after the first migrate batch committed int8
+    old = str(tmp_path / "ann_old")
+    new = str(tmp_path / "ann_new")
+    A.ann_ingest_delta(spark, old, emb.filter("vec_id < 100"), "d1")
+    A.ann_ingest_delta(spark, old,
+                       emb.filter("vec_id >= 100 and vec_id < 200"),
+                       "d2")
+    real = A.ann_ingest_delta
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected migration crash")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(A, "ann_ingest_delta", flaky)
+    with pytest.raises(RuntimeError, match="injected migration"):
+        M.migrate_index(spark, old, new, storage="int8")
+    monkeypatch.setattr(A, "ann_ingest_delta", real)
+
+    # conflicting explicit storage on resume: loud, before any ingest
+    with pytest.raises(ValueError, match="mix layouts"):
+        M.migrate_index(spark, old, new, storage="float")
+    # resume WITHOUT storage=: the new root's int8 meta wins
+    rep = M.migrate_index(spark, old, new)
+    assert rep["batches_skipped"] == ["migrate-d1"]
+    assert rep["batches_migrated"] == ["migrate-d2"]
+    fsck = A.verify_ann_index(spark, new)
+    assert fsck["storage"] == "int8" and fsck["violations"] == []
+
+    # --- IVF: interruption right after the int8 init froze the meta
+    iold = str(tmp_path / "ivf_old")
+    inew = str(tmp_path / "ivf_new")
+    I.init_ivf_index(spark, iold, emb)
+    I.ivf_ingest_delta(spark, iold, emb.drop("label"), "d1")
+    I.init_ivf_index(spark, inew, emb.drop("label"), train_k=8,
+                     storage="int8")
+    rep = M.migrate_index(spark, iold, inew)   # no train args needed
+    assert rep["batches_migrated"] == ["migrate-d1"]
+    ifsck = I.verify_ivf_index(spark, inew)
+    assert ifsck["storage"] == "int8" and ifsck["violations"] == []

@@ -193,3 +193,66 @@ def test_batch_recall_accepts_none_exclude_ids(spark, ivf_root,
     a = R.measure_recall(spark, ivf_root, mixed)
     b = R.measure_recall_batch(spark, ivf_root, mixed)
     assert a["recall"] == b["recall"], (a, b)
+
+
+# --- margin-ranked multi-probe LSH (r12 brief #7) -------------------
+
+def test_multiprobe_set_properties(emb):
+    """Order contract: first probe = the query's own bucket; budget
+    respected; deterministic; scores nondecreasing in the flip
+    masks' Σ margin²; the >16-plane heap path yields exactly the
+    enumeration order (cross-checked at J=17)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.similarity import (
+        query_bucket, query_margins)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
+        multiprobe_set)
+
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").select("embedding").head()[0]]
+    seq = multiprobe_set(qv, 8, 64, 9)
+    b = query_bucket(qv, 8, 64)
+    assert seq[0] == b and len(seq) == 9 == len(set(seq))
+    assert all(0 <= x < 256 for x in seq)
+    assert seq == multiprobe_set(qv, 8, 64, 9)
+    m2 = [m * m for m in query_margins(qv, 8, 64)]
+    scores = [sum(m2[j] for j in range(8) if (x ^ b) >> j & 1)
+              for x in seq]
+    assert scores == sorted(scores)
+    # full budget = every bucket exactly once
+    assert sorted(multiprobe_set(qv, 8, 64, 256)) == list(range(256))
+
+    # heap path (J=17) ≡ brute enumeration
+    seq17 = multiprobe_set(qv, 17, 64, 40)
+    m2 = [m * m for m in query_margins(qv, 17, 64)]
+    b17 = query_bucket(qv, 17, 64)
+    brute = sorted(range(1 << 17),
+                   key=lambda mask: (sum(m2[j] for j in range(17)
+                                         if mask >> j & 1), mask))
+    assert seq17 == [b17 ^ mask for mask in brute[:40]]
+
+
+def test_multiprobe_dominates_hamming_ball(spark, lsh_root, queries):
+    """The measured claim (r12 brief #7): at EQUAL buckets probed,
+    the margin-ranked sequence recalls at least as much as the
+    Hamming ball on the uniform fixture — and strictly more at the
+    h=1 budget (measured at sf0.001: 0.1125 ball vs 0.1438
+    multiprobe at 9 buckets; 0.3438 vs 0.3938 at 37)."""
+    for h, nb in ((0, 1), (1, 9), (2, 37)):
+        ball = R.measure_recall(spark, lsh_root, queries,
+                                hamming=h)["recall"]
+        mp = R.measure_recall(spark, lsh_root, queries,
+                              probe_buckets=nb)["recall"]
+        assert mp >= ball, (h, nb, ball, mp)
+    ball1 = R.measure_recall(spark, lsh_root, queries,
+                             hamming=1)["recall"]
+    mp9 = R.measure_recall(spark, lsh_root, queries,
+                           probe_buckets=9)["recall"]
+    assert mp9 > ball1, (ball1, mp9)
+
+
+def test_multiprobe_full_budget_is_exact(spark, lsh_root, queries):
+    """probe_buckets = 2^J reproduces brute force exactly — the
+    same pruning-only loss law as the full Hamming ball."""
+    rep = R.measure_recall(spark, lsh_root, queries,
+                           probe_buckets=256)
+    assert rep["recall"] == 1.0

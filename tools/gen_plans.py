@@ -379,6 +379,53 @@ def main() -> None:
         lines.append("")
         print("# int8 probe done", file=sys.stderr)
 
+    # early-exit probe (r13 brief #1): direction-box pruning — at
+    # nprobe=4 on the clustered fixture every non-seed cell's best-
+    # possible code cosine is provably below the seed cell's kth
+    # candidate, so the survivors scan disappears ENTIRELY: the
+    # returned plan holds no parquet scan at all (the seed is the
+    # already-materialized localCheckpoint), vs the plain probe's
+    # 4-cell IN-list.
+    with tempfile.TemporaryDirectory() as td:
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+            ivf_index as IV8)
+        from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+            recall as RC)
+
+        clu = RC.clustered_embeddings(emb).localCheckpoint()
+        IV8.init_ivf_index(spark, f"{td}/ee", clu, train_k=8,
+                           train_metric="dot", storage="int8")
+        IV8.ivf_ingest_delta(spark, f"{td}/ee", clu, "d1")
+        qv_c = [float(x) for x in
+                clu.filter("vec_id = 0").select("embedding")
+                .head()[0]]
+        plain = IV8.ivf_incremental_topk(spark, f"{td}/ee", qv_c,
+                                         nprobe=4, exclude_id=0)
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        ee = IV8.ivf_incremental_topk(spark, f"{td}/ee", qv_c,
+                                      nprobe=4, exclude_id=0,
+                                      early_exit=True)
+        eplan = ee._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ivf_incremental_topk early_exit=True "
+                     "(direction-box pruning, clustered int8 root, "
+                     "nprobe=4)")
+        mm = _re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]",
+                        pplan)
+        assert mm, pplan
+        lines.append(f"- plain probe: `{mm.group(0)}` — 4 posting "
+                     "lists scanned")
+        assert "ReadSchema" not in eplan, eplan
+        lines.append("- early-exit probe: NO parquet scan in the "
+                     "plan at all — all 3 non-seed cells pruned by "
+                     "the box bound (their best-possible cosine < "
+                     "the seed cell's kth), the result is the "
+                     "already-materialized seed top-k; parity is "
+                     "row-for-row test-pinned "
+                     "(tests/test_early_exit.py)")
+        lines.extend(audit(eplan))
+        lines.append("")
+        print("# early-exit probe done", file=sys.stderr)
+
     # k-means trainer (r11): one Lloyd iteration's update aggregate —
     # the argmin must collapse MAP-SIDE (partial max_by before the
     # vec_id exchange: N rows shuffled, never N·k), the centroid

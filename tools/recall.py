@@ -64,6 +64,16 @@ def _sweep(spark, emb, queries, label: str,
             out["lsh"][f"hamming={h}"] = rep["recall"]
             print(f"# {label} lsh hamming={h}: recall@10 = "
                   f"{rep['recall']}", file=sys.stderr)
+        # margin-ranked multi-probe (r12 brief #7) at the SAME scan
+        # budgets as the Hamming balls above (9 buckets ≙ hamming=1,
+        # 37 ≙ hamming=2) — the curve that must dominate the ball's
+        # at equal buckets probed
+        for nb in (9, 37):
+            rep = R.measure_recall(spark, lsh_root, queries,
+                                   probe_buckets=nb)
+            out["lsh"][f"multiprobe={nb}"] = rep["recall"]
+            print(f"# {label} lsh multiprobe={nb}: recall@10 = "
+                  f"{rep['recall']}", file=sys.stderr)
 
         init_ivf_index(spark, ivf_root, emb, storage=storage,
                        **ivf_init_kwargs)
