@@ -127,6 +127,34 @@ def main() -> None:
         spark, cl, cl_queries, "clustered_int8",
         {"train_k": N_CLUSTERS}, storage="int8")
 
+    # multi-probe dominance curve (r12 brief #7), measured at 64
+    # queries — the 20-query rows above keep round-over-round
+    # continuity, but ±0.03 sampling noise at 20 queries can flip
+    # the close ball-vs-multiprobe comparison (it did at budget 37);
+    # this section is the apples-to-apples curve at lower variance:
+    # ball and multiprobe on the SAME root, SAME 64 queries, equal
+    # bucket budgets (occupancy-checked ~equal scan rows), plus the
+    # intermediate budgets the Hamming ball cannot express at all.
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
+        ann_ingest_delta)
+    mp_root = tempfile.mkdtemp(prefix="recall_mp_")
+    try:
+        ann_ingest_delta(spark, mp_root, emb, "all")
+        mp_queries = R.sample_queries(emb, 64)
+        curve: dict = {"n_queries": 64, "ball": {}, "multiprobe": {}}
+        for h, nb in ((1, 9), (2, 37)):
+            curve["ball"][str(nb)] = R.measure_recall(
+                spark, mp_root, mp_queries, hamming=h)["recall"]
+        for nb in (9, 16, 24, 37):
+            curve["multiprobe"][str(nb)] = R.measure_recall(
+                spark, mp_root, mp_queries,
+                probe_buckets=nb)["recall"]
+            print(f"# multiprobe curve nb={nb}: "
+                  f"{curve['multiprobe'][str(nb)]}", file=sys.stderr)
+        out["multiprobe_uniform_64q"] = curve
+    finally:
+        shutil.rmtree(mp_root, ignore_errors=True)
+
     line = json.dumps(out)
     print(line)
     if out_path:
