@@ -452,8 +452,10 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     direction-box upper bound (plans/cellstats) cannot beat the
     k-th candidate already found in the query's OWN bucket — rows
     identical by the bound's soundness (test-pinned), the win is
-    the skipped posting lists; same trade-offs as
-    ``ivf_incremental_topk``'s knob.
+    the skipped posting lists' SCAN WORK (cost model measured on
+    the IVF twin — ``ivf_incremental_topk``'s docstring: ~2.6× wall
+    under constrained task slots, ~flat wall but ~4× fewer
+    task-seconds on an idle local session).
 
     ``probe_buckets=N`` (r12 brief #7) replaces the Hamming-ball
     fan-out with the MARGIN-RANKED multi-probe sequence

@@ -486,11 +486,18 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
     beat the k-th candidate already found in the query's nearest
     cell — result rows are IDENTICAL by the bound's soundness
     (test-pinned at every fan-out); the win is the skipped posting
-    lists' scan. Costs one extra small job (the seed cell's top-m),
-    so it pays at fan-out ≥ ~4 on clustered (real) distributions
+    lists' SCAN WORK. Cost model (measured, 1.6M-vector clustered
+    int8 root, nprobe=4, 3 of 4 cells pruned): probe CPU drops to
+    ~the seed list's share, so under CONSTRAINED task slots — a
+    busy cluster, i.e. production — wall clock follows (local[4]:
+    4.5–6.1 s plain vs 1.7–2.0 s early-exit, ~2.6×); on an IDLE
+    local[32] session the pruned tasks would have run in spare
+    cores, so wall clock reads ~flat there (the sf0.1 bench legs)
+    while task-seconds still drop ~4×. Adds one driver round-trip
+    (the seed top-m collect — the TakeOrderedAndProject fast path)
     and is a no-op on roots without committed stats. OFF by default
     because on a uniform distribution the boxes are loose and the
-    seed job buys nothing."""
+    seed pass buys nothing."""
     import math
 
     from .migration import resolve_probe_location
