@@ -283,10 +283,15 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     if lease is not None:   # fence: no zombie commit after takeover
         lease.fence()
     # direction-box widening BEFORE the manifest commit, AFTER the
-    # fence — crash leaves a sound superset box (plans/cellstats)
+    # fence — crash leaves a sound superset box (plans/cellstats).
+    # Bounds from the just-WRITTEN partition, not the `tagged`
+    # lineage (which would re-run the bucketing/quantization maps —
+    # see the IVF twin's note)
     if n_admitted:
         from .cellstats import widen_stats
-        widen_stats(spark, root, tagged, "bucket", storage, dim)
+        written = spark.read.parquet(
+            f"{root}/{ANN_TABLE}/batch_id={batch_id}")
+        widen_stats(spark, root, written, "bucket", storage, dim)
     write_text_atomic(spark, _manifest_path(root, batch_id),
                       json.dumps(manifest, sort_keys=True))
     _write_snapshot(spark, root, {**ms, batch_id: manifest})
