@@ -220,13 +220,24 @@ def _hot_suppressed(spark, root: str, kind: str, hot,
 
     if hot is None:
         return False
+    import re
+
     ms = _load_manifests(spark, root)
     live = sorted(b for b in ms if b not in _superseded(ms))
-    sized = [ms[b]["rows_per_file"] for b in live
-             if ms[b].get("rows_per_file")]
+    # the NEWEST recorded target by the compaction's own monotonic
+    # sequence number (ids are minted by corpus._next_seq_id as
+    # zero-padded compact-NNNNNN, so numeric order is explicit here
+    # rather than trusted to lexicographic sort — the 'f10' < 'f9'
+    # recency trap, ADVICE r13); a size-aware manifest whose id
+    # doesn't parse (impossible today — only _next_seq_id mints
+    # rows_per_file-bearing compactions) orders before all parsed
+    sized = sorted(
+        ((int(m.group(1)) if (m := re.match(r"^compact-(\d{6})$", b))
+          else -1), ms[b]["rows_per_file"])
+        for b in live if ms[b].get("rows_per_file"))
     if not sized:
         return False
-    target = sized[-1]
+    target = sized[-1][1]
     table, key = (("buckets", "bucket")
                   if kind == "ann_lsh_incremental"
                   else ("postings", "cell"))

@@ -300,7 +300,7 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
 
 def _chunked_batch_topk(queries: DataFrame, id_col: str,
                         max_queries: int, run,
-                        concurrency: int = 4) -> DataFrame:
+                        concurrency: int = 1) -> DataFrame:
     """Degrade a too-big batch probe into a DETERMINISTIC set of
     broadcast-sized jobs (VERDICT r11 brief #6): the distinct query
     ids are collected once (one bigint column — 8 bytes/query, fine
@@ -412,21 +412,29 @@ def multiprobe_set(query_vec: list, num_planes: int, dim: int,
             out |= 1 << order[i]
         return out
 
-    heap = [(sm2[0], (0,))]
+    # heap entries carry (score, mask, idxs): equal-score flip sets
+    # (duplicate |margins| on symmetric data) pop in raw-flip-mask
+    # order — the SAME tie-break as the <=16 enumeration's
+    # (score, mask) sort, so the two paths yield the identical
+    # sequence, not merely the same nondecreasing-score multiset
+    # (ADVICE r13)
+    heap = [(sm2[0], mask_of((0,)), (0,))]
     got = [b]
     seen = set()
     while heap and len(got) < n_buckets:
-        score, idxs = heapq.heappop(heap)
+        score, mask, idxs = heapq.heappop(heap)
         if idxs in seen:
             continue
         seen.add(idxs)
-        got.append(b ^ mask_of(idxs))
+        got.append(b ^ mask)
         last = idxs[-1]
         if last + 1 < num_planes:
+            nx = idxs[:-1] + (last + 1,)
             heapq.heappush(heap, (score - sm2[last] + sm2[last + 1],
-                                  idxs[:-1] + (last + 1,)))
+                                  mask_of(nx), nx))
+            ext = idxs + (last + 1,)
             heapq.heappush(heap, (score + sm2[last + 1],
-                                  idxs + (last + 1,)))
+                                  mask_of(ext), ext))
     return got
 
 
@@ -652,7 +660,7 @@ def ann_batch_topk(spark: SparkSession, root: str,
                    rerank_vectors: DataFrame | None = None,
                    rerank_cut: int = 4,
                    early_exit: bool = False,
-                   chunk_concurrency: int = 4) -> DataFrame:
+                   chunk_concurrency: int = 1) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the LSH side of
     ``ivf_index.ivf_batch_topk`` (r11): per query the rows equal
     ``ann_incremental_topk``'s (same signatures via the shared
@@ -672,6 +680,13 @@ def ann_batch_topk(spark: SparkSession, root: str,
     ``max_queries_per_job`` to degrade a too-big batch into a
     deterministic loop of broadcast-sized jobs (r11 brief #6 —
     :func:`_chunked_batch_topk`; chunked ≡ unchunked row-for-row).
+    ``chunk_concurrency=N`` (r12 brief #2) submits up to N chunks
+    concurrently from a bounded driver pool — measured 2.6× wall at
+    sf1/128 queries — but N chunks' broadcasts and checkpointed
+    results COEXIST, multiplying by N the peak driver/executor
+    memory the chunking cap exists to bound; default 1 (strict
+    serial) so setting the cap for memory reasons is never silently
+    undone (ADVICE r13).
 
     ``early_exit=True`` (r12 brief #1): per-QUERY posting-list
     pruning from the direction-box stats — each query's non-own
@@ -772,8 +787,12 @@ def _ann_batch_early(spark, stats, probe_all, dec_q, k,
             .withColumn("rn", F.row_number().over(wk))
             .filter(F.col("rn") <= m).drop("rn")
             .localCheckpoint())
+    # count("cosine"), not count("*") (ADVICE r13): NULL-cosine seed
+    # rows would inflate the >= m gate while min() skips them — an
+    # overestimated L that wrongly prunes (see the IVF twin's note)
     lq = (seed.groupBy("qid")
-          .agg(F.count("*").alias("_n"), F.min("cosine").alias("_L"))
+          .agg(F.count("cosine").alias("_n"),
+               F.min("cosine").alias("_L"))
           .filter(F.col("_n") >= m).select("qid", "_L"))
 
     rest = probe_all.filter(F.col("m") != 0).drop("m")

@@ -701,7 +701,7 @@ def ivf_batch_topk(spark: SparkSession, root: str,
                    rerank_vectors: DataFrame | None = None,
                    rerank_cut: int = 4,
                    early_exit: bool = False,
-                   chunk_concurrency: int = 4) -> DataFrame:
+                   chunk_concurrency: int = 1) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the eval/serving
     shape :func:`recall.measure_recall`'s docstring defers to: a
     driver loop issues one small job per query (right for tens),
@@ -734,7 +734,12 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     degrades to a deterministic loop of broadcast-sized jobs over
     qid ranges (each chunk's small result is materialized, then
     unioned) — per-qid results are independent, so chunked ≡
-    unchunked row-for-row (test-pinned).
+    unchunked row-for-row (test-pinned). ``chunk_concurrency=N``
+    (r12 brief #2) overlaps up to N chunks from a bounded driver
+    pool (measured 2.6× wall at sf1/128 queries) at the cost of N
+    coexisting broadcasts/checkpoints — N× the peak memory the cap
+    exists to bound, so the default is 1: strict serial, opt-in
+    parallelism (ADVICE r13).
 
     ``early_exit=True`` (r12 brief #1): per-QUERY posting-list
     pruning from the direction-box stats — see
@@ -851,8 +856,16 @@ def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
             .withColumn("rn", F.row_number().over(wk))
             .filter(F.col("rn") <= m).drop("rn")
             .localCheckpoint())
+    # count("cosine"), not count("*") (ADVICE r13): NULL-cosine rows
+    # (zero vectors/codes — legal) sort NULLS LAST under desc but
+    # still occupy seed slots when non-null rows run short; counting
+    # them would pass the >= m gate while min() skipped them — an
+    # OVERESTIMATED L that wrongly prunes cells holding true top-k
+    # rows. The single-query path (cellstats.early_exit_scored)
+    # filters None before its >= m check; this is the batch twin.
     lq = (seed.groupBy("qid")
-          .agg(F.count("*").alias("_n"), F.min("cosine").alias("_L"))
+          .agg(F.count("cosine").alias("_n"),
+               F.min("cosine").alias("_L"))
           .filter(F.col("_n") >= m).select("qid", "_L"))
 
     rest = probe_all.filter(F.col("rn") > 1).drop("rn")
