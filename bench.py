@@ -144,37 +144,48 @@ def main() -> None:
     # host-load spike per leg.
     WARM_RUNS = 3
 
-    # HOST-CALIBRATION leg (r12 brief #6): a fixed, DATA-INDEPENDENT
-    # CPU-bound aggregation — identical work every round, every
-    # scale factor — so a uniformly slower host (r12: driver 1.29 vs
-    # builder 1.12) is separated from plan drift MECHANICALLY: the
-    # per-leg ratios below divide by this leg's round-over-round
-    # ratio before the outlier rule runs. Not counted in the totals
+    # HOST-CALIBRATION leg (r12 brief #6; resized r14 per VERDICT
+    # r13 #4 + ADVICE): a fixed, DATA-INDEPENDENT CPU-bound
+    # aggregation — identical work every round, every scale factor —
+    # so a uniformly slower host (r12: driver 1.29 vs builder 1.12)
+    # is separated from plan drift MECHANICALLY. The r13 leg's
+    # 0.354 s warm was too small a denominator (its own noise
+    # injected a ±15% phantom "regression"), so v2 runs 256M rows
+    # (≥2 s warm), takes the median of FIVE warm runs, RECORDS the
+    # spread, and the normalization below refuses the adjustment —
+    # and says so — when the calibration CV exceeds 5% or the prior
+    # round ran a different leg version. Not counted in the totals
     # (it is a ruler, not a workload).
+    CALIB_VERSION = 2
     from pyspark.sql import functions as _F
 
     def _calibration_leg():
-        (spark.range(0, 48_000_000, 1, 32)
+        (spark.range(0, 256_000_000, 1, 32)
          .select((_F.col("id") % 9973).alias("k"),
                  ((_F.col("id") * 2654435761) % 1000003).alias("v"))
          .groupBy("k")
          .agg(_F.sum("v").alias("s"), _F.count("*").alias("n"))
          .write.format("noop").mode("overwrite").save())
 
-    def _run(fn) -> "tuple[float, float, list[float]]":
+    def _run(fn, warm_runs: int = WARM_RUNS
+             ) -> "tuple[float, float, list[float]]":
         t0 = time.perf_counter()
         fn()
         cold = time.perf_counter() - t0
         warms = []
-        for _ in range(WARM_RUNS):
+        for _ in range(warm_runs):
             t0 = time.perf_counter()
             fn()
             warms.append(time.perf_counter() - t0)
         return cold, statistics.median(warms), warms
 
-    calib_cold, calib_warm, _ = _run(_calibration_leg)
-    print(f"# calibration: {calib_cold:.3f}s (warm median "
-          f"{calib_warm:.3f}s)", file=sys.stderr)
+    calib_cold, calib_warm, calib_all = _run(_calibration_leg,
+                                             warm_runs=5)
+    calib_cv = round(statistics.pstdev(calib_all)
+                     / (sum(calib_all) / len(calib_all)), 4)
+    print(f"# calibration(v{CALIB_VERSION}): {calib_cold:.3f}s "
+          f"(warm median {calib_warm:.3f}s, cv {calib_cv})",
+          file=sys.stderr)
 
     per_query: dict[str, float] = {}
     per_query_warm: dict[str, float] = {}
@@ -428,6 +439,10 @@ def main() -> None:
         qvec_c = [float(x) for x in
                   clu.filter("vec_id = 0").select("embedding")
                   .head()[0]]
+        # early_exit=True is BOX mode since r14 (zero-job bound —
+        # must read ≤ the plain leg on this idle session); the
+        # *_seed legs keep the r13 two-phase shape measurable (its
+        # win is task-seconds / constrained slots, not idle wall)
         for fam, probe in (
                 ("ivf8_np4_topk",
                  lambda: ivf_incremental_topk(
@@ -436,6 +451,10 @@ def main() -> None:
                  lambda: ivf_incremental_topk(
                      spark, ee_root, qvec_c, nprobe=4, exclude_id=0,
                      early_exit=True)),
+                ("ivf8_np4_seed_topk",
+                 lambda: ivf_incremental_topk(
+                     spark, ee_root, qvec_c, nprobe=4, exclude_id=0,
+                     early_exit="seed")),
                 ("ann8_h2_topk",
                  lambda: ann_incremental_topk(
                      spark, ann_ee_root, qvec_c, hamming=2,
@@ -443,7 +462,11 @@ def main() -> None:
                 ("ann8_h2_ee_topk",
                  lambda: ann_incremental_topk(
                      spark, ann_ee_root, qvec_c, hamming=2,
-                     exclude_id=0, early_exit=True))):
+                     exclude_id=0, early_exit=True)),
+                ("ann8_h2_seed_topk",
+                 lambda: ann_incremental_topk(
+                     spark, ann_ee_root, qvec_c, hamming=2,
+                     exclude_id=0, early_exit="seed"))):
             cold, warm, _ = _run(
                 lambda: probe()
                 .write.format("noop").mode("overwrite").save())
@@ -480,6 +503,44 @@ def main() -> None:
         shutil.rmtree(ee_root, ignore_errors=True)
         shutil.rmtree(ann_ee_root, ignore_errors=True)
 
+    # Multi-table LSH legs (r13 VERDICT #3): a 4-table uniform root,
+    # compacted, probed single + batch — the recall-lifting config's
+    # wall cost next to the single-table ann_topk/ann_batch32 legs
+    # above (recall itself is RECALL_r{N}.json's story). Setup
+    # untimed.
+    mt_root = tempfile.mkdtemp(prefix="bench_mt_")
+    try:
+        embt = load_table(spark, SF_DIR, "embeddings")
+        ann_ingest_delta(spark, mt_root, embt, "all", num_tables=4)
+        compact_ann_batches(spark, mt_root)
+        qvec = [float(x) for x in
+                embt.filter("vec_id = 0").select("embedding")
+                .head()[0]]
+        cold, warm, _ = _run(
+            lambda: ann_incremental_topk(spark, mt_root, qvec,
+                                         exclude_id=0)
+            .write.format("noop").mode("overwrite").save())
+        per_query["ann_mt4_topk"] = round(cold, 3)
+        per_query_warm["ann_mt4_topk"] = round(warm, 3)
+        total += cold
+        total_warm += warm
+        print(f"# ann_mt4_topk: {cold:.3f}s (warm median "
+              f"{warm:.3f}s)", file=sys.stderr)
+        queries32 = (embt.filter("vec_id < 32")
+                     .select(F.col("vec_id").alias("qid"),
+                             "embedding"))
+        cold, warm, _ = _run(
+            lambda: ann_batch_topk(spark, mt_root, queries32)
+            .write.format("noop").mode("overwrite").save())
+        per_query["ann_mt4_batch32_topk"] = round(cold, 3)
+        per_query_warm["ann_mt4_batch32_topk"] = round(warm, 3)
+        total += cold
+        total_warm += warm
+        print(f"# ann_mt4_batch32_topk: {cold:.3f}s (warm median "
+              f"{warm:.3f}s)", file=sys.stderr)
+    finally:
+        shutil.rmtree(mt_root, ignore_errors=True)
+
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -490,9 +551,14 @@ def main() -> None:
         "queries_warm": per_query_warm,
         "queries_warm_median": per_query_warm,
         "value_warm": round(total_warm, 3),
-        # the fixed CPU ruler (r12 brief #6) — NOT in the totals
+        # the fixed CPU ruler (r12 brief #6; v2 sizing r14) — NOT in
+        # the totals. `cv` is the warm spread; the normalization
+        # refuses host adjustment when it exceeds 5%.
         "calibration": {"cold": round(calib_cold, 3),
-                        "warm": round(calib_warm, 3)},
+                        "warm": round(calib_warm, 3),
+                        "warm_runs": [round(t, 3) for t in calib_all],
+                        "cv": calib_cv,
+                        "version": CALIB_VERSION},
         "sf": sf,
     }
 
@@ -509,33 +575,53 @@ def main() -> None:
                   for n in per_query_warm
                   if n in pw and pw[n] and per_query_warm[n]}
         # host factor from the CALIBRATION ruler when the prior run
-        # recorded one (r12 brief #6) — byte-identical CPU work, so
-        # its ratio IS the host-speed change; per-leg ratios divide
-        # it out and the outlier rule keys off the ADJUSTED numbers.
-        # Falls back to 1.0 against pre-r13 summaries.
-        prev_cal = (prev.get("calibration") or {}).get("warm")
-        host = round(calib_warm / prev_cal, 3) if prev_cal else 1.0
+        # recorded a COMPARABLE one (r12 brief #6, hardened r14):
+        # byte-identical CPU work, so its ratio IS the host-speed
+        # change. The adjustment is REFUSED — and the reason
+        # recorded — when the prior leg is a different version
+        # (resized r14), absent (pre-r13), or this run's calibration
+        # spread exceeds 5% (a noisy ruler injects, not removes,
+        # phantom regressions — the r13 artifact). The OUTLIER rule
+        # always keys off RAW ratios vs the raw median: dividing
+        # every ratio and the median by the same host factor cannot
+        # change which legs flag (ADVICE r13) — host adjustment is
+        # reporting-only.
+        prev_cal = prev.get("calibration") or {}
+        host, host_note = 1.0, None
+        if prev_cal.get("version") != CALIB_VERSION:
+            host_note = (f"prev calibration version "
+                         f"{prev_cal.get('version')} != "
+                         f"{CALIB_VERSION} — raw ratios only")
+        elif calib_cv > 0.05:
+            host_note = (f"calibration cv {calib_cv} > 0.05 — "
+                         f"ruler too noisy, raw ratios only")
+        elif prev_cal.get("warm"):
+            host = round(calib_warm / prev_cal["warm"], 3)
         if ratios:
             med = statistics.median(ratios.values())
-            adjusted = {n: round(r / host, 3)
-                        for n, r in ratios.items()}
-            med_adj = statistics.median(adjusted.values())
             summary["normalized_vs_prev"] = {
                 "prev_source": prev_src,
                 "n_shared_legs": len(ratios),
                 "median_ratio": round(med, 3),
                 "host_factor": host,
-                "median_ratio_host_adjusted": round(med_adj, 3),
+                "median_ratio_host_adjusted": round(med / host, 3),
                 "value_warm_normalized": round(total_warm / med, 3),
                 "value_warm_host_adjusted": round(total_warm / host,
                                                   3),
+                # raw-ratio outliers vs the raw median (ADVICE r13:
+                # the adjusted copy was mathematically the same rule)
                 "outlier_legs": {
-                    n: r for n, r in sorted(adjusted.items())
-                    if r > med_adj * 1.5 or r < med_adj / 1.5},
+                    n: r for n, r in sorted(ratios.items())
+                    if r > med * 1.5 or r < med / 1.5},
             }
+            if host_note:
+                summary["normalized_vs_prev"]["host_factor_note"] = \
+                    host_note
             print(f"# normalized vs {prev_src}: median ratio {med:.3f} "
-                  f"(host factor {host:.3f}, adjusted {med_adj:.3f}) "
-                  f"over {len(ratios)} legs -> value_warm_normalized "
+                  f"(host factor {host:.3f}"
+                  + (f"; {host_note}" if host_note else "")
+                  + f") over {len(ratios)} legs -> "
+                  f"value_warm_normalized "
                   f"{summary['normalized_vs_prev']['value_warm_normalized']}",
                   file=sys.stderr)
 

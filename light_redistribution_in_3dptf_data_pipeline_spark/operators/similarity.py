@@ -39,15 +39,23 @@ EMB_DIM = 64  # fixture embedding dimensionality
 
 
 def _plane_signs(num_planes: int = NUM_PLANES,
-                 dim: int = EMB_DIM) -> list[list[int]]:
+                 dim: int = EMB_DIM,
+                 table: int = 0) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix from md5("plane{j}:dim{i}")
     — computed driver-side at plan-build time and embedded as
     literals, so the identical matrix appears in the Spark plan and
     in the DuckDB oracle text. Bit 3 of the 60-bit hex prefix is the
-    sign selector (any fixed bit of md5 is an unbiased coin)."""
+    sign selector (any fixed bit of md5 is an unbiased coin).
+
+    ``table`` (multi-table LSH — plans/ann_index ``num_tables``):
+    table 0 is the historical matrix VERBATIM (every single-table
+    root, oracle, and digest is unchanged); table t ≥ 1 prefixes the
+    hash input with ``t{t}:`` — an independent deterministic
+    hyperplane set per table."""
     import hashlib
 
-    return [[1 if (int(hashlib.md5(f"plane{j}:dim{i}".encode())
+    pre = f"t{table}:" if table else ""
+    return [[1 if (int(hashlib.md5(f"{pre}plane{j}:dim{i}".encode())
                        .hexdigest()[:15], 16) >> 3) & 1 else -1
              for i in range(dim)]
             for j in range(num_planes)]
@@ -64,7 +72,7 @@ def _fixed_point(vec: Column) -> Column:
 def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 num_planes: int = NUM_PLANES,
-                dim: int = EMB_DIM) -> DataFrame:
+                dim: int = EMB_DIM, table: int = 0) -> DataFrame:
     """(id, bucket) — J-bit random-hyperplane signature per vector,
     computed entirely inside the row: for each plane j, the signed
     fold  sum_i sign[j][i]·ci_i  (literal ±1 arrays zip_with'd
@@ -81,11 +89,18 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
     ).otherwise(F.raise_error(F.concat(
         F.lit(f"lsh_buckets: expected {dim}-dim embedding, got "),
         F.size(F.col(vec_col)).cast("string"))))
-    signs = _plane_signs(num_planes, dim)
+    signs = _plane_signs(num_planes, dim, table)
+    return emb.select(id_col, _bucket_expr(ci, signs).alias("bucket"))
 
+
+def _bucket_expr(ci: Column, signs: list[list[int]]) -> Column:
+    """The J-bit signature fold over already-decoded nano components
+    — shared by :func:`lsh_buckets` and the multi-table bucketing
+    (plans/ann_index), so every table's executor-side signature is
+    the same arithmetic the driver-side ``query_bucket`` signs."""
     bucket = None
-    for j in range(num_planes):
-        sarr = F.array(*[F.lit(s).cast("bigint") for s in signs[j]])
+    for j, row in enumerate(signs):
+        sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
         dot_j = F.aggregate(
             F.zip_with(ci, sarr, lambda x, s: x * s),
             F.lit(0).cast("bigint"),
@@ -94,7 +109,7 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
                .otherwise(F.lit(0).cast("bigint"))
         term = F.shiftleft(bit, j)
         bucket = term if bucket is None else bucket + term
-    return emb.select(id_col, bucket.alias("bucket"))
+    return bucket
 
 
 def bucket_histogram(emb: DataFrame, id_col: str = "vec_id",
@@ -383,14 +398,22 @@ INDEX_META_FILE = "_meta.json"
 INDEX_META_VERSION = 1
 
 
-def _planes_digest(num_planes: int, dim: int) -> str:
+def _planes_digest(num_planes: int, dim: int,
+                   num_tables: int = 1) -> str:
     """Digest of the hyperplane sign matrix — the index's bucketing
     identity. Two indexes agree on bucket assignments iff their
-    digests match, so this is what query-time validation compares."""
+    digests match, so this is what query-time validation compares.
+    Multi-table roots (``num_tables`` > 1) digest the concatenation
+    of every table's matrix; a single-table digest is byte-identical
+    to the historical one."""
     import hashlib
 
-    return hashlib.md5(
-        repr(_plane_signs(num_planes, dim)).encode()).hexdigest()
+    if num_tables <= 1:
+        return hashlib.md5(
+            repr(_plane_signs(num_planes, dim)).encode()).hexdigest()
+    return hashlib.md5(repr(
+        [_plane_signs(num_planes, dim, t)
+         for t in range(num_tables)]).encode()).hexdigest()
 
 
 def _write_index_meta(spark, path: str, meta: dict) -> None:
@@ -452,7 +475,7 @@ def write_ann_index(emb: DataFrame, path: str, id_col: str = "vec_id",
 
 
 def query_bucket(vec: list, num_planes: int = NUM_PLANES,
-                 dim: int = EMB_DIM) -> int:
+                 dim: int = EMB_DIM, table: int = 0) -> int:
     """Driver-side bucket id of a query vector — bit-identical to
     ``lsh_buckets`` (same md5 hyperplanes, same ``floor(x·1e9+0.5)``
     fixed point, exact integer dots; Python floats are the same IEEE
@@ -461,7 +484,7 @@ def query_bucket(vec: list, num_planes: int = NUM_PLANES,
 
     if len(vec) != dim:
         raise ValueError(f"expected {dim}-dim query vector, got {len(vec)}")
-    signs = _plane_signs(num_planes, dim)
+    signs = _plane_signs(num_planes, dim, table)
     ci = [math.floor(float(x) * 1000000000.0 + 0.5) for x in vec]
     bucket = 0
     for j in range(num_planes):
@@ -471,7 +494,7 @@ def query_bucket(vec: list, num_planes: int = NUM_PLANES,
 
 
 def query_margins(vec: list, num_planes: int = NUM_PLANES,
-                  dim: int = EMB_DIM) -> list[int]:
+                  dim: int = EMB_DIM, table: int = 0) -> list[int]:
     """Per-plane SIGNED integer margins of a query vector against the
     md5 hyperplanes — the exact int dots whose signs ``query_bucket``
     packs into the bucket id (bit-identical arithmetic: same fixed
@@ -482,7 +505,7 @@ def query_margins(vec: list, num_planes: int = NUM_PLANES,
 
     if len(vec) != dim:
         raise ValueError(f"expected {dim}-dim query vector, got {len(vec)}")
-    signs = _plane_signs(num_planes, dim)
+    signs = _plane_signs(num_planes, dim, table)
     ci = [math.floor(float(x) * 1000000000.0 + 0.5) for x in vec]
     return [sum(s * c for s, c in zip(signs[j], ci))
             for j in range(num_planes)]

@@ -104,12 +104,23 @@ def _load_meta(spark: SparkSession, root: str) -> dict:
     return json.loads(read_text(spark, _meta_path(root)))
 
 
+def _num_tables(meta: dict) -> int:
+    """L, the hyperplane-table count (multi-table LSH, r13 VERDICT
+    #3). Absent from every pre-r14 meta → 1: single-table roots are
+    byte-identical to before."""
+    return int(meta.get("num_tables", 1))
+
+
 def _check_meta(meta: dict, num_planes: int, dim: int,
-                root: str, what: str) -> None:
+                root: str, what: str,
+                num_tables: int | None = None) -> None:
+    nt = _num_tables(meta)
     mismatches = {k: (meta.get(k), v) for k, v in (
         ("num_planes", num_planes), ("dim", dim),
-        ("planes_digest", _planes_digest(num_planes, dim)))
+        ("planes_digest", _planes_digest(num_planes, dim, nt)))
         if meta.get(k) != v}
+    if num_tables is not None and num_tables != nt:
+        mismatches["num_tables"] = (nt, num_tables)
     if mismatches:
         raise ValueError(
             f"incremental ANN index at {root} was built with different "
@@ -142,9 +153,15 @@ def ann_vectors(spark: SparkSession, root: str) -> DataFrame:
     """(vec_id, embedding) whatever the storage — int8 roots
     dequantize (plans/codes.dequant_embedding, lossy by exactly the
     sim5 reconstruction error); what recall grading and a
-    cross-storage migration read."""
+    cross-storage migration read. Multi-table roots return ONE copy
+    per vector (the table-0 partition — ``bucket < 2^J`` is a
+    static partition filter, not a dedup shuffle; every copy stores
+    the same payload bytes)."""
     meta = _load_meta(spark, root)
     scan = read_ann_index(spark, root)
+    if _num_tables(meta) > 1:
+        scan = scan.filter(
+            F.col("bucket") < (1 << meta["num_planes"]))
     if meta.get("storage", "float") == "int8":
         from .codes import dequant_embedding
         return scan.select(
@@ -162,7 +179,8 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                      corpus_batch: "str | list[str] | None" = None,
                      _crash_after: str | None = None,
                      manifest_extra: dict | None = None,
-                     storage: str | None = None) -> dict:
+                     storage: str | None = None,
+                     num_tables: int | None = None) -> dict:
     """Append a vector delta under the manifest-last commit protocol.
     Returns the committed manifest (the ingest ledger row).
     ``manifest_extra`` merges caller metadata into the manifest
@@ -171,6 +189,17 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
 
     - First ingest initializes ``_meta.json`` (the bucketing
       identity); later ingests and queries validate against it.
+    - ``num_tables=L`` (multi-table LSH — VERDICT r13 #3, the
+      standard production answer to the single-hash recall ceiling):
+      every vector is stored once per INDEPENDENT hyperplane table
+      under composite partition key ``(t << J) | bucket_t`` — L×
+      storage buys candidates OR-ed across L hash views, which is
+      what lifts recall where one table's unlucky cuts lose
+      neighbors. Probes stay literal-IN-pruned per table; every
+      maintenance path (compaction, retention, fsck, pins,
+      direction boxes) operates on the composite key unchanged.
+      Manifest counts stay in VECTORS (rows = vectors × L — the
+      fsck knows). Fixed at the first ingest like the plane count.
     - ``dedup_ids``: drop delta vectors whose ``vec_id`` is already
       committed (anti-join against the column-pruned id scan) — the
       at-scale idempotence for re-delivered upstream rows. Batch-level
@@ -192,7 +221,7 @@ def ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
         return _ann_ingest_delta(spark, root, emb, batch_id, id_col,
                                  vec_col, num_planes, dim, dedup_ids,
                                  corpus_batch, _crash_after, lease,
-                                 manifest_extra, storage)
+                                 manifest_extra, storage, num_tables)
 
 
 def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
@@ -202,13 +231,18 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
                       _crash_after: str | None,
                       lease=None,
                       manifest_extra: dict | None = None,
-                      storage: str | None = None) -> dict:
+                      storage: str | None = None,
+                      num_tables: int | None = None) -> dict:
     if storage is not None and storage not in STORAGES:
         raise ValueError(f"storage must be one of {STORAGES}, "
                          f"got {storage!r}")
+    if num_tables is not None and num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
     if path_exists(spark, _meta_path(root)):
         meta0 = _load_meta(spark, root)
-        _check_meta(meta0, num_planes, dim, root, "ingest")
+        _check_meta(meta0, num_planes, dim, root, "ingest",
+                    num_tables)
+        nt = _num_tables(meta0)
         stored_storage = meta0.get("storage", "float")
         if storage is not None and storage != stored_storage:
             raise ValueError(
@@ -218,11 +252,16 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
         storage = stored_storage
     else:
         storage = storage or "float"
-        write_text_atomic(spark, _meta_path(root), json.dumps({
+        nt = num_tables or 1
+        meta_doc = {
             "kind": "ann_lsh_incremental", "num_planes": num_planes,
             "dim": dim, "storage": storage,
-            "planes_digest": _planes_digest(num_planes, dim),
-        }, sort_keys=True))
+            "planes_digest": _planes_digest(num_planes, dim, nt),
+        }
+        if nt > 1:   # single-table metas stay byte-identical
+            meta_doc["num_tables"] = nt
+        write_text_atomic(spark, _meta_path(root),
+                          json.dumps(meta_doc, sort_keys=True))
 
     ms = _load_manifests(spark, root)
     if batch_id in ms or batch_id in _superseded(ms):
@@ -254,8 +293,9 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     delta = delta.localCheckpoint()
     n_admitted = delta.count()
 
-    tagged = (delta.join(lsh_buckets(delta, "vec_id", "embedding",
-                                     num_planes, dim), "vec_id")
+    tagged = (delta.join(_mt_bucket_frame(delta, "vec_id",
+                                          "embedding", num_planes,
+                                          dim, nt), "vec_id")
               .withColumn("batch_id", F.lit(batch_id)))
     if storage == "int8":
         # bucketing above used the ORIGINAL embedding; only the
@@ -380,27 +420,44 @@ def multiprobe_set(query_vec: list, num_planes: int, dim: int,
     Driver-side and exact: margins are the same integer plane dots
     ``query_bucket`` signs (operators/similarity.query_margins);
     scores are arbitrary-precision Σ margin² — deterministic, ties
-    broken by flip mask. The first element is always the query's own
-    bucket (empty flip set, score 0). For J ≤ 16 the 2^J flip sets
-    are enumerated outright (≤ 65536 driver-side scores); larger J
-    uses a best-first heap over margin-sorted flips, yielding the
-    identical order without materializing 2^J candidates."""
-    from ..operators.similarity import query_bucket, query_margins
+    broken by flip mask (the heap path carries (score, mask, idxs)
+    entries so equal-score flip sets pop in the SAME raw-mask order
+    as the enumeration's (score, mask) sort — ADVICE r13). The
+    first element is always the query's own bucket (empty flip set,
+    score 0). For J ≤ 16 the 2^J flip sets are enumerated outright
+    (≤ 65536 driver-side scores); larger J uses a best-first heap
+    over margin-sorted flips (extend-last / replace-last — the
+    classic Lv et al. generation, every subset reached exactly once
+    in nondecreasing score order) without materializing 2^J
+    candidates. Both live in :func:`_ranked_flips`, shared with the
+    multi-table merged ranking (:func:`_mt_probe_list`)."""
+    from ..operators.similarity import query_bucket
 
     b = query_bucket(query_vec, num_planes, dim)
     n_buckets = max(1, min(n_buckets, 1 << num_planes))
-    m2 = [m * m for m in query_margins(query_vec, num_planes, dim)]
+    return [b ^ mask for _, mask in
+            _ranked_flips(query_vec, num_planes, dim, n_buckets)]
+
+
+def _ranked_flips(query_vec: list, num_planes: int, dim: int,
+                  limit: int, table: int = 0) -> "list[tuple]":
+    """[(Σ margin², flip mask)] — the first ``limit`` flip sets of
+    one table's hyperplanes in nondecreasing-score order, ties by
+    raw mask (the :func:`multiprobe_set` ranking, factored out so
+    multi-table probing can MERGE the per-table streams by score).
+    Scores are exact arbitrary-precision integers."""
+    from ..operators.similarity import query_margins
+
+    m2 = [m * m for m in query_margins(query_vec, num_planes, dim,
+                                       table)]
     if num_planes <= 16:
         ranked = sorted(range(1 << num_planes),
                         key=lambda mask: (
                             sum(m2[j] for j in range(num_planes)
                                 if mask >> j & 1), mask))
-        return [b ^ mask for mask in ranked[:n_buckets]]
-    # best-first expansion over margin-ascending flip order: each
-    # heap entry is a flip set represented by indices into the
-    # sorted-margin permutation; children = extend-last / replace-
-    # last (the classic Lv et al. generation — every subset reached
-    # exactly once, in nondecreasing score order)
+        return [(sum(m2[j] for j in range(num_planes)
+                     if mask >> j & 1), mask)
+                for mask in ranked[:limit]]
     import heapq
 
     order = sorted(range(num_planes), key=lambda j: (m2[j], j))
@@ -412,21 +469,15 @@ def multiprobe_set(query_vec: list, num_planes: int, dim: int,
             out |= 1 << order[i]
         return out
 
-    # heap entries carry (score, mask, idxs): equal-score flip sets
-    # (duplicate |margins| on symmetric data) pop in raw-flip-mask
-    # order — the SAME tie-break as the <=16 enumeration's
-    # (score, mask) sort, so the two paths yield the identical
-    # sequence, not merely the same nondecreasing-score multiset
-    # (ADVICE r13)
     heap = [(sm2[0], mask_of((0,)), (0,))]
-    got = [b]
+    got = [(0, 0)]
     seen = set()
-    while heap and len(got) < n_buckets:
+    while heap and len(got) < limit:
         score, mask, idxs = heapq.heappop(heap)
         if idxs in seen:
             continue
         seen.add(idxs)
-        got.append(b ^ mask)
+        got.append((score, mask))
         last = idxs[-1]
         if last + 1 < num_planes:
             nx = idxs[:-1] + (last + 1,)
@@ -438,13 +489,103 @@ def multiprobe_set(query_vec: list, num_planes: int, dim: int,
     return got
 
 
+def _mt_probe_list(query_vec: list, meta: dict, hamming: int,
+                   probe_buckets: int | None) -> list[int]:
+    """The COMPOSITE probe-bucket list for a root of ``num_tables``
+    hyperplane tables (multi-table LSH — VERDICT r13 #3): composite
+    id ``(t << J) | bucket_t``, which is exactly the stored
+    partition key, so the literal IN-list pruning is unchanged.
+
+    - Hamming mode: each table's own bucket + its ≤h-flip ball,
+      tables concatenated (table 0's own bucket FIRST — the
+      early-exit seed).
+    - ``probe_buckets=N`` budget mode: the per-table margin-ranked
+      flip streams (:func:`_ranked_flips`) are MERGED by exact
+      score (ties → lower table, lower mask), so the N probed
+      buckets are globally the cheapest boundary crossings across
+      ALL tables — all L own buckets (score 0) lead.
+
+    A single-table root reproduces :func:`_probe_set` /
+    :func:`multiprobe_set` exactly."""
+    from ..operators.similarity import query_bucket
+
+    num_planes, dim = meta["num_planes"], meta["dim"]
+    nt = _num_tables(meta)
+    if nt == 1:
+        b = query_bucket(query_vec, num_planes, dim)
+        return (multiprobe_set(query_vec, num_planes, dim,
+                               probe_buckets)
+                if probe_buckets is not None
+                else _probe_set(b, num_planes, hamming))
+    own = [query_bucket(query_vec, num_planes, dim, t)
+           for t in range(nt)]
+    if probe_buckets is None:
+        return [(t << num_planes) | p
+                for t in range(nt)
+                for p in _probe_set(own[t], num_planes, hamming)]
+    n = max(1, min(probe_buckets, nt << num_planes))
+    import heapq
+
+    merged = heapq.merge(*[
+        [(s, t, mask) for s, mask in
+         _ranked_flips(query_vec, num_planes, dim, n, t)]
+        for t in range(nt)])
+    out = []
+    for _, t, mask in merged:
+        out.append((t << num_planes) | (own[t] ^ mask))
+        if len(out) >= n:
+            break
+    return out
+
+
+def _mt_bucket_frame(emb: DataFrame, id_col: str, vec_col: str,
+                     num_planes: int, dim: int,
+                     num_tables: int) -> DataFrame:
+    """(id, composite bucket) — ``num_tables`` rows per vector, one
+    per hyperplane table, in ONE pass (the nano decode is shared;
+    each table's signature folds over it; posexplode fans the L
+    composite ids out row-side — no joins, no shuffle). L=1
+    delegates to :func:`operators.similarity.lsh_buckets` verbatim."""
+    from ..operators.similarity import (_bucket_expr, _plane_signs,
+                                        _fixed_point)
+
+    if num_tables <= 1:
+        return lsh_buckets(emb, id_col, vec_col, num_planes, dim)
+    ci = F.when(
+        F.size(F.col(vec_col)) == dim, _fixed_point(F.col(vec_col))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"multi-table bucketing: expected {dim}-dim embedding,"
+              f" got "),
+        F.size(F.col(vec_col)).cast("string"))))
+    buckets = F.array(*[
+        _bucket_expr(ci, _plane_signs(num_planes, dim, t))
+        + F.lit(t << num_planes).cast("bigint")
+        for t in range(num_tables)])
+    return emb.select(id_col, F.explode(buckets).alias("bucket"))
+
+
+def _dedup_tables(scored: DataFrame,
+                  per_qid: bool = False) -> DataFrame:
+    """Collapse a multi-table scored frame to one row per vector: a
+    vector stored in L tables appears once per PROBED table, with
+    the identical cosine (the stored payload is the same bytes), so
+    duplicates would occupy several top-k slots. Keep the max
+    cosine (they are equal; max is NULL-safe) and the lowest probed
+    composite bucket (deterministic provenance)."""
+    keys = ["qid", "vec_id"] if per_qid else ["vec_id"]
+    return (scored.groupBy(*keys)
+            .agg(F.max("cosine").alias("cosine"),
+                 F.min("bucket").alias("bucket"))
+            .select(*keys, "cosine", "bucket"))
+
+
 def ann_incremental_topk(spark: SparkSession, root: str,
                          query_vec: list, k: int = TOP_K,
                          exclude_id: int | None = None,
                          hamming: int = 1,
                          rerank_vectors: DataFrame | None = None,
                          rerank_cut: int = 4,
-                         early_exit: bool = False,
+                         early_exit: "bool | str" = False,
                          probe_buckets: int | None = None
                          ) -> DataFrame:
     """Top-k cosine over the COMMITTED index: probe set (query bucket
@@ -461,14 +602,15 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     or an :class:`migration.IndexPointerHandle` (cached resolution
     for high-QPS probe loops).
 
-    ``early_exit=True`` (r12 brief #1): skip probed buckets whose
-    direction-box upper bound (plans/cellstats) cannot beat the
-    k-th candidate already found in the query's OWN bucket — rows
-    identical by the bound's soundness (test-pinned), the win is
-    the skipped posting lists' SCAN WORK (cost model measured on
-    the IVF twin — ``ivf_incremental_topk``'s docstring: ~2.6× wall
-    under constrained task slots, ~flat wall but ~4× fewer
-    task-seconds on an idle local session).
+    ``early_exit=True`` (r12 brief #1; reshaped r14): skip probed
+    buckets whose direction-box upper bound (plans/cellstats)
+    provably cannot reach the top-k — rows identical by the bound's
+    soundness (test-pinned). ``True``/``"box"`` uses the own
+    bucket's box LOWER bound as a zero-job threshold (never slower
+    than the plain probe, idle or busy); ``"seed"`` is the r13
+    measured-threshold two-phase shape (maximal pruning; pays under
+    constrained task slots, ~2× wall on an idle session) — the full
+    cost model lives on ``ivf_incremental_topk``'s docstring.
 
     ``probe_buckets=N`` (r12 brief #7) replaces the Hamming-ball
     fan-out with the MARGIN-RANKED multi-probe sequence
@@ -487,15 +629,14 @@ def ann_incremental_topk(spark: SparkSession, root: str,
         raise ValueError(
             f"expected {dim}-dim query vector, got {len(query_vec)}")
 
-    b = query_bucket(query_vec, num_planes, dim)
-    probes = (multiprobe_set(query_vec, num_planes, dim,
-                             probe_buckets)
-              if probe_buckets is not None
-              else _probe_set(b, num_planes, hamming))
+    nt = _num_tables(meta)
+    probes = _mt_probe_list(query_vec, meta, hamming, probe_buckets)
     storage = meta.get("storage", "float")
     scan = read_ann_index(spark, root)
+    from .cellstats import normalize_mode
+    ee_mode = normalize_mode(early_exit)
     stats = None
-    if early_exit and len(probes) > 1:
+    if ee_mode and len(probes) > 1:
         from .cellstats import load_stats, payload_column
         stats = load_stats(spark, root)
         if stats is not None and \
@@ -509,7 +650,10 @@ def ann_incremental_topk(spark: SparkSession, root: str,
              else k)
         scored, _ = early_exit_scored(
             stats, scan, "bucket", probes, qci, qsq, m,
-            lambda s: _ann_scores(s, qci, qsq, exclude_id, storage))
+            lambda s: _ann_scores(s, qci, qsq, exclude_id, storage),
+            mode=ee_mode)
+        if nt > 1:   # one row per vector ACROSS the probed tables
+            scored = _dedup_tables(scored)
         ranked = scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         if storage == "int8":
             return _ann_rerank_tail(ranked, query_vec, k,
@@ -518,8 +662,10 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     scan = scan.filter(F.col("bucket").isin(probes))
     if storage == "int8":
         return _ann_code_topk(scan, query_vec, k, exclude_id,
-                              rerank_vectors, rerank_cut)
-    return _cosine_rerank(scan, query_vec, k, exclude_id)
+                              rerank_vectors, rerank_cut,
+                              dedup=nt > 1)
+    return _cosine_rerank(scan, query_vec, k, exclude_id,
+                          dedup=nt > 1)
 
 
 def _ann_scores(scan: DataFrame, qci: list, qsq: float,
@@ -548,10 +694,12 @@ def _ann_scores(scan: DataFrame, qci: list, qsq: float,
         .alias("dot"),
         (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
         .alias("nsq"))
-    cosine = F.col("dot") / (F.sqrt(F.col("nsq"))
-                             * F.sqrt(F.lit(qsq)))
-    return scored.select("vec_id",
-                         F.round(cosine, 9).alias("cosine"), "bucket")
+    # nsq > 0: stored zero vectors fold to NULL cosine, never an
+    # ANSI divide-by-zero (see ivf_index._ivf_scores)
+    cosine = F.when(F.col("nsq") > 0, F.round(
+        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq))),
+        9))
+    return scored.select("vec_id", cosine.alias("cosine"), "bucket")
 
 
 def _qdec(query_vec: list) -> "tuple[list, float]":
@@ -568,16 +716,19 @@ def _qdec(query_vec: list) -> "tuple[list, float]":
 def _ann_code_topk(scan: DataFrame, query_vec: list, k: int,
                    exclude_id: int | None,
                    rerank_vectors: DataFrame | None,
-                   rerank_cut: int) -> DataFrame:
+                   rerank_cut: int, dedup: bool = False) -> DataFrame:
     """Top-k over an already bucket-pruned int8 codes scan — the LSH
     twin of ``ivf_index._ivf_code_topk``: exact scale-free code
     cosine (plans/codes.code_cosine), then either the code-ranked
     top-k directly or an exact fixed-point rerank of a
     ``rerank_cut``·k candidate slice fetched (broadcast join) from
-    the caller's float vector source."""
+    the caller's float vector source. ``dedup``: collapse
+    multi-table duplicate candidates first."""
     qci, qsq = _qdec(query_vec)
-    ranked = (_ann_scores(scan, qci, qsq, exclude_id, "int8")
-              .orderBy(F.desc("cosine"), F.asc("vec_id")))
+    scored = _ann_scores(scan, qci, qsq, exclude_id, "int8")
+    if dedup:
+        scored = _dedup_tables(scored)
+    ranked = scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return _ann_rerank_tail(ranked, query_vec, k, rerank_vectors,
                             rerank_cut)
 
@@ -620,21 +771,27 @@ def _ann_batch_score(cand: DataFrame, storage: str) -> DataFrame:
         .alias("dot"),
         (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
         .alias("nsq"))
-    cosine = F.round(
+    # nsq > 0: stored zero vectors fold to NULL cosine, never an
+    # ANSI divide-by-zero (see ivf_index._ivf_scores)
+    cosine = F.when(F.col("nsq") > 0, F.round(
         F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))),
-        9)
+        9))
     return rer.select("qid", "vec_id", cosine.alias("cosine"),
                       "bucket")
 
 
 def _ann_batch_tail(scored: DataFrame, dec_q: DataFrame, k: int,
                     rerank_vectors: DataFrame | None,
-                    rerank_cut: int, storage: str) -> DataFrame:
+                    rerank_cut: int, storage: str,
+                    dedup: bool = False) -> DataFrame:
     """Per-qid top-k window, with the optional int8 exact-rerank of
     each query's ``rerank_cut``·k code slice — the LSH twin of
-    ``ivf_index._ivf_batch_tail``."""
+    ``ivf_index._ivf_batch_tail``. ``dedup``: collapse multi-table
+    duplicate candidates per (qid, vec_id) first."""
     from pyspark.sql import Window
 
+    if dedup:
+        scored = _dedup_tables(scored, per_qid=True)
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
     if storage == "int8" and rerank_vectors is not None:
@@ -659,7 +816,7 @@ def ann_batch_topk(spark: SparkSession, root: str,
                    max_queries_per_job: int | None = None,
                    rerank_vectors: DataFrame | None = None,
                    rerank_cut: int = 4,
-                   early_exit: bool = False,
+                   early_exit: "bool | str" = False,
                    chunk_concurrency: int = 1) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the LSH side of
     ``ivf_index.ivf_batch_topk`` (r11): per query the rows equal
@@ -688,11 +845,13 @@ def ann_batch_topk(spark: SparkSession, root: str,
     serial) so setting the cap for memory reasons is never silently
     undone (ADVICE r13).
 
-    ``early_exit=True`` (r12 brief #1): per-QUERY posting-list
-    pruning from the direction-box stats — each query's non-own
-    probe buckets drop when their box bound cannot beat that
-    query's m-th candidate from its OWN bucket; rows identical
-    (test-pinned), same shape as ``ivf_index._ivf_batch_early``."""
+    ``early_exit=True`` (r12 brief #1; reshaped r14): per-QUERY
+    posting-list pruning from the direction-box stats — each
+    query's non-own probe buckets drop when their box bound
+    provably cannot reach that query's top-k; rows identical
+    (test-pinned), same two modes and shape as
+    ``ivf_index._ivf_batch_early`` (``"box"`` = zero-job own-bucket
+    floor, ``"seed"`` = measured threshold with a barrier)."""
     from ..queries.similarity import _fixed_dot
     from .migration import resolve_probe_location
 
@@ -711,31 +870,42 @@ def ann_batch_topk(spark: SparkSession, root: str,
     meta = _load_meta(spark, root)
     num_planes, dim = meta["num_planes"], meta["dim"]
     _check_meta(meta, num_planes, dim, root, "query")
+    nt = _num_tables(meta)
 
     q = queries.select(
         F.col(id_col).cast("bigint").alias("qid"),
         F.col(vec_col).cast("array<float>").alias("embedding"))
     masks = _probe_set(0, num_planes, hamming)
-    qb = lsh_buckets(q, "qid", "embedding", num_planes, dim)
+    qb = _mt_bucket_frame(q, "qid", "embedding", num_planes, dim, nt)
     dec_q = q.select(
         "qid", _fixed_point(F.col("embedding")).alias("qci")) \
         .withColumn("qsq", (_fixed_dot("qci", "qci").cast("double")
                             / F.lit(1e18)))
     # probe pairs carry the flip mask: m == 0 IS the query's own
     # bucket — the early-exit seed (the single-query probes' first
-    # probe key)
+    # probe key). Multi-table roots make m GLOBAL ((t << J) | mask):
+    # m == 0 is then specifically TABLE 0's own bucket, the seed key
+    # the single-query probes also lead with; other tables' own
+    # buckets are prunable like any flip — sound, the bound is
+    # per-bucket content.
+    m_col = (F.col("m") if nt == 1
+             else F.col("m") + F.shiftleft(
+                 F.shiftright(F.col("bucket"), num_planes),
+                 num_planes))
     probe_all = (qb.select(
         "qid",
         F.explode(F.array(*[F.lit(int(m)) for m in masks]))
         .alias("m"), "bucket")
         .select("qid", F.col("bucket").bitwiseXOR(F.col("m"))
-                .alias("bucket"), "m")
+                .alias("bucket"), m_col.alias("m"))
         .localCheckpoint())
     probe = probe_all.drop("m")
 
     storage = meta.get("storage", "float")
+    from .cellstats import normalize_mode
+    ee_mode = normalize_mode(early_exit)
     stats = None
-    if early_exit and len(masks) > 1:
+    if ee_mode and len(masks) > 1:
         from .cellstats import load_stats, payload_column
         stats = load_stats(spark, root)
         if stats is not None and \
@@ -758,28 +928,60 @@ def ann_batch_topk(spark: SparkSession, root: str,
     if stats is not None:
         return _ann_batch_early(spark, stats, probe_all, dec_q, k,
                                 rerank_vectors, rerank_cut, storage,
-                                _fanout, _buckets_of)
+                                _fanout, _buckets_of, ee_mode,
+                                dedup=nt > 1)
     scored = _ann_batch_score(_fanout(probe, _buckets_of(probe)),
                               storage)
     return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
-                           rerank_cut, storage)
+                           rerank_cut, storage, dedup=nt > 1)
 
 
 def _ann_batch_early(spark, stats, probe_all, dec_q, k,
                      rerank_vectors, rerank_cut, storage, fanout,
-                     buckets_of):
+                     buckets_of, mode="box", dedup=False):
     """The LSH batch early exit — structurally
     ``ivf_index._ivf_batch_early`` with (bucket, flip mask) in place
-    of (cell, rank): seed = each query's OWN bucket (mask 0),
-    prune = the rank>0 pairs whose box bound is below that query's
-    m-th seed cosine, union, shared tail. Soundness and the
-    row-for-row parity pin are the same argument."""
+    of (cell, rank): the threshold key is each query's OWN bucket
+    (mask 0). ``mode="box"`` derives per-query floors from the own
+    bucket's box (zero-job, never slower); ``mode="seed"``
+    materializes the own-bucket top-m and prunes against the
+    measured m-th cosine. Soundness and the row-for-row parity pin
+    are the same argument as the IVF twin."""
     from pyspark.sql import Window
 
-    from .cellstats import bounds_frame, upper_bound_col
+    from .cellstats import (bounds_frame, lower_bound_col,
+                            upper_bound_col)
 
     m = (rerank_cut * k
          if storage == "int8" and rerank_vectors is not None else k)
+    if mode == "box":
+        p1 = probe_all.filter(F.col("m") == 0).drop("m")
+        bf = bounds_frame(spark, stats, "bucket",
+                          buckets_of(probe_all))
+        lq = (p1.join(F.broadcast(dec_q), "qid")
+              .join(F.broadcast(bf), "bucket", "left")
+              .select("qid",
+                      F.when(F.col("nz") >= m,
+                             lower_bound_col(F.col("qci"),
+                                             F.col("qsq")))
+                      .alias("_L"))
+              .filter(F.col("_L").isNotNull()))
+        rest = probe_all.filter(F.col("m") != 0).drop("m")
+        survivors = (rest.join(F.broadcast(dec_q), "qid")
+                     .join(F.broadcast(bf), "bucket", "left")
+                     .join(F.broadcast(lq), "qid", "left")
+                     .withColumn("_ub",
+                                 upper_bound_col(F.col("qci"),
+                                                 F.col("qsq")))
+                     .filter(F.col("_L").isNull()
+                             | F.col("dmin").isNull()
+                             | (F.col("_ub") >= F.col("_L")))
+                     .select("qid", "bucket"))
+        pairs = p1.unionByName(survivors)
+        scored = _ann_batch_score(fanout(pairs, buckets_of(pairs)),
+                                  storage)
+        return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
+                               rerank_cut, storage, dedup=dedup)
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
     p1 = probe_all.filter(F.col("m") == 0).drop("m")
@@ -813,19 +1015,23 @@ def _ann_batch_early(spark, stats, probe_all, dec_q, k,
         scored = seed.unionByName(
             _ann_batch_score(fanout(survivors, buckets2), storage))
     return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
-                           rerank_cut, storage)
+                           rerank_cut, storage, dedup=dedup)
 
 
 def _cosine_rerank(scan: DataFrame, query_vec: list, k: int,
-                   exclude_id: int | None) -> DataFrame:
+                   exclude_id: int | None,
+                   dedup: bool = False) -> DataFrame:
     """The exact fixed-point cosine re-rank over an already-pruned
     (vec_id, embedding, bucket) scan — shared by the committed probe
     and the pinned probe so their scoring can never drift (the
     scoring expression itself lives in :func:`_ann_scores`, shared
-    further with the early-exit probe)."""
+    further with the early-exit probe). ``dedup``: collapse
+    multi-table duplicate candidates first."""
     qci, qsq = _qdec(query_vec)
-    return (_ann_scores(scan, qci, qsq, exclude_id, "float")
-            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    scored = _ann_scores(scan, qci, qsq, exclude_id, "float")
+    if dedup:
+        scored = _dedup_tables(scored)
+    return (scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
 
 
@@ -851,15 +1057,17 @@ def ann_pinned_topk(spark: SparkSession, root: str, pin,
             f"expected {dim}-dim query vector, got {len(query_vec)}")
     from .snapshots import read_pinned_table
 
-    b = query_bucket(query_vec, num_planes, dim)
-    probes = _probe_set(b, num_planes, hamming)
+    nt = _num_tables(meta)
+    probes = _mt_probe_list(query_vec, meta, hamming, None)
     scan = (read_pinned_table(spark, root, pin, ANN_TABLE,
                               schema=_schema_of(meta))
             .filter(F.col("bucket").isin(probes)))
     if meta.get("storage", "float") == "int8":
         return _ann_code_topk(scan, query_vec, k, exclude_id,
-                              rerank_vectors, rerank_cut)
-    return _cosine_rerank(scan, query_vec, k, exclude_id)
+                              rerank_vectors, rerank_cut,
+                              dedup=nt > 1)
+    return _cosine_rerank(scan, query_vec, k, exclude_id,
+                          dedup=nt > 1)
 
 
 def compact_ann_batches(spark: SparkSession, root: str,
@@ -1025,25 +1233,34 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
                 violations.append(
                     f"ledger: batch {bid} manifest says {want} "
                     f"vectors but {path} is missing")
+    nt = _num_tables(meta)
     if ix is not None:
         per_batch = {r.batch_id: r.n for r in
                      ix.groupBy("batch_id")
                      .agg(F.count("*").alias("n")).collect()}
         n_rows = sum(per_batch.values())
         for bid in live:
-            want = ms[bid].get("n_admitted", 0)
+            # manifests count VECTORS; a multi-table root stores one
+            # row per vector per table
+            want = ms[bid].get("n_admitted", 0) * nt
             got = per_batch.get(bid, 0)
             if want != got:
                 violations.append(
-                    f"ledger: batch {bid} has {got} vectors, "
-                    f"manifest says {want}")
+                    f"ledger: batch {bid} has {got} rows, "
+                    f"manifest says {want}"
+                    + (f" ({ms[bid].get('n_admitted', 0)} vectors × "
+                       f"{nt} tables)" if nt > 1 else ""))
+        # uniqueness: exactly one row per vector per table — a
+        # multi-table vector missing from some table (or doubled in
+        # one) is as broken as a duplicate single-table id
         n_dupes = (ix.groupBy("vec_id")
                    .agg(F.count("*").alias("n"))
-                   .filter(F.col("n") > 1).count())
+                   .filter(F.col("n") != nt).count())
         if n_dupes:
             violations.append(
-                f"uniqueness: {n_dupes} vec_ids appear in more than "
-                f"one live index row")
+                f"uniqueness: {n_dupes} vec_ids do not appear in "
+                f"exactly {nt} live index row(s)"
+                + (" (one per table)" if nt > 1 else ""))
         per_bucket = {int(r.bucket): int(r.n) for r in
                       ix.groupBy("bucket")
                       .agg(F.count("*").alias("n")).collect()
@@ -1067,20 +1284,43 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
                                "original embeddings")
         else:
             bucketing_check = "checked"
-            expected = lsh_buckets(ix.select("vec_id", "embedding"),
-                                   "vec_id", "embedding",
-                                   meta["num_planes"], meta["dim"])
+            # per-table re-derivation: each stored row's partition
+            # bucket must equal the bucket of its own embedding
+            # under ITS table's planes (table = composite >> J) —
+            # one pass via the same multi-table fold the ingest ran,
+            # joined on (vec_id, composite bucket)
+            expected = _mt_bucket_frame(
+                ix.select("vec_id", "embedding")
+                .filter(F.col("bucket") < (1 << meta["num_planes"]))
+                if nt > 1 else ix.select("vec_id", "embedding"),
+                "vec_id", "embedding",
+                meta["num_planes"], meta["dim"], nt)
             n_drift = (ix.select("vec_id", "bucket")
                        .join(expected.withColumnRenamed("bucket",
                                                         "_want"),
                              "vec_id")
-                       .filter(F.col("bucket") != F.col("_want"))
+                       .groupBy("vec_id", "bucket")
+                       .agg(F.max(F.when(F.col("bucket")
+                                         == F.col("_want"), 1)
+                                  .otherwise(0)).alias("_ok"))
+                       .filter(F.col("_ok") == 0)
                        .count())
             if n_drift:
                 violations.append(
                     f"bucketing: {n_drift} rows sit in a partition "
                     f"whose bucket != the bucket of their own "
                     f"embedding")
+            if nt > 1:
+                # reverse direction: every EXPECTED (vec, table)
+                # copy must exist — membership + row count alone
+                # would miss a doubled copy shadowing a missing one
+                n_missing = (expected.join(
+                    ix.select("vec_id", "bucket"),
+                    ["vec_id", "bucket"], "left_anti").count())
+                if n_missing:
+                    violations.append(
+                        f"bucketing: {n_missing} expected per-table "
+                        f"copies are missing from the live index")
 
     # early-exit direction boxes must COVER every live row — same
     # soundness check as the IVF fsck (plans/cellstats)
@@ -1165,11 +1405,13 @@ def delete_vectors(spark: SparkSession, root: str,
     (the at-scale shape — joined, never expanded into an IN-list).
     Returns the new batch id. Takes the writer lease."""
     with corpus_writer_lock(spark, root, op="ann_retain") as lease:
+        meta = _load_meta(spark, root)
         return _retain_vectors(spark, root, ANN_TABLE, "bucket",
-                               _schema_of(_load_meta(spark, root)),
+                               _schema_of(meta),
                                vec_ids, n_files_per_bucket, lease,
                                _crash_after,
-                               release_conflicting_pins)
+                               release_conflicting_pins,
+                               rows_per_vec=_num_tables(meta))
 
 
 def _retain_vectors(spark: SparkSession, root: str, table: str,
@@ -1177,11 +1419,15 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
                     vec_ids: "list[int] | DataFrame",
                     n_files_per_part: int, lease,
                     _crash_after: str | None,
-                    release_conflicting_pins: bool = False) -> str:
+                    release_conflicting_pins: bool = False,
+                    rows_per_vec: int = 1) -> str:
     """Generic row-level retention for a manifest-committed vector
     table partitioned ``batch_id={b}/{part_col}={n}`` — shared by the
     LSH index (``buckets``/``bucket``) and the IVF index
-    (``postings``/``cell``). Lease already held."""
+    (``postings``/``cell``). Lease already held. ``rows_per_vec``:
+    a multi-table LSH root stores that many rows per vector;
+    manifest counts stay in VECTORS (the fsck's ledger multiplies),
+    so the surviving count is the DISTINCT id count there."""
     from .corpus import _next_seq_id, _prune_superseded
 
     ms = _load_manifests(spark, root)
@@ -1245,7 +1491,8 @@ def _retain_vectors(spark: SparkSession, root: str, table: str,
             .withColumn("batch_id", F.lit(cid))
             .localCheckpoint())
     n_before = sum(ms[b].get("n_admitted", 0) for b in affected)
-    n_after = surv.count()
+    n_after = (surv.select("vec_id").distinct().count()
+               if rows_per_vec > 1 else surv.count())
     if n_after:
         (surv.repartition(n_files_per_part, F.col(part_col))
          .write.mode("append").partitionBy("batch_id", part_col)

@@ -76,6 +76,23 @@ def _stats_path(root: str) -> str:
     return f"{root}/{STATS_NAME}"
 
 
+def normalize_mode(early_exit) -> "str | None":
+    """The probes' shared ``early_exit`` knob → internal mode:
+    False → None (off), True/"box" → "box" (zero-job box floor,
+    never slower than plain — the r14 default), "seed" → the r13
+    two-phase measured threshold (maximal pruning; pays only under
+    constrained task slots)."""
+    if early_exit is False or early_exit is None:
+        return None
+    if early_exit is True or early_exit == "box":
+        return "box"
+    if early_exit == "seed":
+        return "seed"
+    raise ValueError(
+        f"early_exit must be False, True, 'box' or 'seed', "
+        f"got {early_exit!r}")
+
+
 def _direction(payload: Column) -> Column:
     """ARRAY<DOUBLE> unit direction of an integer payload array
     (int8 codes or nano-unit fixed-point components): exact int64
@@ -159,43 +176,49 @@ def _delta_bounds(delta: DataFrame, key_col: str, payload: Column,
             keys = pdf["_key"].to_numpy()
             mat = np.vstack(pdf["_p"].to_numpy()).astype(np.float64)
             nrm = np.sqrt((mat * mat).sum(axis=1))
-            nrm[nrm == 0] = 1.0   # zero payload → zero direction
+            nonzero = nrm != 0
+            nrm[~nonzero] = 1.0   # zero payload → zero direction
             u = mat / nrm[:, None]
             for k in np.unique(keys):
-                sub = u[keys == k]
+                sel = keys == k
+                sub = u[sel]
                 ent = acc.get(int(k))
                 lo, hi = sub.min(axis=0), sub.max(axis=0)
+                nz = int(nonzero[sel].sum())
                 if ent is None:
-                    acc[int(k)] = [lo, hi, sub.shape[0]]
+                    acc[int(k)] = [lo, hi, sub.shape[0], nz]
                 else:
                     np.minimum(ent[0], lo, out=ent[0])
                     np.maximum(ent[1], hi, out=ent[1])
                     ent[2] += sub.shape[0]
+                    ent[3] += nz
         if acc:
             yield pd.DataFrame({
                 "_key": list(acc),
                 "dmin": [v[0].tolist() for v in acc.values()],
                 "dmax": [v[1].tolist() for v in acc.values()],
-                "n": [int(v[2]) for v in acc.values()]})
+                "n": [int(v[2]) for v in acc.values()],
+                "nz": [int(v[3]) for v in acc.values()]})
 
     parts = p.mapInPandas(
         part_bounds,
         schema="_key LONG, dmin ARRAY<DOUBLE>, dmax ARRAY<DOUBLE>, "
-               "n LONG").collect()
+               "n LONG, nz LONG").collect()
     out: dict = {}
     for r in parts:
         key = str(int(r._key))
         old = out.get(key)
         if old is None:
             out[key] = {"dmin": list(r.dmin), "dmax": list(r.dmax),
-                        "n": int(r.n)}
+                        "n": int(r.n), "nz": int(r.nz)}
         else:
             out[key] = {
                 "dmin": [min(a, b) for a, b in zip(old["dmin"],
                                                    r.dmin)],
                 "dmax": [max(a, b) for a, b in zip(old["dmax"],
                                                    r.dmax)],
-                "n": old["n"] + int(r.n)}
+                "n": old["n"] + int(r.n),
+                "nz": old["nz"] + int(r.nz)}
     for ent in out.values():
         ent["dmin"] = [float(x) - EPS_COMPONENT for x in ent["dmin"]]
         ent["dmax"] = [float(x) + EPS_COMPONENT for x in ent["dmax"]]
@@ -246,6 +269,13 @@ def widen_stats(spark: SparkSession, root: str, delta: DataFrame,
                 "dmax": [max(a, b) for a, b in zip(old["dmax"],
                                                    ent["dmax"])],
                 "n": old["n"] + ent["n"]}
+            # nz (nonzero-direction count — the BOX-mode candidate
+            # floor) merges only when BOTH sides carry it: an r13-era
+            # entry has no nz, and guessing one could overstate the
+            # floor — box-mode pruning then just stays off for the
+            # key until the next compaction recomputes exactly
+            if "nz" in old and "nz" in ent:
+                keys[key]["nz"] = old["nz"] + ent["nz"]
     doc = {"version": 1, "payload": kind, "keys": keys}
     write_text_atomic(spark, _stats_path(root),
                       json.dumps(doc, sort_keys=True))
@@ -275,6 +305,51 @@ def upper_bound(qci: list, qsq: float, ent: dict) -> float:
     return s / ((qsq ** 0.5) * 1e9) + EPS_BOUND
 
 
+def lower_bound(qci: list, qsq: float, ent: dict) -> float:
+    """DRIVER-side WORST-possible cosine of the query against any
+    member of one key's box — the mirror fold of :func:`upper_bound`
+    (min over the box: pick ``dmin`` where the query component is
+    positive, ``dmax`` where negative), slack-widened DOWN by
+    EPS_BOUND. Every nonzero-direction member of the key scores at
+    least this, which is what BOX-mode early exit (r13 VERDICT #2)
+    uses as its free initial threshold: no seed job, no driver
+    barrier — the bound comes from arithmetic over the stats file
+    alone, so ``early_exit=True`` can never be slower than the plain
+    probe."""
+    s = sum((q * ent["dmin"][i]) if q >= 0 else (q * ent["dmax"][i])
+            for i, q in enumerate(qci))
+    return s / ((qsq ** 0.5) * 1e9) - EPS_BOUND
+
+
+def box_prune_keys(stats: dict, probe_keys: "list[int]", qci: list,
+                   qsq: float, m: int) -> "tuple[list, list]":
+    """(kept, pruned) split of ``probe_keys`` by the ZERO-JOB box
+    bound: the first key (the query's own cell/bucket) supplies a
+    free threshold — its box's :func:`lower_bound` is a floor under
+    the cosine of every one of its ``nz`` nonzero-direction members,
+    so when ``nz ≥ m`` the final top-m can never include a row from
+    a key whose :func:`upper_bound` sits strictly below that floor.
+
+    ``nz``, not ``n``: zero vectors score NULL and never rank, so
+    only nonzero members witness the floor (an r13-era stats entry
+    without ``nz`` keeps everything — sound, just unpruned, until
+    the next ingest/compaction records it). Pure driver arithmetic
+    over ≤ len(probe_keys) × dim terms."""
+    seed = stats["keys"].get(str(int(probe_keys[0])))
+    rest = [int(c) for c in probe_keys[1:]]
+    if seed is None or seed.get("nz", 0) < m:
+        return list(probe_keys), []
+    floor = lower_bound(qci, qsq, seed)
+    kept, pruned = [int(probe_keys[0])], []
+    for c in rest:
+        ent = stats["keys"].get(str(c))
+        if ent is not None and upper_bound(qci, qsq, ent) < floor:
+            pruned.append(c)
+        else:
+            kept.append(c)
+    return kept, pruned
+
+
 def bounds_frame(spark: SparkSession, stats: dict, key_col: str,
                  keys: "list[int]") -> DataFrame:
     """The boxes of ``keys`` as a broadcast-sized frame
@@ -284,11 +359,12 @@ def bounds_frame(spark: SparkSession, stats: dict, key_col: str,
     key) are omitted; the batch pruner treats a missing box as
     unprunable, never as empty."""
     rows = [(int(k), stats["keys"][str(k)]["dmin"],
-             stats["keys"][str(k)]["dmax"])
+             stats["keys"][str(k)]["dmax"],
+             stats["keys"][str(k)].get("nz"))
             for k in keys if str(k) in stats["keys"]]
     return spark.createDataFrame(
         rows, f"{key_col} BIGINT, dmin ARRAY<DOUBLE>, "
-              f"dmax ARRAY<DOUBLE>")
+              f"dmax ARRAY<DOUBLE>, nz BIGINT")
 
 
 def upper_bound_col(qci: Column, qsq: Column) -> Column:
@@ -307,12 +383,43 @@ def upper_bound_col(qci: Column, qsq: Column) -> Column:
     return s / (F.sqrt(qsq) * F.lit(1e9)) + F.lit(EPS_BOUND)
 
 
+def lower_bound_col(qci: Column, qsq: Column) -> Column:
+    """EXECUTOR-side :func:`lower_bound` — the worst-possible-cosine
+    fold as a Column over (qci, dmin, dmax, qsq), for the batch
+    probes' BOX-mode seed floor. NULL boxes fold to NULL (no
+    floor)."""
+    s = F.aggregate(
+        F.transform(
+            qci,
+            lambda q, i: F.least(
+                q.cast("double") * F.element_at(F.col("dmin"), i + 1),
+                q.cast("double") * F.element_at(F.col("dmax"),
+                                                i + 1))),
+        F.lit(0.0), lambda acc, p: acc + p)
+    return s / (F.sqrt(qsq) * F.lit(1e9)) - F.lit(EPS_BOUND)
+
+
 def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
                       probe_keys: "list[int]", qci: list, qsq: float,
-                      m: int, score_fn) -> "tuple[DataFrame, list]":
+                      m: int, score_fn,
+                      mode: str = "box") -> "tuple[DataFrame, list]":
     """The SINGLE-QUERY early-exit candidate frame: a scored frame
     whose top-m rows under (cosine desc, vec_id asc) equal the full
-    probed scan's top-m — built as
+    probed scan's top-m.
+
+    ``mode="box"`` (the default since r14 — VERDICT r13 #2): the
+    threshold is the SEED KEY'S OWN BOX lower bound
+    (:func:`box_prune_keys`) — pure driver arithmetic over the stats
+    file, so the plan is ONE scan with a (possibly) smaller literal
+    IN-list and early exit is never slower than the plain probe,
+    idle cluster or busy. On tightly clustered data the box floor
+    sits just under the true in-cluster kth, so it prunes the same
+    separated cells the seeded threshold does; what it cannot prune
+    is the marginal cell whose bound falls between the box floor and
+    the true kth.
+
+    ``mode="seed"`` (the r13 shape — maximal pruning for constrained
+    task slots): first the free box prune, then
 
     1. **seed**: score the FIRST probed key only (the query's own
        nearest cell / own bucket — where the true neighbors
@@ -322,21 +429,37 @@ def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
        sort+limit plan to a full global sort of the seed list —
        measured 4× the collect at 200k-row cells), re-literalized as
        a tiny DataFrame;
-    2. **L** = the seed's m-th cosine (already on the driver).
-       Fewer than m seed rows → no pruning (L unknown);
+    2. **L** = the seed's m-th cosine (already on the driver) —
+       ≥ the box floor, so it prunes a superset of the box prune.
+       Fewer than m non-null seed cosines → no further pruning;
     3. **prune**: drop every remaining key whose box upper bound
        (:func:`upper_bound`, already slack-widened) is < L — every
        row it holds scores strictly below m rows we already have,
        so the global top-m cannot contain it;
-    4. **union**: seed ∪ the surviving keys' scores (ONE scan with
-       a literal smaller IN-list — the directory pruning the plain
-       probe had, minus the skipped lists).
+    4. **union**: seed ∪ the surviving keys' scores (ONE more scan
+       with a literal smaller IN-list).
+
+    The seed collect is a synchronous driver barrier and a second
+    sequential job: on an IDLE cluster it DOUBLES probe wall while
+    cutting task-seconds ~4× (the r13 cost model) — which is why
+    "box" is the default and "seed" the opt-in.
 
     Returns (scored frame, pruned keys). ``score_fn`` maps an
     already key-filtered scan to UNSORTED (vec_id, cosine, …) rows
     — the same expression the plain probe ranks, so parity is by
-    construction (test-pinned row-for-row at every fan-out)."""
-    seed_key = probe_keys[0]
+    construction (test-pinned row-for-row at every fan-out, both
+    modes)."""
+    kept, pruned = box_prune_keys(stats, probe_keys, qci, qsq, m)
+    if mode == "box":
+        if not pruned:
+            # nothing proved prunable: the plain single-scan plan
+            return score_fn(
+                scan.filter(F.col(key_col).isin(
+                    [int(c) for c in probe_keys]))), []
+        return score_fn(scan.filter(F.col(key_col).isin(kept))), \
+            pruned
+
+    seed_key = int(probe_keys[0])
     seed_scored = score_fn(scan.filter(F.col(key_col) == seed_key))
     seed_rows = (seed_scored
                  .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -345,8 +468,7 @@ def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
                                              seed_scored.schema)
     cosines = sorted((float(r.cosine) for r in seed_rows
                       if r.cosine is not None), reverse=True)
-    pruned: list[int] = []
-    rest = [int(c) for c in probe_keys[1:]]
+    rest = [c for c in kept if c != seed_key]
     if len(cosines) >= m:
         L = cosines[m - 1]
         keep = []

@@ -95,11 +95,14 @@ def code_cosine(qci_col: Column, code: Column, qsq_col: Column,
         F.transform(code, lambda b: (b.cast("bigint")
                                      * b.cast("bigint"))),
         F.lit(0).cast("bigint"), lambda acc, p: acc + p)
-    # dot ≤ 2^44 and csq ≤ 64·127² — both exactly double-representable
-    return F.round(
+    # dot ≤ 2^44 and csq ≤ 64·127² — both exactly double-representable.
+    # csq > 0 guard: an all-zero code (a stored zero vector — legal)
+    # folds to NULL cosine (ranked last), never an ANSI
+    # divide-by-zero that kills the probe
+    return F.when(csq > 0, F.round(
         dot.cast("double")
         / (F.sqrt(csq.cast("double"))
-           * F.sqrt(qsq_col * F.lit(1e18))), ndigits)
+           * F.sqrt(qsq_col * F.lit(1e18))), ndigits))
 
 
 def attach_codes(delta: DataFrame, dim: int, what: str) -> DataFrame:

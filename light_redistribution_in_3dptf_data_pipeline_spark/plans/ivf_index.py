@@ -463,7 +463,8 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
                          exclude_id: int | None = None,
                          rerank_vectors: DataFrame | None = None,
                          rerank_cut: int = 4,
-                         early_exit: bool = False) -> DataFrame:
+                         early_exit: "bool | str" = False
+                         ) -> DataFrame:
     """Top-k cosine over the COMMITTED index: rank cells DRIVER-SIDE
     against the frozen centroids (exact arbitrary-precision integer
     dots — identical to the executor-side placement score), then scan
@@ -486,23 +487,32 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
     on code scores and exact-rerank ONLY those candidates with the
     full fixed-point cosine (plans/codes module docstring).
 
-    ``early_exit=True`` (r12 brief #1) additionally SKIPS probed
-    cells whose direction-box upper bound (plans/cellstats) cannot
-    beat the k-th candidate already found in the query's nearest
-    cell — result rows are IDENTICAL by the bound's soundness
-    (test-pinned at every fan-out); the win is the skipped posting
-    lists' SCAN WORK. Cost model (measured, 1.6M-vector clustered
-    int8 root, nprobe=4, 3 of 4 cells pruned): probe CPU drops to
-    ~the seed list's share, so under CONSTRAINED task slots — a
-    busy cluster, i.e. production — wall clock follows (local[4]:
-    4.5–6.1 s plain vs 1.7–2.0 s early-exit, ~2.6×); on an IDLE
-    local[32] session the pruned tasks would have run in spare
-    cores, so wall clock reads ~flat there (the sf0.1 bench legs)
-    while task-seconds still drop ~4×. Adds one driver round-trip
-    (the seed top-m collect — the TakeOrderedAndProject fast path)
-    and is a no-op on roots without committed stats. OFF by default
-    because on a uniform distribution the boxes are loose and the
-    seed pass buys nothing."""
+    ``early_exit=True`` (r12 brief #1; reshaped r14 per VERDICT r13
+    #2) SKIPS probed cells whose direction-box upper bound
+    (plans/cellstats) provably cannot reach the top-k — result rows
+    are IDENTICAL by the bound's soundness (test-pinned at every
+    fan-out); the win is the skipped posting lists' SCAN WORK. Two
+    modes:
+
+    - ``True`` / ``"box"`` (default mode): the threshold is the
+      seed cell's own box LOWER bound — pure driver arithmetic over
+      the stats sidecar, ZERO extra jobs, so the early-exit plan is
+      the plain plan with a (possibly) smaller literal IN-list:
+      never slower, idle or busy. On the clustered bench fixture it
+      prunes the same 3-of-4 separated cells the seeded threshold
+      does.
+    - ``"seed"``: the r13 two-phase shape — box prune first, then
+      score the seed cell, collect its top-m (one driver
+      round-trip, a second sequential job), and prune against the
+      MEASURED m-th cosine, which is ≥ the box floor and prunes a
+      superset. Cost model (measured r13): task-seconds ~4× down;
+      wall 2.6× down under CONSTRAINED slots (local[4]) but ~2×
+      UP on an idle local[32] (the seed barrier) — use it when the
+      cluster is busy and the box floor alone is too loose.
+
+    Both are no-ops on roots without committed stats. OFF by
+    default because on a uniform distribution the boxes are loose
+    and neither threshold prunes anything."""
     import math
 
     from .migration import resolve_probe_location
@@ -526,8 +536,10 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
 
     storage = meta.get("storage", "float")
     scan = read_ivf_postings(spark, root)
+    from .cellstats import normalize_mode
+    ee_mode = normalize_mode(early_exit)
     stats = None
-    if early_exit and len(probe_cells) > 1:
+    if ee_mode and len(probe_cells) > 1:
         from .cellstats import load_stats, payload_column
         stats = load_stats(spark, root)
         if stats is not None and \
@@ -539,7 +551,8 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
         from .cellstats import early_exit_scored
         scored, _ = early_exit_scored(
             stats, scan, "cell", probe_cells, qci, qsq, m,
-            lambda s: _ivf_scores(s, qci, qsq, exclude_id, storage))
+            lambda s: _ivf_scores(s, qci, qsq, exclude_id, storage),
+            mode=ee_mode)
     else:
         scored = _ivf_scores(
             scan.filter(F.col("cell").isin(probe_cells)),
@@ -579,8 +592,12 @@ def _ivf_scores(scan: DataFrame, qci: list, qsq: float,
         .alias("dot"),
         (_fixed_dot("ci", "ci").cast("double") / F.lit(1e18))
         .alias("nsq"))
-    cosine = F.round(
-        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq))), 9)
+    # nsq > 0 guard: a stored ZERO vector is legal (cellstats module
+    # docstring) and must fold to NULL cosine (ranked last), not an
+    # ANSI DIVIDE_BY_ZERO that kills the whole probe
+    cosine = F.when(F.col("nsq") > 0, F.round(
+        F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.lit(qsq))),
+        9))
     return scored.select("vec_id", cosine.alias("cosine"),
                          F.col("cell").cast("bigint").alias("cell"))
 
@@ -660,9 +677,11 @@ def _ivf_batch_score(cand: DataFrame, storage: str) -> DataFrame:
         .alias("nsq"),
         (_fixed_dot("qci", "qci").cast("double") / F.lit(1e18))
         .alias("qsq"))
-    cosine = F.round(
+    # nsq > 0: stored zero vectors fold to NULL cosine, never an
+    # ANSI divide-by-zero (see _ivf_scores)
+    cosine = F.when(F.col("nsq") > 0, F.round(
         F.col("dot")
-        / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 9)
+        / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("qsq"))), 9))
     return rer.select("qid", "vec_id", cosine.alias("cosine"),
                       F.col("cell").cast("bigint").alias("cell"))
 
@@ -700,7 +719,7 @@ def ivf_batch_topk(spark: SparkSession, root: str,
                    max_queries_per_job: int | None = None,
                    rerank_vectors: DataFrame | None = None,
                    rerank_cut: int = 4,
-                   early_exit: bool = False,
+                   early_exit: "bool | str" = False,
                    chunk_concurrency: int = 1) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the eval/serving
     shape :func:`recall.measure_recall`'s docstring defers to: a
@@ -741,11 +760,14 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     exists to bound, so the default is 1: strict serial, opt-in
     parallelism (ADVICE r13).
 
-    ``early_exit=True`` (r12 brief #1): per-QUERY posting-list
-    pruning from the direction-box stats — see
+    ``early_exit=True`` (r12 brief #1; reshaped r14): per-QUERY
+    posting-list pruning from the direction-box stats — see
     :func:`_ivf_batch_early`; rows identical, the win is every
-    (qid, cell) pair whose best-possible cosine cannot beat that
-    query's m-th seed candidate."""
+    (qid, cell) pair whose best-possible cosine provably cannot
+    reach that query's top-k. ``True``/``"box"`` derives the
+    threshold from each query's rank-1 cell box (zero extra jobs,
+    never slower); ``"seed"`` measures it from a materialized seed
+    scan (prunes more, pays a barrier)."""
     from pyspark.sql import Window
 
     from ..queries.similarity import _fixed_dot
@@ -792,8 +814,10 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     probe = probe_all.drop("rn")
 
     storage = meta.get("storage", "float")
+    from .cellstats import normalize_mode
+    ee_mode = normalize_mode(early_exit)
     stats = None
-    if early_exit and nprobe > 1:
+    if ee_mode and nprobe > 1:
         from .cellstats import load_stats, payload_column
         stats = load_stats(spark, root)
         if stats is not None and \
@@ -816,7 +840,7 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     if stats is not None:
         return _ivf_batch_early(spark, stats, probe_all, q, k,
                                 rerank_vectors, rerank_cut, storage,
-                                _fanout, _cells_of)
+                                _fanout, _cells_of, ee_mode)
     scored = _ivf_batch_score(_fanout(probe, _cells_of(probe)),
                               storage)
     return _ivf_batch_tail(scored, q, k, rerank_vectors, rerank_cut,
@@ -824,14 +848,27 @@ def ivf_batch_topk(spark: SparkSession, root: str,
 
 
 def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
-                     rerank_cut, storage, fanout, cells_of):
+                     rerank_cut, storage, fanout, cells_of,
+                     mode="box"):
     """The batch-probe early exit (r12 brief #1, batch shape) —
-    per-QUERY pruning, fully distributed:
+    per-QUERY pruning, fully distributed.
+
+    ``mode="box"`` (default since r14 — VERDICT r13 #2): each
+    query's threshold is its rank-1 cell's box LOWER bound
+    (cellstats.lower_bound_col), gated on that box's ``nz`` nonzero
+    count ≥ m — derived entirely from broadcast-joined
+    probe-frame-sized frames, NO seed scan, NO materialization
+    barrier: the plan stays the plain batch probe's single fan-out
+    with a (possibly) smaller surviving-pairs broadcast and
+    IN-list, so early exit never costs wall.
+
+    ``mode="seed"`` (the r13 shape — maximal pruning under
+    constrained slots):
 
     1. **seed**: scan only each query's rank-1 cell (the union of
        rank-1 pairs), score, keep each query's top-m, MATERIALIZE;
     2. **L_q** = each query's m-th seed cosine (queries with fewer
-       than m seed rows get no L — unprunable);
+       than m non-null seed cosines get no L — unprunable);
     3. **prune pairs**: a rank>1 (qid, cell) pair drops when the
        cell's box upper bound against THAT query
        (cellstats.upper_bound_col — executor-side, boxes broadcast)
@@ -840,11 +877,41 @@ def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
     4. **union** seed with the surviving pairs' scored fan-out —
        the scan's literal IN-list shrinks to the surviving cells.
 
-    Per-qid results equal the plain batch probe row-for-row
-    (test-pinned) — the same soundness argument as the single-query
-    :func:`cellstats.early_exit_scored`."""
+    Per-qid results equal the plain batch probe row-for-row in both
+    modes (test-pinned) — the same soundness argument as the
+    single-query :func:`cellstats.early_exit_scored`."""
     from ..queries.similarity import _fixed_dot
-    from .cellstats import bounds_frame, upper_bound_col
+    from .cellstats import (bounds_frame, lower_bound_col,
+                            upper_bound_col)
+
+    if mode == "box":
+        m = (rerank_cut * k
+             if storage == "int8" and rerank_vectors is not None
+             else k)
+        p1 = probe_all.filter(F.col("rn") == 1).drop("rn")
+        bf = bounds_frame(spark, stats, "cell",
+                          cells_of(probe_all))
+        qsq = _fixed_dot("qci", "qci").cast("double") / F.lit(1e18)
+        lq = (p1.join(F.broadcast(bf), "cell", "left")
+              .select("qid",
+                      F.when(F.col("nz") >= m,
+                             lower_bound_col(F.col("qci"), qsq))
+                      .alias("_L"))
+              .filter(F.col("_L").isNotNull()))
+        rest = probe_all.filter(F.col("rn") > 1).drop("rn")
+        survivors = (rest.join(F.broadcast(bf), "cell", "left")
+                     .join(F.broadcast(lq), "qid", "left")
+                     .withColumn("_ub",
+                                 upper_bound_col(F.col("qci"), qsq))
+                     .filter(F.col("_L").isNull()
+                             | F.col("dmin").isNull()
+                             | (F.col("_ub") >= F.col("_L")))
+                     .select("qid", "qci", "cell"))
+        pairs = p1.select("qid", "qci", "cell").unionByName(survivors)
+        scored = _ivf_batch_score(fanout(pairs, cells_of(pairs)),
+                                  storage)
+        return _ivf_batch_tail(scored, q, k, rerank_vectors,
+                               rerank_cut, storage)
 
     m = (rerank_cut * k
          if storage == "int8" and rerank_vectors is not None else k)

@@ -64,9 +64,18 @@ def _committed_vec_ids(spark: SparkSession,
     vector-index root, LSH or IVF — dispatched on the ``_meta.json``
     kind so the caller doesn't care which index family it links."""
     if _index_kind(spark, index_root) == "ann_lsh_incremental":
-        from .ann_index import read_ann_index
+        from pyspark.sql import functions as F
 
-        return read_ann_index(spark, index_root).select("vec_id")
+        from .ann_index import _load_meta, _num_tables, read_ann_index
+
+        scan = read_ann_index(spark, index_root)
+        meta = _load_meta(spark, index_root)
+        if _num_tables(meta) > 1:
+            # one row per VECTOR: the table-0 partition (multi-table
+            # roots store one copy per hyperplane table)
+            scan = scan.filter(
+                F.col("bucket") < (1 << meta["num_planes"]))
+        return scan.select("vec_id")
     from .ivf_index import read_ivf_postings
 
     return read_ivf_postings(spark, index_root).select("vec_id")

@@ -332,6 +332,7 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                   train: DataFrame | None = None,
                   num_planes: int | None = None,
                   dim: int | None = None,
+                  num_tables: int | None = None,
                   pointer: str | None = None,
                   cell_col: str = "label",
                   train_k: "int | str | None" = None,
@@ -359,8 +360,13 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
       ``train_normalize=True`` makes that true spherical k-means
       (r12 brief #3 — unit-normed training, norm-bias-free
       centroids; recorded in the new root's ``_meta``).
-    - LSH: ``num_planes``/``dim`` parameterize the new hyperplanes
-      (defaults = the old meta's, i.e. a pure re-bucketing).
+    - LSH: ``num_planes``/``dim``/``num_tables`` parameterize the
+      new hyperplanes (defaults = the old meta's, i.e. a pure
+      re-bucketing; ``num_tables=L`` re-buckets a single-table root
+      into L independent tables — the recall-ceiling escape, r13
+      VERDICT #3). A multi-table OLD root backfills from its
+      table-0 copies (one row per vector — the other copies are the
+      same bytes).
     - ``pointer``: optional alias file to atomically cut over AFTER
       the count verification passes.
     - ``storage``: the NEW root's posting layout ("float"/"int8" —
@@ -488,7 +494,16 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
         n_planes = num_planes if num_planes is not None \
             else ometa["num_planes"]
         n_dim = dim if dim is not None else ometa["dim"]
+        from .ann_index import _num_tables
+        n_tables = (num_tables if num_tables is not None
+                    else _num_tables(ometa))
         old_scan = read_ann_index(spark, old_root)
+        if _num_tables(ometa) > 1:
+            # one copy per vector: the table-0 partition (a static
+            # bucket filter, not a dedup shuffle) — counts below
+            # stay in vectors, matching the manifests
+            old_scan = old_scan.filter(
+                F.col("bucket") < (1 << ometa["num_planes"]))
 
         def ingest(delta, bid, prov, extra):
             return ann_ingest_delta(spark, new_root, delta, bid,
@@ -496,7 +511,8 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
                                     dedup_ids=False,
                                     corpus_batch=prov,
                                     manifest_extra=extra,
-                                    storage=new_storage)
+                                    storage=new_storage,
+                                    num_tables=n_tables)
 
     # per-chunk backfill: batch granularity (and provenance)
     # survives — the default is 1:1, ``max_batches_per_commit``

@@ -296,3 +296,324 @@ def test_batch_early_exit_equals_plain(spark, cl, roots):
                                  early_exit=True,
                                  max_queries_per_job=2))
     assert gota == wanta
+
+
+# ---------------------------------------------------------------- r14
+
+
+def test_seed_mode_equals_full_scan(spark, cl, roots):
+    """early_exit="seed" (the r13 two-phase shape, now opt-in)
+    stays row-for-row equal at single-query and batch fan-outs."""
+    qids = [0, 3, 41]
+    queries = (cl.filter(F.col("vec_id").isin(qids))
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+
+    def rows(df):
+        return sorted((int(r.qid), int(r.vec_id), float(r.cosine))
+                      for r in df.collect())
+
+    for storage in ("float", "int8"):
+        root = roots[f"ivf_{storage}"]
+        qv = _qvec(cl, 3)
+        want = _rows(I.ivf_incremental_topk(
+            spark, root, qv, k=10, nprobe=4, exclude_id=3))
+        got = _rows(I.ivf_incremental_topk(
+            spark, root, qv, k=10, nprobe=4, exclude_id=3,
+            early_exit="seed"))
+        assert got == want, storage
+        wantb = rows(I.ivf_batch_topk(spark, root, queries, k=10,
+                                      nprobe=4))
+        gotb = rows(I.ivf_batch_topk(spark, root, queries, k=10,
+                                     nprobe=4, early_exit="seed"))
+        assert gotb == wantb, storage
+
+        aroot = roots[f"ann_{storage}"]
+        want = _rows(A.ann_incremental_topk(
+            spark, aroot, qv, k=10, hamming=2, exclude_id=3))
+        got = _rows(A.ann_incremental_topk(
+            spark, aroot, qv, k=10, hamming=2, exclude_id=3,
+            early_exit="seed"))
+        assert got == want, storage
+        wantb = rows(A.ann_batch_topk(spark, aroot, queries, k=10,
+                                      hamming=1))
+        gotb = rows(A.ann_batch_topk(spark, aroot, queries, k=10,
+                                     hamming=1, early_exit="seed"))
+        assert gotb == wantb, storage
+
+
+def test_early_exit_mode_validation(spark, cl, roots):
+    qv = _qvec(cl, 0)
+    with pytest.raises(ValueError, match="early_exit must be"):
+        I.ivf_incremental_topk(spark, roots["ivf_float"], qv,
+                               early_exit="turbo")
+
+
+def test_box_mode_prunes_without_seed_job(spark, cl, roots):
+    """The r14 point: the BOX floor alone (pure driver arithmetic,
+    no seed scan) prunes the 3 separated non-seed cells at nprobe=4
+    on the clustered fixture — so early_exit=True costs zero extra
+    jobs while skipping the same posting lists the r13 seeded
+    threshold did."""
+    import math
+
+    root = roots["ivf_int8"]
+    stats = CS.load_stats(spark, root)
+    qv = _qvec(cl, 0)
+    qci = [math.floor(x * 1e9 + 0.5) for x in qv]
+    qsq = sum(c * c for c in qci) / 1e18
+    meta = I._load_meta(spark, root)
+    ranked = sorted(
+        ((float(sum(int(s) * q for s, q in zip(r.csum, qci)))
+          / (r.nv * 1e18), int(r.cell))
+         for r in I._load_centroids(spark, root, meta)),
+        key=lambda t: (-t[0], t[1]))
+    probe_cells = [c for _, c in ranked[:4]]
+    kept, pruned = CS.box_prune_keys(stats, probe_cells, qci, qsq, 10)
+    assert len(pruned) == 3 and kept == [probe_cells[0]], (
+        probe_cells, pruned)
+
+
+def test_nz_lifecycle_and_legacy_stats(spark, cl, tmp_path):
+    """nz (the box-mode candidate floor) sums across widen merges,
+    is recomputed at compaction, and an r13-era stats file WITHOUT
+    nz degrades box mode to no-pruning (sound) while seed mode still
+    prunes — both parity-pinned."""
+    root = str(tmp_path / "ivf")
+    I.init_ivf_index(spark, root, cl, train_k=8, train_metric="dot",
+                     storage="int8")
+    I.ivf_ingest_delta(spark, root, cl.filter("vec_id < 200"), "d1")
+    I.ivf_ingest_delta(spark, root, cl.filter("vec_id >= 200"), "d2")
+    stats = CS.load_stats(spark, root)
+    total = I.read_ivf_postings(spark, root).count()
+    assert sum(e["n"] for e in stats["keys"].values()) == total
+    # no zero vectors in the clustered fixture: nz == n everywhere
+    assert all(e.get("nz") == e["n"] for e in stats["keys"].values())
+
+    # strip nz -> r13-era file; box mode must stop pruning but stay
+    # correct; seed mode still prunes off the measured threshold
+    import math
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.fs import (
+        write_text_atomic)
+
+    legacy = {"version": 1, "payload": stats["payload"],
+              "keys": {k: {kk: vv for kk, vv in e.items()
+                           if kk != "nz"}
+                       for k, e in stats["keys"].items()}}
+    write_text_atomic(spark, f"{root}/{CS.STATS_NAME}",
+                      json.dumps(legacy))
+    qv = _qvec(cl, 0)
+    qci = [math.floor(x * 1e9 + 0.5) for x in qv]
+    qsq = sum(c * c for c in qci) / 1e18
+    doc = CS.load_stats(spark, root)
+    some_keys = [int(k) for k in sorted(doc["keys"])][:4]
+    kept, pruned = CS.box_prune_keys(doc, some_keys, qci, qsq, 10)
+    assert pruned == [] and kept == some_keys
+    want = _rows(I.ivf_incremental_topk(spark, root, qv, k=10,
+                                        nprobe=4, exclude_id=0))
+    for mode in (True, "seed"):
+        got = _rows(I.ivf_incremental_topk(spark, root, qv, k=10,
+                                           nprobe=4, exclude_id=0,
+                                           early_exit=mode))
+        assert got == want, mode
+
+    # a widen over the legacy file must NOT invent nz for merged keys
+    I.ivf_ingest_delta(
+        spark, root,
+        cl.filter("vec_id < 50").withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000), "d3")
+    merged = CS.load_stats(spark, root)
+    touched = [k for k, e in merged["keys"].items()
+               if e["n"] > legacy["keys"].get(k, {"n": 0})["n"]]
+    assert touched, "delta landed in no key?"
+    assert all("nz" not in merged["keys"][k] for k in touched)
+
+    # compaction recomputes exactly -> nz back everywhere
+    I.compact_ivf_batches(spark, root)
+    after = CS.load_stats(spark, root)
+    assert all("nz" in e for e in after["keys"].values())
+    rep = I.verify_ivf_index(spark, root)
+    assert rep["violations"] == []
+
+
+def _mk_null_seed_ivf(spark, tmp_path, storage="float"):
+    """An adversarial root for the ADVICE r13 medium bug: the
+    query's rank-1 cell holds 3 scorable rows + 20 ZERO vectors
+    (NULL cosine, fills seed slots), the rank-2 cell holds the true
+    ranks 4..10 — an overestimated seed threshold wrongly prunes
+    cell 1."""
+    dim = 64
+
+    def vec(axis_vals):
+        v = [0.0] * dim
+        for i, x in axis_vals:
+            v[i] = x
+        return v
+
+    train = spark.createDataFrame(
+        [(0, vec([(0, 1.0)]), 0),
+         (1, vec([(0, 0.7), (1, 0.714142)]), 1)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+    root = str(tmp_path / f"nullseed_{storage}")
+    I.init_ivf_index(spark, root, train, storage=storage)
+    rows = []
+    for j in range(3):   # scorable seed rows, cosine ~1
+        rows.append((1 + j, vec([(0, 1.0), (2, 0.001 * j)]), 0))
+    for j in range(20):  # zero vectors: NULL cosine, cell 0
+        rows.append((100 + j, [0.0] * dim, 0))
+    for j in range(10):  # the true ranks 4..10 live here
+        rows.append((200 + j, vec([(0, 0.7), (1, 0.714142),
+                                   (2, 0.0005 * j)]), 1))
+    content = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, cell LONG")
+    I.ivf_ingest_delta(spark, root, content, "d1", cell_col="cell")
+    return root, vec([(0, 1.0)])
+
+
+def test_null_cosine_seed_gate_ivf(spark, tmp_path):
+    """ADVICE r13 (medium): zero-vector rows in the seed cell must
+    not inflate the >= m gate — seed-mode batch and single-query
+    probes stay row-for-row equal to the plain probe even when the
+    seed cell cannot fill the top-k with scorable rows."""
+    root, qv = _mk_null_seed_ivf(spark, tmp_path)
+    queries = spark.createDataFrame(
+        [(999, qv)], "qid LONG, embedding ARRAY<FLOAT>")
+
+    def rows(df):
+        return sorted(
+            (int(r.qid), int(r.vec_id),
+             None if r.cosine is None else float(r.cosine))
+            for r in df.collect())
+
+    want = rows(I.ivf_batch_topk(spark, root, queries, k=10,
+                                 nprobe=2))
+    # the true ranks 4..10 come from cell 1 and must survive
+    assert sum(1 for _, v, _ in want if v >= 200) == 7
+    for mode in ("seed", True):
+        got = rows(I.ivf_batch_topk(spark, root, queries, k=10,
+                                    nprobe=2, early_exit=mode))
+        assert got == want, mode
+    wants = _rows(I.ivf_incremental_topk(spark, root, qv, k=10,
+                                         nprobe=2))
+    for mode in ("seed", True):
+        gots = _rows(I.ivf_incremental_topk(spark, root, qv, k=10,
+                                            nprobe=2,
+                                            early_exit=mode))
+        assert gots == wants, mode
+
+
+def test_chunked_pool_parity(spark, cl, roots):
+    """chunk_concurrency=4 (now opt-in) still equals the serial
+    chunk loop and the unchunked batch row-for-row — the r13 pin
+    re-established THROUGH the concurrent pool under the new
+    default."""
+    queries = (cl.filter("vec_id < 24")
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+
+    def rows(df):
+        return sorted((int(r.qid), int(r.vec_id), float(r.cosine))
+                      for r in df.collect())
+
+    want = rows(I.ivf_batch_topk(spark, roots["ivf_int8"], queries,
+                                 k=5, nprobe=4))
+    for conc in (1, 4):
+        got = rows(I.ivf_batch_topk(spark, roots["ivf_int8"],
+                                    queries, k=5, nprobe=4,
+                                    max_queries_per_job=7,
+                                    chunk_concurrency=conc))
+        assert got == want, conc
+    wanta = rows(A.ann_batch_topk(spark, roots["ann_int8"], queries,
+                                  k=5, hamming=1))
+    gota = rows(A.ann_batch_topk(spark, roots["ann_int8"], queries,
+                                 k=5, hamming=1,
+                                 max_queries_per_job=7,
+                                 chunk_concurrency=4,
+                                 early_exit=True))
+    assert gota == wanta
+
+
+def test_null_cosine_seed_gate_ivf_int8(spark, tmp_path):
+    """The same adversarial shape over int8 storage: zero CODES fold
+    to NULL code-cosine (codes.code_cosine's csq guard) and must not
+    inflate the seed gate either."""
+    root, qv = _mk_null_seed_ivf(spark, tmp_path, storage="int8")
+    queries = spark.createDataFrame(
+        [(999, qv)], "qid LONG, embedding ARRAY<FLOAT>")
+
+    def rows(df):
+        return sorted(
+            (int(r.qid), int(r.vec_id),
+             None if r.cosine is None else float(r.cosine))
+            for r in df.collect())
+
+    want = rows(I.ivf_batch_topk(spark, root, queries, k=10,
+                                 nprobe=2))
+    assert sum(1 for _, v, _ in want if v >= 200) == 7
+    for mode in ("seed", True):
+        got = rows(I.ivf_batch_topk(spark, root, queries, k=10,
+                                    nprobe=2, early_exit=mode))
+        assert got == want, mode
+
+
+def test_null_cosine_seed_gate_ann(spark, tmp_path):
+    """LSH twin: zero vectors land in bucket 0 (all plane dots 0);
+    a query whose own bucket is 0 sees them fill its seed slots.
+    Batch + single probes, seed and box modes, all equal plain."""
+    import random
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.similarity import (
+        query_bucket)
+
+    dim, J = 64, 8
+    rng = random.Random(7)
+    # find a query whose own bucket is 0
+    qv = None
+    while qv is None:
+        cand = [rng.uniform(-1, 1) for _ in range(dim)]
+        if query_bucket(cand, J, dim) == 0:
+            qv = cand
+    rows = []
+    for j in range(3):   # own-bucket scorable rows, cosine ~1
+        rows.append((1 + j, [x * (1.0 + 0.1 * j) for x in qv]))
+    for j in range(20):  # zero vectors -> bucket 0, NULL cosine
+        rows.append((100 + j, [0.0] * dim))
+    # neighbors at Hamming distance 1 with mid cosine
+    found = 0
+    while found < 10:
+        r = [rng.uniform(-1, 1) for _ in range(dim)]
+        w = [0.5 * a + 0.5 * b for a, b in zip(qv, r)]
+        b = query_bucket(w, J, dim)
+        if b != 0 and bin(b).count("1") == 1:
+            rows.append((200 + found, w))
+            found += 1
+    content = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    root = str(tmp_path / "ann_nullseed")
+    A.ann_ingest_delta(spark, root, content, "d1")
+
+    qvf = [float(x) for x in qv]
+    want = _rows(A.ann_incremental_topk(spark, root, qvf, k=10,
+                                        hamming=1))
+    assert any(v >= 200 for v, _ in want)
+    for mode in ("seed", True):
+        got = _rows(A.ann_incremental_topk(spark, root, qvf, k=10,
+                                           hamming=1,
+                                           early_exit=mode))
+        assert got == want, mode
+
+    queries = spark.createDataFrame(
+        [(999, qvf)], "qid LONG, embedding ARRAY<FLOAT>")
+
+    def brows(df):
+        return sorted(
+            (int(r.qid), int(r.vec_id),
+             None if r.cosine is None else float(r.cosine))
+            for r in df.collect())
+
+    wantb = brows(A.ann_batch_topk(spark, root, queries, k=10,
+                                   hamming=1))
+    for mode in ("seed", True):
+        gotb = brows(A.ann_batch_topk(spark, root, queries, k=10,
+                                      hamming=1, early_exit=mode))
+        assert gotb == wantb, mode

@@ -155,6 +155,42 @@ def main() -> None:
     finally:
         shutil.rmtree(mp_root, ignore_errors=True)
 
+    # multi-table LSH (r13 VERDICT #3): L independent hyperplane
+    # tables, candidates OR-ed — the production answer to the
+    # single-hash recall ceiling. Same 64 queries as the curve
+    # above; `scan_frac` is the expected fraction of the corpus
+    # scanned (probed buckets / 2^J per table, summed — uniform
+    # occupancy), so the IVF comparison is at an honest equal-rows
+    # budget: uniform IVF nprobe=4 probes 4 of 8 label-cells = 0.50.
+    for L in (2, 4):
+        mt_root = tempfile.mkdtemp(prefix=f"recall_mt{L}_")
+        try:
+            ann_ingest_delta(spark, mt_root, emb, "all",
+                             num_tables=L)
+            sect: dict = {"n_queries": 64, "num_tables": L}
+            for h, per_table in ((1, 9), (2, 37)):
+                rep = R.measure_recall(spark, mt_root, mp_queries,
+                                       hamming=h)
+                key = f"hamming={h}"
+                sect[key] = {
+                    "recall": rep["recall"],
+                    "scan_frac": round(L * per_table / 256, 4)}
+                print(f"# mt L={L} {key}: recall@10 = "
+                      f"{rep['recall']} (scan_frac "
+                      f"{sect[key]['scan_frac']})", file=sys.stderr)
+            for nb in (16, 37, 64):
+                rep = R.measure_recall(spark, mt_root, mp_queries,
+                                       probe_buckets=nb)
+                key = f"multiprobe={nb}"
+                sect[key] = {"recall": rep["recall"],
+                             "scan_frac": round(nb / 256, 4)}
+                print(f"# mt L={L} {key}: recall@10 = "
+                      f"{rep['recall']} (scan_frac "
+                      f"{sect[key]['scan_frac']})", file=sys.stderr)
+            out[f"multitable_L{L}_uniform_64q"] = sect
+        finally:
+            shutil.rmtree(mt_root, ignore_errors=True)
+
     line = json.dumps(out)
     print(line)
     if out_path:
