@@ -44,7 +44,8 @@ from pyspark.sql import SparkSession
 
 SEVERITY = {"retrain_migrate": 90, "compact_hot": 70,
             "investigate_gates": 60, "compact_batches": 50,
-            "prune_superseded": 40, "release_pins": 30}
+            "prune_superseded": 40, "release_pins": 30,
+            "tune_probes": 20}
 
 
 def suggest_maintenance(spark: SparkSession, root: str,
@@ -197,9 +198,106 @@ def suggest_maintenance(spark: SparkSession, root: str,
     if pin_act is not None:
         actions.append(pin_act)
 
+    # 5. probe economics (r13 VERDICT #8, stretch): the operator's
+    # FAN-OUT knobs, advised from the same committed recall series
+    # plus the cellstats box geometry
+    tune = _tune_probes_action(spark, root, kind, hist)
+    if tune is not None:
+        actions.append(tune)
+
     actions.sort(key=lambda a: (-a["severity"], a["action"]))
     return {"root": root, "kind": kind, "actions": actions,
             "fsck_violations": list(fsck["violations"])}
+
+
+def _tune_probes_action(spark, root: str, kind: str, hist: dict,
+                        saturation: float = 0.98,
+                        tight_width: float = 0.25) -> "dict | None":
+    """PROBE-ECONOMICS advisory (r13 VERDICT #8): the maintenance
+    actions above price storage; this one prices FAN-OUT. Two
+    signals, both control-plane:
+
+    - **recall saturation**: group the committed recall series by
+      its recorded probe knob (``nprobe=``/``hamming=``/
+      ``probe_buckets=``), newest sample per setting (by ``seq``).
+      With ≥ 2 settings measured, if the SMALLEST fan-out whose
+      recall is within ``saturation`` of the best measured recall is
+      below the largest measured fan-out, every probe above it scans
+      rows that buy nothing — advise dropping to it.
+    - **box tightness**: the cellstats direction boxes' mean
+      component width. Tight boxes (≤ ``tight_width`` — the
+      clustered regime) mean the zero-cost BOX early exit will
+      actually prune — advise ``early_exit=True`` to operators not
+      already passing it. Loose boxes stay quiet (the bound cannot
+      prune a uniform distribution; advising it would be noise).
+
+    Emitted as ONE low-severity ``tune_probes`` action carrying
+    whichever signals fired; None when neither does (the curve still
+    climbs and the boxes are loose — fan-out is buying recall)."""
+    tips, signal = [], {}
+    by_param: dict = {}
+    for s in hist.get("samples", ()):
+        p = s.get("param") or {}
+        if len(p) == 1:
+            (knob, val), = p.items()
+            by_param[(knob, int(val))] = s   # seq-ordered: last wins
+    knobs = {k for k, _ in by_param}
+    for knob in sorted(knobs):
+        series = sorted(((v, by_param[(knob, v)]["recall"])
+                         for kk, v in by_param if kk == knob))
+        if len(series) < 2:
+            continue
+        best = max(r for _, r in series)
+        if best <= 0:
+            continue
+        sat = next((v for v, r in series if r >= saturation * best),
+                   None)
+        if sat is not None and sat < series[-1][0]:
+            top_v, top_r = series[-1]
+            sat_r = dict(series)[sat]
+            tips.append(
+                f"recall saturates at {knob}={sat} (recall@10 "
+                f"{sat_r} vs {top_r} at {knob}={top_v}) — probes "
+                f"above {knob}={sat} scan rows that buy no recall; "
+                f"drop the fan-out")
+            signal.setdefault("saturated", {})[knob] = {
+                "use": sat, "measured_best": top_v,
+                "recall_at_use": sat_r, "recall_at_best": top_r}
+    from .cellstats import bounds_frame, load_stats
+    stats = load_stats(spark, root)
+    mean_w = None
+    if stats and stats.get("keys"):
+        widths = [sum(hi - lo for lo, hi in zip(e["dmin"], e["dmax"]))
+                  / max(1, len(e["dmin"]))
+                  for e in stats["keys"].values()]
+        mean_w = sum(widths) / len(widths)
+    elif stats and stats.get("format") == "parquet":
+        # key count past the JSON threshold: ONE tiny aggregate over
+        # the box table instead of a driver materialization
+        from pyspark.sql import functions as F
+        row = (bounds_frame(spark, stats, "key", None)
+               .select((F.aggregate(
+                   F.zip_with("dmax", "dmin", lambda a, b: a - b),
+                   F.lit(0.0), lambda acc, x: acc + x)
+                   / F.greatest(F.lit(1), F.size("dmin")))
+                   .alias("w"))
+               .agg(F.avg("w").alias("mw")).head())
+        mean_w = float(row.mw) if row and row.mw is not None else None
+    if mean_w is not None:
+        signal["box_mean_width"] = round(mean_w, 4)
+        if mean_w <= tight_width:
+            tips.append(
+                f"direction boxes are tight (mean component width "
+                f"{mean_w:.3f} ≤ {tight_width}) — the zero-cost box "
+                f"bound will prune separated {'cells' if kind == 'ivf_incremental' else 'buckets'}: "
+                f"pass early_exit=True on probes")
+            signal["early_exit"] = True
+    if not tips:
+        return None
+    return {"action": "tune_probes",
+            "severity": SEVERITY["tune_probes"],
+            "reason": "; ".join(tips),
+            "signal": signal}
 
 
 def _hot_suppressed(spark, root: str, kind: str, hot,
@@ -287,6 +385,13 @@ def apply_maintenance(spark: SparkSession, root: str,
     compacted = False
     for act in before["actions"]:
         name = act["action"]
+        if name == "tune_probes":
+            # a probe-knob recommendation, not a root mutation —
+            # there is nothing to "apply" here; callers change their
+            # own probe arguments
+            skipped.append({"action": name,
+                            "why": "advice-only (caller-side knobs)"})
+            continue
         if name not in NONDESTRUCTIVE:
             skipped.append({"action": name,
                             "why": "operator-approved only"})

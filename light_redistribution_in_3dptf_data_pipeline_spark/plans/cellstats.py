@@ -63,6 +63,13 @@ from pyspark.sql import functions as F
 from ..fs import path_exists, read_text, write_text_atomic
 
 STATS_NAME = "_cellstats.json"
+# parquet escape hatch (r13 VERDICT #6): above this many keys the
+# boxes move out of the driver-sized JSON into a parquet sidecar —
+# the JSON stub stays the atomic commit pointer
+STATS_DATA_DIR = "_cellstats_data"
+STATS_PARQUET_THRESHOLD = 4096
+BOX_SCHEMA = ("key BIGINT, dmin ARRAY<DOUBLE>, dmax ARRAY<DOUBLE>, "
+              "n BIGINT, nz BIGINT")
 # per-component widening of the stored box (the direction fold is
 # ≤ 64 exactly-derived doubles — relative error ~1e-14; 1e-9 is a
 # 10^5 safety factor and costs no measurable pruning power)
@@ -160,6 +167,34 @@ def _delta_bounds(delta: DataFrame, key_col: str, payload: Column,
     The driver fold sees ≤ partitions × |keys| rows (per-partition
     boxes, not data rows) — the same driver-sized-control-plane
     contract as the JSON sidecar itself (module docstring)."""
+    parts = _partial_boxes(delta, key_col, payload).collect()
+    out: dict = {}
+    for r in parts:
+        key = str(int(r._key))
+        old = out.get(key)
+        if old is None:
+            out[key] = {"dmin": list(r.dmin), "dmax": list(r.dmax),
+                        "n": int(r.n), "nz": int(r.nz)}
+        else:
+            out[key] = {
+                "dmin": [min(a, b) for a, b in zip(old["dmin"],
+                                                   r.dmin)],
+                "dmax": [max(a, b) for a, b in zip(old["dmax"],
+                                                   r.dmax)],
+                "n": old["n"] + int(r.n),
+                "nz": old["nz"] + int(r.nz)}
+    for ent in out.values():
+        ent["dmin"] = [float(x) - EPS_COMPONENT for x in ent["dmin"]]
+        ent["dmax"] = [float(x) + EPS_COMPONENT for x in ent["dmax"]]
+    return out
+
+
+def _partial_boxes(delta: DataFrame, key_col: str,
+                   payload: Column) -> DataFrame:
+    """(_key, dmin, dmax, n, nz) — ONE per-key box row per PARTITION
+    (folded across Arrow batches inside each partition), UNWIDENED.
+    The numpy pass shared by the driver fold (:func:`_delta_bounds`)
+    and the distributed fold (:func:`_delta_bounds_frame`)."""
     import numpy as np
     import pandas as pd
 
@@ -167,8 +202,6 @@ def _delta_bounds(delta: DataFrame, key_col: str, payload: Column,
                      payload.alias("_p"))
 
     def part_bounds(it):
-        # fold ACROSS Arrow batches inside the partition: one output
-        # row per key per partition, not per batch
         acc: dict = {}
         for pdf in it:
             if not len(pdf):
@@ -200,37 +233,148 @@ def _delta_bounds(delta: DataFrame, key_col: str, payload: Column,
                 "n": [int(v[2]) for v in acc.values()],
                 "nz": [int(v[3]) for v in acc.values()]})
 
-    parts = p.mapInPandas(
+    return p.mapInPandas(
         part_bounds,
         schema="_key LONG, dmin ARRAY<DOUBLE>, dmax ARRAY<DOUBLE>, "
-               "n LONG, nz LONG").collect()
-    out: dict = {}
-    for r in parts:
-        key = str(int(r._key))
-        old = out.get(key)
-        if old is None:
-            out[key] = {"dmin": list(r.dmin), "dmax": list(r.dmax),
-                        "n": int(r.n), "nz": int(r.nz)}
-        else:
-            out[key] = {
-                "dmin": [min(a, b) for a, b in zip(old["dmin"],
-                                                   r.dmin)],
-                "dmax": [max(a, b) for a, b in zip(old["dmax"],
-                                                   r.dmax)],
-                "n": old["n"] + int(r.n),
-                "nz": old["nz"] + int(r.nz)}
-    for ent in out.values():
-        ent["dmin"] = [float(x) - EPS_COMPONENT for x in ent["dmin"]]
-        ent["dmax"] = [float(x) + EPS_COMPONENT for x in ent["dmax"]]
-    return out
+               "n LONG, nz LONG")
+
+
+def _delta_bounds_frame(delta: DataFrame, key_col: str,
+                        payload: Column) -> DataFrame:
+    """The DISTRIBUTED :func:`_delta_bounds`: exact per-key widened
+    boxes as a (key, dmin, dmax, n, nz) frame — partials shuffled by
+    key and merged in a second numpy pass, so NOTHING key-count-
+    sized ever lands on the driver (the parquet-format path, r13
+    VERDICT #6)."""
+    import numpy as np
+    import pandas as pd
+
+    partial = _partial_boxes(delta, key_col, payload)
+
+    def merge(it):
+        acc: dict = {}
+        for pdf in it:
+            for i in range(len(pdf)):
+                k = int(pdf["_key"].iloc[i])
+                lo = np.asarray(pdf["dmin"].iloc[i], dtype=np.float64)
+                hi = np.asarray(pdf["dmax"].iloc[i], dtype=np.float64)
+                ent = acc.get(k)
+                if ent is None:
+                    acc[k] = [lo.copy(), hi.copy(),
+                              int(pdf["n"].iloc[i]),
+                              int(pdf["nz"].iloc[i])]
+                else:
+                    np.minimum(ent[0], lo, out=ent[0])
+                    np.maximum(ent[1], hi, out=ent[1])
+                    ent[2] += int(pdf["n"].iloc[i])
+                    ent[3] += int(pdf["nz"].iloc[i])
+        if acc:
+            yield pd.DataFrame({
+                "key": list(acc),
+                "dmin": [(v[0] - EPS_COMPONENT).tolist()
+                         for v in acc.values()],
+                "dmax": [(v[1] + EPS_COMPONENT).tolist()
+                         for v in acc.values()],
+                "n": [int(v[2]) for v in acc.values()],
+                "nz": [int(v[3]) for v in acc.values()]})
+
+    return (partial.repartition(F.col("_key"))
+            .mapInPandas(merge, schema=BOX_SCHEMA))
 
 
 def load_stats(spark: SparkSession, root: str) -> "dict | None":
     """The committed stats doc, or None (a legacy / never-compacted
-    root — probes fall back to the full pruned scan)."""
+    root — probes fall back to the full pruned scan). JSON-format
+    docs carry their boxes inline under ``keys``; parquet-format
+    docs (``format == "parquet"`` — key counts past
+    STATS_PARQUET_THRESHOLD, r13 VERDICT #6) carry instead the
+    root-relative ``data`` path of the box table plus ``n_keys``;
+    ``_root`` is injected here so the accessors
+    (:func:`get_entries`, :func:`bounds_frame`) can resolve it
+    without re-threading the root through every probe."""
     if not path_exists(spark, _stats_path(root)):
         return None
-    return json.loads(read_text(spark, _stats_path(root)))
+    doc = json.loads(read_text(spark, _stats_path(root)))
+    doc["_root"] = root
+    return doc
+
+
+def _data_frame(spark: SparkSession, stats: dict) -> DataFrame:
+    """The parquet-format box table (key, dmin, dmax, n, nz)."""
+    return spark.read.schema(BOX_SCHEMA).parquet(
+        f"{stats['_root']}/{stats['data']}")
+
+
+def get_entries(spark: "SparkSession | None", stats: dict,
+                keys: "list[int]") -> "dict[str, dict]":
+    """{str(key): box entry} for the requested keys — the DRIVER-side
+    accessor the single-query probes use (their probed keys are a
+    ≤ fan-out driver list). JSON format: a dict subset, no I/O.
+    Parquet format: one key-pruned read of the box table collecting
+    ≤ len(keys) rows (needs ``spark``)."""
+    if stats.get("format") != "parquet":
+        return {str(int(k)): stats["keys"][str(int(k))]
+                for k in keys if str(int(k)) in stats["keys"]}
+    if spark is None:
+        raise ValueError(
+            "parquet-format cellstats need a SparkSession to fetch "
+            "box entries")
+    rows = (_data_frame(spark, stats)
+            .filter(F.col("key").isin([int(k) for k in keys]))
+            .collect())
+    return {str(int(r.key)): {
+        "dmin": list(r.dmin), "dmax": list(r.dmax), "n": int(r.n),
+        **({"nz": int(r.nz)} if r.nz is not None else {})}
+        for r in rows}
+
+
+def _write_stats(spark: SparkSession, root: str, kind: str,
+                 keys: "dict | None" = None,
+                 frame: "DataFrame | None" = None,
+                 threshold: "int | None" = None) -> dict:
+    """Commit a stats doc, choosing the format: a driver dict within
+    the threshold stays inline JSON (byte-compatible with r13 docs);
+    a dict past it — or any ``frame`` — lands as a parquet box table
+    under a fresh ``{root}/_cellstats_data/v-N`` version directory,
+    with the JSON stub flip as the atomic commit (a crash before the
+    flip leaves an invisible version dir, swept by the next commit).
+    Exactly one of ``keys``/``frame``."""
+    assert (keys is None) != (frame is None)
+    if threshold is None:
+        threshold = STATS_PARQUET_THRESHOLD   # call-time: patchable
+    if keys is not None and len(keys) <= threshold:
+        doc = {"version": 1, "payload": kind, "keys": keys}
+        write_text_atomic(spark, _stats_path(root),
+                          json.dumps(doc, sort_keys=True))
+        doc["_root"] = root
+        return doc
+    if frame is None:
+        frame = spark.createDataFrame(
+            [(int(k), e["dmin"], e["dmax"], int(e["n"]),
+              e.get("nz")) for k, e in keys.items()], BOX_SCHEMA)
+    import re
+
+    from ..fs import delete_path, list_dir
+    vers = [int(m.group(1)) for d in
+            list_dir(spark, f"{root}/{STATS_DATA_DIR}")
+            if (m := re.match(r"^v-(\d{6})$", d))]
+    seq = max(vers, default=-1) + 1
+    rel = f"{STATS_DATA_DIR}/v-{seq:06d}"
+    frame.write.mode("overwrite").parquet(f"{root}/{rel}")
+    n_keys = (spark.read.schema(BOX_SCHEMA)
+              .parquet(f"{root}/{rel}").count())
+    doc = {"version": 1, "payload": kind, "format": "parquet",
+           "data": rel, "n_keys": n_keys}
+    write_text_atomic(spark, _stats_path(root),
+                      json.dumps(doc, sort_keys=True))
+    # sweep superseded/orphaned version dirs AFTER the commit flip —
+    # everything but the version the stub now points at (a crash
+    # before the flip left such a dir invisible; the next commit
+    # lands here and sweeps it)
+    for v in vers:
+        delete_path(spark, f"{root}/{STATS_DATA_DIR}/v-{v:06d}")
+    doc["_root"] = root
+    return doc
 
 
 def widen_stats(spark: SparkSession, root: str, delta: DataFrame,
@@ -242,7 +386,17 @@ def widen_stats(spark: SparkSession, root: str, delta: DataFrame,
 
     A root with committed batches but NO stats file stays stats-less
     (widening only the delta would exclude the older rows — unsound);
-    the first compaction recomputes and creates the file."""
+    the first compaction recomputes and creates the file.
+
+    Format dispatch (r13 VERDICT #6): a parquet-format root merges
+    DISTRIBUTED — stored boxes ⊔ delta boxes via one full outer join
+    + elementwise folds, new version dir, stub flip — nothing
+    key-count-sized on the driver. A JSON root keeps the driver-dict
+    merge (its keys are ≤ STATS_PARQUET_THRESHOLD by construction)
+    and transitions to parquet at the write if the merge crossed the
+    threshold. A FRESH root (no boxes yet) counts the delta's keys
+    from the distributed frame first, so a 50k-key first ingest
+    never materializes a 50k-entry dict."""
     existing = load_stats(spark, root)
     if existing is None:
         from .corpus import _load_manifests, _superseded
@@ -256,6 +410,25 @@ def widen_stats(spark: SparkSession, root: str, delta: DataFrame,
             f"stats under {root} bound {existing['payload']!r} "
             f"payloads; this ingest stores {kind!r} — the root's "
             f"storage changed out-of-band")
+    if existing.get("format") == "parquet":
+        merged = _merge_box_frames(
+            _data_frame(spark, existing),
+            _delta_bounds_frame(delta, key_col, payload))
+        _write_stats(spark, root, kind, frame=merged)
+        return
+    if not existing.get("keys"):
+        # fresh root: decide the format from the frame's own key
+        # count — bounded driver memory whatever the delta's width
+        frame = _delta_bounds_frame(delta, key_col,
+                                    payload).localCheckpoint()
+        if frame.count() > STATS_PARQUET_THRESHOLD:
+            _write_stats(spark, root, kind, frame=frame)
+            return
+        keys = {str(int(r.key)): {
+            "dmin": list(r.dmin), "dmax": list(r.dmax),
+            "n": int(r.n), "nz": int(r.nz)} for r in frame.collect()}
+        _write_stats(spark, root, kind, keys=keys)
+        return
     fresh = _delta_bounds(delta, key_col, payload, dim)
     keys = existing["keys"]
     for key, ent in fresh.items():
@@ -276,9 +449,37 @@ def widen_stats(spark: SparkSession, root: str, delta: DataFrame,
             # key until the next compaction recomputes exactly
             if "nz" in old and "nz" in ent:
                 keys[key]["nz"] = old["nz"] + ent["nz"]
-    doc = {"version": 1, "payload": kind, "keys": keys}
-    write_text_atomic(spark, _stats_path(root),
-                      json.dumps(doc, sort_keys=True))
+    _write_stats(spark, root, kind, keys=keys)
+
+
+def _merge_box_frames(stored: DataFrame,
+                      fresh: DataFrame) -> DataFrame:
+    """stored ⊔ fresh per key, all executor-side: full outer join on
+    key, elementwise least/greatest (zip_with) where both sides hold
+    the key, pass-through otherwise; n sums; nz sums only when both
+    sides carry it (the same merge law as the JSON dict path)."""
+    s = stored.select("key", F.col("dmin").alias("s_dmin"),
+                      F.col("dmax").alias("s_dmax"),
+                      F.col("n").alias("s_n"),
+                      F.col("nz").alias("s_nz"))
+    f = fresh.select("key", F.col("dmin").alias("f_dmin"),
+                     F.col("dmax").alias("f_dmax"),
+                     F.col("n").alias("f_n"),
+                     F.col("nz").alias("f_nz"))
+    j = s.join(f, "key", "full_outer")
+    both = F.col("s_dmin").isNotNull() & F.col("f_dmin").isNotNull()
+    return j.select(
+        "key",
+        F.when(both, F.zip_with("s_dmin", "f_dmin",
+                                lambda a, b: F.least(a, b)))
+        .otherwise(F.coalesce("s_dmin", "f_dmin")).alias("dmin"),
+        F.when(both, F.zip_with("s_dmax", "f_dmax",
+                                lambda a, b: F.greatest(a, b)))
+        .otherwise(F.coalesce("s_dmax", "f_dmax")).alias("dmax"),
+        (F.coalesce("s_n", F.lit(0))
+         + F.coalesce("f_n", F.lit(0))).alias("n"),
+        F.when(both, F.col("s_nz") + F.col("f_nz"))
+        .otherwise(F.coalesce("s_nz", "f_nz")).alias("nz"))
 
 
 def recompute_stats(spark: SparkSession, root: str, scan: DataFrame,
@@ -286,13 +487,19 @@ def recompute_stats(spark: SparkSession, root: str, scan: DataFrame,
     """EXACT per-key boxes from a full live scan — the COMPACTION
     hook: re-tightens boxes widened by retention/crashes and
     upgrades legacy roots. One aggregate scan (compaction just
-    rewrote the same rows)."""
+    rewrote the same rows). A parquet-format root recomputes
+    DISTRIBUTED (frame → new version dir); everything else takes
+    the driver-dict path, transitioning to parquet at the write if
+    the key count crossed the threshold."""
     kind, payload = payload_column(storage)
-    doc = {"version": 1, "payload": kind,
-           "keys": _delta_bounds(scan, key_col, payload, dim)}
-    write_text_atomic(spark, _stats_path(root),
-                      json.dumps(doc, sort_keys=True))
-    return doc
+    existing = load_stats(spark, root)
+    if existing is not None and existing.get("format") == "parquet":
+        return _write_stats(
+            spark, root, kind,
+            frame=_delta_bounds_frame(scan, key_col, payload))
+    return _write_stats(spark, root, kind,
+                        keys=_delta_bounds(scan, key_col, payload,
+                                           dim))
 
 
 def upper_bound(qci: list, qsq: float, ent: dict) -> float:
@@ -322,7 +529,9 @@ def lower_bound(qci: list, qsq: float, ent: dict) -> float:
 
 
 def box_prune_keys(stats: dict, probe_keys: "list[int]", qci: list,
-                   qsq: float, m: int) -> "tuple[list, list]":
+                   qsq: float, m: int,
+                   spark: "SparkSession | None" = None
+                   ) -> "tuple[list, list]":
     """(kept, pruned) split of ``probe_keys`` by the ZERO-JOB box
     bound: the first key (the query's own cell/bucket) supplies a
     free threshold — its box's :func:`lower_bound` is a floor under
@@ -334,15 +543,18 @@ def box_prune_keys(stats: dict, probe_keys: "list[int]", qci: list,
     only nonzero members witness the floor (an r13-era stats entry
     without ``nz`` keeps everything — sound, just unpruned, until
     the next ingest/compaction records it). Pure driver arithmetic
-    over ≤ len(probe_keys) × dim terms."""
-    seed = stats["keys"].get(str(int(probe_keys[0])))
+    over ≤ len(probe_keys) × dim terms; a parquet-format root
+    prefetches those entries in one key-pruned read
+    (:func:`get_entries` — needs ``spark``)."""
+    ents = get_entries(spark, stats, [int(k) for k in probe_keys])
+    seed = ents.get(str(int(probe_keys[0])))
     rest = [int(c) for c in probe_keys[1:]]
     if seed is None or seed.get("nz", 0) < m:
         return list(probe_keys), []
     floor = lower_bound(qci, qsq, seed)
     kept, pruned = [int(probe_keys[0])], []
     for c in rest:
-        ent = stats["keys"].get(str(c))
+        ent = ents.get(str(c))
         if ent is not None and upper_bound(qci, qsq, ent) < floor:
             pruned.append(c)
         else:
@@ -351,13 +563,24 @@ def box_prune_keys(stats: dict, probe_keys: "list[int]", qci: list,
 
 
 def bounds_frame(spark: SparkSession, stats: dict, key_col: str,
-                 keys: "list[int]") -> DataFrame:
-    """The boxes of ``keys`` as a broadcast-sized frame
-    (key, dmin ARRAY<DOUBLE>, dmax ARRAY<DOUBLE>) — the BATCH
-    probes' executor-side bound input. Keys without a box (possible
-    only on a tampered stats file — widening covers every ingested
-    key) are omitted; the batch pruner treats a missing box as
-    unprunable, never as empty."""
+                 keys: "list[int] | None") -> DataFrame:
+    """The boxes of ``keys`` (None = ALL keys) as a frame
+    (key, dmin ARRAY<DOUBLE>, dmax ARRAY<DOUBLE>, nz) — the BATCH
+    probes' executor-side bound input. JSON format: a re-literalized
+    driver frame (broadcast-sized by the format's own threshold).
+    Parquet format: the box TABLE itself, key-pruned — a real frame,
+    never a driver JSON blow-up (r13 VERDICT #6). Keys without a box
+    (possible only on a tampered stats file — widening covers every
+    ingested key) are omitted; the batch pruner treats a missing box
+    as unprunable, never as empty."""
+    if stats.get("format") == "parquet":
+        df = _data_frame(spark, stats)
+        if keys is not None:
+            df = df.filter(F.col("key").isin([int(k) for k in keys]))
+        return df.select(F.col("key").alias(key_col), "dmin", "dmax",
+                         "nz")
+    if keys is None:
+        keys = [int(k) for k in stats["keys"]]
     rows = [(int(k), stats["keys"][str(k)]["dmin"],
              stats["keys"][str(k)]["dmax"],
              stats["keys"][str(k)].get("nz"))
@@ -449,7 +672,12 @@ def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
     — the same expression the plain probe ranks, so parity is by
     construction (test-pinned row-for-row at every fan-out, both
     modes)."""
-    kept, pruned = box_prune_keys(stats, probe_keys, qci, qsq, m)
+    spark = scan.sparkSession
+    ents = get_entries(spark, stats, [int(k) for k in probe_keys])
+    prefetched = {"format": "json", "payload": stats["payload"],
+                  "keys": ents}
+    kept, pruned = box_prune_keys(prefetched, probe_keys, qci, qsq,
+                                  m)
     if mode == "box":
         if not pruned:
             # nothing proved prunable: the plain single-scan plan
@@ -464,8 +692,7 @@ def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
     seed_rows = (seed_scored
                  .orderBy(F.desc("cosine"), F.asc("vec_id"))
                  .limit(m).collect())
-    seed = scan.sparkSession.createDataFrame(seed_rows,
-                                             seed_scored.schema)
+    seed = spark.createDataFrame(seed_rows, seed_scored.schema)
     cosines = sorted((float(r.cosine) for r in seed_rows
                       if r.cosine is not None), reverse=True)
     rest = [c for c in kept if c != seed_key]
@@ -473,7 +700,7 @@ def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
         L = cosines[m - 1]
         keep = []
         for c in rest:
-            ent = stats["keys"].get(str(c))
+            ent = ents.get(str(c))
             if ent is not None and upper_bound(qci, qsq, ent) < L:
                 pruned.append(c)
             else:
@@ -506,12 +733,16 @@ def verify_stats(spark: SparkSession, root: str, scan: DataFrame,
             f"cellstats: file bounds {stats['payload']!r} payloads "
             f"but the root stores {kind!r}")
         return "checked", violations
-    bf = bounds_frame(spark, stats,  key_col,
-                      [int(k) for k in stats["keys"]])
+    bf = bounds_frame(spark, stats, key_col, None)
+    if stats.get("format") != "parquet":
+        # inline JSON boxes are threshold-bounded — broadcast; a
+        # parquet box table can be arbitrarily keyed, so let the
+        # planner pick (shuffle join past the broadcast threshold)
+        bf = F.broadcast(bf)
     u = _direction(payload)
     probed = (scan.select(F.col(key_col).cast("bigint")
                           .alias(key_col), u.alias("_u"))
-              .join(F.broadcast(bf), key_col, "left"))
+              .join(bf, key_col, "left"))
     inside = F.aggregate(
         F.transform(
             "_u",

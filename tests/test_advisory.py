@@ -418,3 +418,53 @@ def test_apply_maintenance_keeps_retrain_for_operators(spark, emb,
                                "why": "operator-approved only"}]
     assert [a["action"] for a in
             rep["advice_after"]["actions"]] == ["retrain_migrate"]
+
+
+# ------------------------------------------------------------- r14
+
+
+def test_tune_probes_on_saturating_clustered_root(spark, emb,
+                                                  tmp_path):
+    """r13 VERDICT #8: a clustered root whose recall curve saturates
+    at nprobe=1 (and whose boxes are tight) gets a tune_probes
+    action naming the cheaper fan-out AND early_exit=True."""
+    cl = R.clustered_embeddings(emb.drop("label")).localCheckpoint()
+    root = str(tmp_path / "ivf_sat")
+    I.init_ivf_index(spark, root, cl, train_k=8, train_metric="dot")
+    I.ivf_ingest_delta(spark, root, cl, "d1")
+    s1 = R.record_recall_sample(spark, root, "d1", n_queries=8,
+                                nprobe=1)
+    s4 = R.record_recall_sample(spark, root, "d1-np4", n_queries=8,
+                                nprobe=4)
+    assert s1["recall"] >= 0.98 * s4["recall"]
+    rep = ADV.suggest_maintenance(spark, root)
+    tune = [a for a in rep["actions"] if a["action"] == "tune_probes"]
+    assert len(tune) == 1, rep["actions"]
+    sig = tune[0]["signal"]
+    assert sig["saturated"]["nprobe"]["use"] == 1
+    assert sig["saturated"]["nprobe"]["measured_best"] == 4
+    assert sig.get("early_exit") is True   # tight boxes
+    assert "early_exit=True" in tune[0]["reason"]
+    # apply_maintenance reports it as advice-only, never mutates
+    out = ADV.apply_maintenance(spark, root, dry_run=True)
+    whys = {s["action"]: s["why"] for s in out["skipped"]}
+    assert "tune_probes" in whys
+    assert "advice-only" in whys["tune_probes"]
+
+
+def test_tune_probes_quiet_on_climbing_uniform_root(spark, emb,
+                                                    tmp_path):
+    """Uniform regime: recall still climbs with nprobe and the
+    boxes are loose — NO tune_probes noise."""
+    root = str(tmp_path / "ivf_uni")
+    I.init_ivf_index(spark, root, emb, cell_col="label")
+    I.ivf_ingest_delta(spark, root,
+                       emb.select("vec_id", "embedding"), "d1")
+    s1 = R.record_recall_sample(spark, root, "d1", n_queries=8,
+                                nprobe=1)
+    s4 = R.record_recall_sample(spark, root, "d1-np4", n_queries=8,
+                                nprobe=4)
+    assert s1["recall"] < 0.98 * s4["recall"], (s1, s4)
+    rep = ADV.suggest_maintenance(spark, root)
+    assert not [a for a in rep["actions"]
+                if a["action"] == "tune_probes"], rep["actions"]
