@@ -227,13 +227,15 @@ def _tune_probes_action(spark, root: str, kind: str, hist: dict,
     - **box tightness**: the cellstats direction boxes' mean
       component width. Tight boxes (≤ ``tight_width`` — the
       clustered regime) mean the zero-cost BOX early exit will
-      actually prune — advise ``early_exit=True`` to operators not
-      already passing it. Loose boxes stay quiet (the bound cannot
-      prune a uniform distribution; advising it would be noise).
+      actually prune — advise ``early_exit=True``.
 
-    Emitted as ONE low-severity ``tune_probes`` action carrying
-    whichever signals fired; None when neither does (the curve still
-    climbs and the boxes are loose — fan-out is buying recall)."""
+    Emitted as ONE low-severity ``tune_probes`` action ONLY when the
+    recall series proves saturation — the box tip rides along with
+    that evidence, never alone: every index over clustered data has
+    tight boxes, and an advisory that flags every healthy root is
+    noise (the suite's "healthy root needs nothing" contract). None
+    when the curve still climbs or fewer than two settings were
+    measured — fan-out is (or may be) buying recall."""
     tips, signal = [], {}
     by_param: dict = {}
     for s in hist.get("samples", ()):
@@ -263,6 +265,8 @@ def _tune_probes_action(spark, root: str, kind: str, hist: dict,
             signal.setdefault("saturated", {})[knob] = {
                 "use": sat, "measured_best": top_v,
                 "recall_at_use": sat_r, "recall_at_best": top_r}
+    if not tips:
+        return None   # no measured saturation → no fan-out advice
     from .cellstats import bounds_frame, load_stats
     stats = load_stats(spark, root)
     mean_w = None

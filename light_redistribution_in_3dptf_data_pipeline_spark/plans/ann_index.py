@@ -564,6 +564,86 @@ def _mt_bucket_frame(emb: DataFrame, id_col: str, vec_col: str,
     return emb.select(id_col, F.explode(buckets).alias("bucket"))
 
 
+def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
+                            num_tables: int,
+                            n_buckets: int) -> DataFrame:
+    """(qid, bucket, m) probe pairs for the BATCH margin-ranked
+    multi-probe (the executor-side :func:`_mt_probe_list` /
+    :func:`multiprobe_set`): per query and table, the J signed plane
+    dots are computed once (the same integer folds ``lsh_buckets``
+    signs), every flip mask is generated executor-side
+    (``sequence(0, 2^J−1)`` — no 2^J literals in the plan), scored
+    ``Σ_{j∈mask} margin_j²`` in DECIMAL(38,0) — margins reach ~2^39,
+    squares ~2^78: exact in 38 digits, so the executor ranking is
+    BIT-IDENTICAL to the driver's arbitrary-precision integers —
+    and a per-qid window keeps the ``n_buckets`` cheapest boundary
+    crossings in the single-query order ((score, table, mask)).
+    ``m`` is the global flip id ((t << J) | mask): m == 0 is
+    table 0's own bucket, the early-exit seed. The frame is
+    query-batch-sized (Q × 2^J rows pre-window) — the broadcast
+    contract the batch probes already assume; chunk via
+    ``max_queries_per_job`` past that."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _fixed_point, _plane_signs
+
+    n_buckets = max(1, min(n_buckets, num_tables << num_planes))
+    ci = F.when(
+        F.size(F.col("embedding")) == dim,
+        _fixed_point(F.col("embedding"))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"batch multiprobe: expected {dim}-dim embedding, "
+              f"got "),
+        F.size(F.col("embedding")).cast("string"))))
+
+    def dots_expr(table: int):
+        signs = _plane_signs(num_planes, dim, table)
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(ci, F.array(*[F.lit(s).cast("bigint")
+                                         for s in row]),
+                           lambda x, s: x * s),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+            for row in signs])
+
+    tables = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), dots_expr(t).alias("dots"))
+        for t in range(num_tables)])).alias("tb")
+    per_t = q.select("qid", tables).select(
+        "qid", F.col("tb.t").alias("t"), F.col("tb.dots").alias("dots"))
+    # own bucket from the SAME dots the margins come from
+    own = None
+    for j in range(num_planes):
+        bit = F.when(F.element_at("dots", j + 1) > 0, F.lit(1)
+                     .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, j)
+        own = term if own is None else own + term
+    per_t = per_t.withColumn("own", own)
+    masks = per_t.select(
+        "qid", "t", "own", "dots",
+        F.explode(F.sequence(
+            F.lit(0), F.lit((1 << num_planes) - 1))).alias("mask"))
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, j: acc + F.when(
+            F.shiftright(F.col("mask"), j).bitwiseAND(1) == 1,
+            F.element_at("dots", j + 1).cast("decimal(19,0)")
+            * F.element_at("dots", j + 1).cast("decimal(19,0)"))
+        .otherwise(F.lit(0).cast("decimal(38,0)")))
+    wq = Window.partitionBy("qid").orderBy(F.asc("score"),
+                                           F.asc("t"), F.asc("mask"))
+    ranked = (masks.withColumn("score", score)
+              .withColumn("_rk", F.row_number().over(wq))
+              .filter(F.col("_rk") <= n_buckets))
+    return ranked.select(
+        "qid",
+        (F.shiftleft(F.col("t"), num_planes)
+         + F.col("own").bitwiseXOR(F.col("mask"))).alias("bucket"),
+        (F.shiftleft(F.col("t"), num_planes)
+         + F.col("mask")).alias("m"))
+
+
 def _dedup_tables(scored: DataFrame,
                   per_qid: bool = False) -> DataFrame:
     """Collapse a multi-table scored frame to one row per vector: a
@@ -817,7 +897,8 @@ def ann_batch_topk(spark: SparkSession, root: str,
                    rerank_vectors: DataFrame | None = None,
                    rerank_cut: int = 4,
                    early_exit: "bool | str" = False,
-                   chunk_concurrency: int = 1) -> DataFrame:
+                   chunk_concurrency: int = 1,
+                   probe_buckets: int | None = None) -> DataFrame:
     """Top-k cosine for MANY queries in ONE job — the LSH side of
     ``ivf_index.ivf_batch_topk`` (r11): per query the rows equal
     ``ann_incremental_topk``'s (same signatures via the shared
@@ -851,7 +932,17 @@ def ann_batch_topk(spark: SparkSession, root: str,
     provably cannot reach that query's top-k; rows identical
     (test-pinned), same two modes and shape as
     ``ivf_index._ivf_batch_early`` (``"box"`` = zero-job own-bucket
-    floor, ``"seed"`` = measured threshold with a barrier)."""
+    floor, ``"seed"`` = measured threshold with a barrier).
+
+    ``probe_buckets=N`` (r14 — the batch form of the single-query
+    margin-ranked multi-probe): each query's N cheapest boundary
+    crossings replace the Hamming ball, ranked EXECUTOR-side in
+    exact DECIMAL(38,0) so per-query probe sets equal
+    ``ann_incremental_topk(probe_buckets=N)``'s bit-for-bit
+    (:func:`_batch_multiprobe_pairs`); the scan's literal IN-list
+    becomes the union of the ranked buckets. Overrides ``hamming``;
+    composes with multi-table roots (budget merged across tables)
+    and with ``early_exit`` (table-0's own bucket stays the seed)."""
     from ..queries.similarity import _fixed_dot
     from .migration import resolve_probe_location
 
@@ -865,7 +956,8 @@ def ann_batch_topk(spark: SparkSession, root: str,
                 exclude_self=exclude_self,
                 rerank_vectors=rerank_vectors,
                 rerank_cut=rerank_cut,
-                early_exit=early_exit),
+                early_exit=early_exit,
+                probe_buckets=probe_buckets),
             concurrency=chunk_concurrency)
     meta = _load_meta(spark, root)
     num_planes, dim = meta["num_planes"], meta["dim"]
@@ -888,24 +980,29 @@ def ann_batch_topk(spark: SparkSession, root: str,
     # the single-query probes also lead with; other tables' own
     # buckets are prunable like any flip — sound, the bound is
     # per-bucket content.
-    m_col = (F.col("m") if nt == 1
-             else F.col("m") + F.shiftleft(
-                 F.shiftright(F.col("bucket"), num_planes),
-                 num_planes))
-    probe_all = (qb.select(
-        "qid",
-        F.explode(F.array(*[F.lit(int(m)) for m in masks]))
-        .alias("m"), "bucket")
-        .select("qid", F.col("bucket").bitwiseXOR(F.col("m"))
-                .alias("bucket"), m_col.alias("m"))
-        .localCheckpoint())
+    if probe_buckets is not None:
+        probe_all = _batch_multiprobe_pairs(
+            q, num_planes, dim, nt, probe_buckets).localCheckpoint()
+    else:
+        m_col = (F.col("m") if nt == 1
+                 else F.col("m") + F.shiftleft(
+                     F.shiftright(F.col("bucket"), num_planes),
+                     num_planes))
+        probe_all = (qb.select(
+            "qid",
+            F.explode(F.array(*[F.lit(int(m)) for m in masks]))
+            .alias("m"), "bucket")
+            .select("qid", F.col("bucket").bitwiseXOR(F.col("m"))
+                    .alias("bucket"), m_col.alias("m"))
+            .localCheckpoint())
     probe = probe_all.drop("m")
 
     storage = meta.get("storage", "float")
     from .cellstats import normalize_mode
     ee_mode = normalize_mode(early_exit)
     stats = None
-    if ee_mode and len(masks) > 1:
+    if ee_mode and (len(masks) > 1 if probe_buckets is None
+                    else probe_buckets > 1):
         from .cellstats import load_stats, payload_column
         stats = load_stats(spark, root)
         if stats is not None and \
@@ -929,7 +1026,7 @@ def ann_batch_topk(spark: SparkSession, root: str,
         return _ann_batch_early(spark, stats, probe_all, dec_q, k,
                                 rerank_vectors, rerank_cut, storage,
                                 _fanout, _buckets_of, ee_mode,
-                                dedup=nt > 1)
+                                dedup=nt > 1, num_planes=num_planes)
     scored = _ann_batch_score(_fanout(probe, _buckets_of(probe)),
                               storage)
     return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
@@ -938,7 +1035,8 @@ def ann_batch_topk(spark: SparkSession, root: str,
 
 def _ann_batch_early(spark, stats, probe_all, dec_q, k,
                      rerank_vectors, rerank_cut, storage, fanout,
-                     buckets_of, mode="box", dedup=False):
+                     buckets_of, mode="box", dedup=False,
+                     num_planes=NUM_PLANES):
     """The LSH batch early exit — structurally
     ``ivf_index._ivf_batch_early`` with (bucket, flip mask) in place
     of (cell, rank): the threshold key is each query's OWN bucket
@@ -984,35 +1082,64 @@ def _ann_batch_early(spark, stats, probe_all, dec_q, k,
                                rerank_cut, storage, dedup=dedup)
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
-    p1 = probe_all.filter(F.col("m") == 0).drop("m")
-    seed = (_ann_batch_score(fanout(p1, buckets_of(p1)), storage)
-            .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= m).drop("rn")
-            .localCheckpoint())
-    # count("cosine"), not count("*") (ADVICE r13): NULL-cosine seed
-    # rows would inflate the >= m gate while min() skips them — an
-    # overestimated L that wrongly prunes (see the IVF twin's note)
-    lq = (seed.groupBy("qid")
-          .agg(F.count("cosine").alias("_n"),
-               F.min("cosine").alias("_L"))
-          .filter(F.col("_n") >= m).select("qid", "_L"))
+    bf = bounds_frame(spark, stats, "bucket", buckets_of(probe_all))
 
-    rest = probe_all.filter(F.col("m") != 0).drop("m")
-    bf = bounds_frame(spark, stats, "bucket", buckets_of(rest))
-    survivors = (rest.join(F.broadcast(dec_q), "qid")
-                 .join(F.broadcast(bf), "bucket", "left")
-                 .join(F.broadcast(lq), "qid", "left")
-                 .withColumn("_ub", upper_bound_col(F.col("qci"),
-                                                    F.col("qsq")))
-                 .filter(F.col("_L").isNull()
-                         | F.col("dmin").isNull()
-                         | (F.col("_ub") >= F.col("_L")))
-                 .select("qid", "bucket")
-                 .localCheckpoint())
-    scored = seed
+    def _tops(scored):
+        # count("cosine"), not count("*") (ADVICE r13): NULL-cosine
+        # seed rows would inflate the >= m gate while min() skips
+        # them — an overestimated L that wrongly prunes (see the
+        # IVF twin's note)
+        return (scored.groupBy("qid")
+                .agg(F.count("cosine").alias("_n"),
+                     F.min("cosine").alias("_L"))
+                .filter(F.col("_n") >= m).select("qid", "_L"))
+
+    def _prune(pairs, lq):
+        return (pairs.join(F.broadcast(dec_q), "qid")
+                .join(F.broadcast(bf), "bucket", "left")
+                .join(F.broadcast(lq), "qid", "left")
+                .withColumn("_ub", upper_bound_col(F.col("qci"),
+                                                   F.col("qsq")))
+                .filter(F.col("_L").isNull()
+                        | F.col("dmin").isNull()
+                        | (F.col("_ub") >= F.col("_L")))
+                .select("qid", "bucket"))
+
+    p1 = probe_all.filter(F.col("m") == 0).drop("m")
+    scored = (_ann_batch_score(fanout(p1, buckets_of(p1)), storage)
+              .withColumn("rn", F.row_number().over(wk))
+              .filter(F.col("rn") <= m).drop("rn")
+              .localCheckpoint())
+    lq = _tops(scored)
+    rest_pred = F.col("m") != 0
+    if mode == "seed2":
+        # ITERATIVE TIGHTENING (r13 VERDICT #7): the Hamming-band
+        # ladder — score the 1-flip band (plus other tables' own
+        # buckets, whose within-table mask is also ≤ 1 bit), itself
+        # pruned by the seed threshold first; re-measure each
+        # query's m-th over seed ∪ band; prune the farther bands
+        # against the strictly-tighter value. The within-table flip
+        # count is bit_count(m & (2^J − 1)) — the bits above J are
+        # table routing, not distance.
+        band = F.bit_count(
+            F.col("m").bitwiseAND(F.lit((1 << num_planes) - 1)))
+        band2 = _prune(
+            probe_all.filter(rest_pred & (band <= 1)).drop("m"),
+            lq).localCheckpoint()
+        b2 = buckets_of(band2)
+        if b2:
+            scored = (scored.unionByName(
+                _ann_batch_score(fanout(band2, b2), storage))
+                .withColumn("rn", F.row_number().over(wk))
+                .filter(F.col("rn") <= m).drop("rn")
+                .localCheckpoint())
+            lq = _tops(scored)
+        rest_pred = rest_pred & (band > 1)
+    rest = probe_all.filter(rest_pred).drop("m")
+    survivors = _prune(rest, lq).localCheckpoint()
     buckets2 = buckets_of(survivors)
     if buckets2:
-        scored = seed.unionByName(
+        scored = scored.unionByName(
             _ann_batch_score(fanout(survivors, buckets2), storage))
     return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
                            rerank_cut, storage, dedup=dedup)

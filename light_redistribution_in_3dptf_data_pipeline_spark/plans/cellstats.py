@@ -88,15 +88,21 @@ def normalize_mode(early_exit) -> "str | None":
     False → None (off), True/"box" → "box" (zero-job box floor,
     never slower than plain — the r14 default), "seed" → the r13
     two-phase measured threshold (maximal pruning; pays only under
-    constrained task slots)."""
+    constrained task slots), "seed2" → seed plus ONE iterative
+    re-tightening round (r13 VERDICT #7): the BATCH probes score the
+    rank-2 band against the seed threshold, re-measure each query's
+    m-th, and prune the remaining bands against the strictly-tighter
+    value — single-query probes treat it as "seed" (their threshold
+    already comes from the best cell's true top-m; the batch shape
+    is where band-at-a-time tightening has bands to spend)."""
     if early_exit is False or early_exit is None:
         return None
     if early_exit is True or early_exit == "box":
         return "box"
-    if early_exit == "seed":
-        return "seed"
+    if early_exit in ("seed", "seed2"):
+        return early_exit
     raise ValueError(
-        f"early_exit must be False, True, 'box' or 'seed', "
+        f"early_exit must be False, True, 'box', 'seed' or 'seed2', "
         f"got {early_exit!r}")
 
 
@@ -673,6 +679,8 @@ def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
     construction (test-pinned row-for-row at every fan-out, both
     modes)."""
     spark = scan.sparkSession
+    if mode == "seed2":
+        mode = "seed"   # single-query: see normalize_mode
     ents = get_entries(spark, stats, [int(k) for k in probe_keys])
     prefetched = {"format": "json", "payload": stats["payload"],
                   "keys": ents}

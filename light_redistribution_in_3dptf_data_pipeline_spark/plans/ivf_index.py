@@ -918,39 +918,62 @@ def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
     from pyspark.sql import Window
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
-    p1 = probe_all.filter(F.col("rn") == 1).drop("rn")
-    seed = (_ivf_batch_score(fanout(p1, cells_of(p1)), storage)
-            .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= m).drop("rn")
-            .localCheckpoint())
-    # count("cosine"), not count("*") (ADVICE r13): NULL-cosine rows
-    # (zero vectors/codes — legal) sort NULLS LAST under desc but
-    # still occupy seed slots when non-null rows run short; counting
-    # them would pass the >= m gate while min() skipped them — an
-    # OVERESTIMATED L that wrongly prunes cells holding true top-k
-    # rows. The single-query path (cellstats.early_exit_scored)
-    # filters None before its >= m check; this is the batch twin.
-    lq = (seed.groupBy("qid")
-          .agg(F.count("cosine").alias("_n"),
-               F.min("cosine").alias("_L"))
-          .filter(F.col("_n") >= m).select("qid", "_L"))
-
-    rest = probe_all.filter(F.col("rn") > 1).drop("rn")
-    bf = bounds_frame(spark, stats, "cell", cells_of(rest))
+    bf = bounds_frame(spark, stats, "cell", cells_of(probe_all))
     qsq = _fixed_dot("qci", "qci").cast("double") / F.lit(1e18)
-    survivors = (rest.join(F.broadcast(bf), "cell", "left")
-                 .join(F.broadcast(lq), "qid", "left")
-                 .withColumn("_ub", upper_bound_col(F.col("qci"),
-                                                    qsq))
-                 .filter(F.col("_L").isNull()
-                         | F.col("dmin").isNull()
-                         | (F.col("_ub") >= F.col("_L")))
-                 .select("qid", "qci", "cell")
-                 .localCheckpoint())
-    scored = seed
+
+    def _tops(scored):
+        # count("cosine"), not count("*") (ADVICE r13): NULL-cosine
+        # rows (zero vectors/codes — legal) sort NULLS LAST under
+        # desc but still occupy seed slots when non-null rows run
+        # short; counting them would pass the >= m gate while min()
+        # skipped them — an OVERESTIMATED L that wrongly prunes
+        # cells holding true top-k rows. The single-query path
+        # (cellstats.early_exit_scored) filters None before its
+        # >= m check; this is the batch twin.
+        return (scored.groupBy("qid")
+                .agg(F.count("cosine").alias("_n"),
+                     F.min("cosine").alias("_L"))
+                .filter(F.col("_n") >= m).select("qid", "_L"))
+
+    def _prune(pairs, lq):
+        return (pairs.join(F.broadcast(bf), "cell", "left")
+                .join(F.broadcast(lq), "qid", "left")
+                .withColumn("_ub", upper_bound_col(F.col("qci"),
+                                                   qsq))
+                .filter(F.col("_L").isNull()
+                        | F.col("dmin").isNull()
+                        | (F.col("_ub") >= F.col("_L")))
+                .select("qid", "qci", "cell"))
+
+    p1 = probe_all.filter(F.col("rn") == 1).drop("rn")
+    scored = (_ivf_batch_score(fanout(p1, cells_of(p1)), storage)
+              .withColumn("rn", F.row_number().over(wk))
+              .filter(F.col("rn") <= m).drop("rn")
+              .localCheckpoint())
+    lq = _tops(scored)
+    handled = 1
+    if mode == "seed2":
+        # ITERATIVE TIGHTENING (r13 VERDICT #7): score the rank-2
+        # band (itself pruned by the seed threshold first),
+        # re-measure each query's m-th over seed ∪ band-2, and prune
+        # the remaining bands against the strictly-tighter value —
+        # band-at-a-time, one extra materialization barrier
+        band2 = _prune(probe_all.filter(F.col("rn") == 2).drop("rn"),
+                       lq).localCheckpoint()
+        b2cells = cells_of(band2)
+        if b2cells:
+            scored = (scored.unionByName(
+                _ivf_batch_score(fanout(band2, b2cells), storage))
+                .withColumn("rn", F.row_number().over(wk))
+                .filter(F.col("rn") <= m).drop("rn")
+                .localCheckpoint())
+            lq = _tops(scored)
+        handled = 2
+    rest = probe_all.filter(F.col("rn") > handled).drop("rn")
+    survivors = _prune(rest, lq).localCheckpoint()
     cells2 = cells_of(survivors)
     if cells2:
-        scored = seed.unionByName(
+        scored = scored.unionByName(
             _ivf_batch_score(fanout(survivors, cells2), storage))
     return _ivf_batch_tail(scored, q, k, rerank_vectors, rerank_cut,
                            storage)

@@ -617,3 +617,120 @@ def test_null_cosine_seed_gate_ann(spark, tmp_path):
         gotb = brows(A.ann_batch_topk(spark, root, queries, k=10,
                                       hamming=1, early_exit=mode))
         assert gotb == wantb, mode
+
+
+def test_seed2_iterative_tightening_parity(spark, cl, roots):
+    """early_exit="seed2" (r13 VERDICT #7 — band-at-a-time
+    re-tightening) stays row-for-row equal at batch fan-outs, both
+    families and storages; single-query probes treat it as seed."""
+    qids = [0, 3, 17, 41]
+    queries = (cl.filter(F.col("vec_id").isin(qids))
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+
+    def rows(df):
+        return sorted((int(r.qid), int(r.vec_id), float(r.cosine))
+                      for r in df.collect())
+
+    for storage in ("float", "int8"):
+        want = rows(I.ivf_batch_topk(spark, roots[f"ivf_{storage}"],
+                                     queries, k=10, nprobe=8))
+        got = rows(I.ivf_batch_topk(spark, roots[f"ivf_{storage}"],
+                                    queries, k=10, nprobe=8,
+                                    early_exit="seed2"))
+        assert got == want, storage
+        wanta = rows(A.ann_batch_topk(spark, roots[f"ann_{storage}"],
+                                      queries, k=10, hamming=2))
+        gota = rows(A.ann_batch_topk(spark, roots[f"ann_{storage}"],
+                                     queries, k=10, hamming=2,
+                                     early_exit="seed2"))
+        assert gota == wanta, storage
+    qv = _qvec(cl, 0)
+    want = _rows(I.ivf_incremental_topk(
+        spark, roots["ivf_int8"], qv, k=10, nprobe=4, exclude_id=0))
+    got = _rows(I.ivf_incremental_topk(
+        spark, roots["ivf_int8"], qv, k=10, nprobe=4, exclude_id=0,
+        early_exit="seed2"))
+    assert got == want
+
+
+def test_seed2_prunes_more_on_asymmetric_neighborhood(spark,
+                                                      tmp_path):
+    """Where the iterative round bites (r13 VERDICT #7): the seed
+    cell's own top-m is mediocre (L1 low), the rank-2 cell is rich
+    (re-measured L2 high), and the far cells' boxes sit between —
+    seed keeps them all, seed2 proves them away. On SYMMETRIC
+    mixtures the measured gain is zero (either the seed threshold
+    already prunes everything or the boxes are too loose for any
+    threshold) — tools/profile_seed2.py records that honestly."""
+    dim = 64
+
+    def vec(pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    train, content = [], []
+    # cell 0 (seed): centroid ~e0; 3 great + 20 mediocre members
+    train.append((0, vec([(0, 1.0)]), 0))
+    for j in range(3):
+        content.append((j + 1, vec([(0, 1.0), (2, 0.001 * j)]), 0))
+    for j in range(20):
+        content.append((100 + j,
+                        vec([(0, 0.55), (1, 0.835), (2, 0.002 * j)]),
+                        0))
+    # cell 1 (rank 2): rich — 20 members at cosine ~0.9
+    train.append((1, vec([(0, 0.9), (3, 0.435)]), 1))
+    for j in range(20):
+        content.append((200 + j,
+                        vec([(0, 0.9), (3, 0.435), (2, 0.001 * j)]),
+                        1))
+    # cells 2..15: tight clusters whose best-possible cosine ~0.7 —
+    # above L1 (~0.55), below L2 (~0.9)
+    for c in range(2, 16):
+        train.append((c, vec([(0, 0.7), (c + 10, 0.714)]), c))
+        for j in range(5):
+            content.append((1000 * c + j,
+                            vec([(0, 0.7), (c + 10, 0.714),
+                                 (2, 0.001 * j)]), c))
+    tdf = spark.createDataFrame(
+        train, "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+    cdf = spark.createDataFrame(
+        content, "vec_id LONG, embedding ARRAY<FLOAT>, cell LONG")
+    root = str(tmp_path / "asym")
+    I.init_ivf_index(spark, root, tdf)
+    I.ivf_ingest_delta(spark, root, cdf, "d1", cell_col="cell")
+
+    queries = spark.createDataFrame(
+        [(999, [1.0] + [0.0] * (dim - 1))],
+        "qid LONG, embedding ARRAY<FLOAT>")
+    real = I._ivf_batch_score
+    counter = {"pairs": 0}
+
+    def counting(cand, storage):
+        counter["pairs"] += (cand.select("qid", "cell").distinct()
+                             .count())
+        return real(cand, storage)
+
+    rows = {}
+    pairs = {}
+    for mode in (False, "seed", "seed2"):
+        I._ivf_batch_score = counting
+        counter["pairs"] = 0
+        try:
+            rows[mode] = sorted(
+                (int(r.qid), int(r.vec_id), float(r.cosine))
+                for r in I.ivf_batch_topk(spark, root, queries, k=10,
+                                          nprobe=16,
+                                          early_exit=mode).collect())
+        finally:
+            I._ivf_batch_score = real
+        pairs[mode] = counter["pairs"]
+    assert rows["seed"] == rows[False]
+    assert rows["seed2"] == rows[False]
+    # plain fans out all 16 cells; seed keeps every far cell (their
+    # bounds clear the mediocre L1); seed2's re-tightened threshold
+    # proves all 14 away
+    assert pairs[False] == 16
+    assert pairs["seed"] == 16          # 1 seed + 15 survivors
+    assert pairs["seed2"] == 2, pairs   # 1 seed + 1 band-2

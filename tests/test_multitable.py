@@ -283,3 +283,41 @@ def test_mt_migration_single_to_multi(spark, emb, tmp_path):
                                         exclude_id=0)) == \
         _rows(A.ann_incremental_topk(spark, old, qv, k=10,
                                      exclude_id=0))
+
+
+def test_batch_probe_buckets_parity(spark, mt_root, emb, tmp_path):
+    """r14: the batch margin-ranked budget mode — per query the
+    probe set (and so the rows) equal the single-query
+    probe_buckets loop BIT-FOR-BIT (executor decimal(38,0) scores ==
+    the driver's arbitrary-precision integers), single-table and
+    multi-table, composed with early exit and chunking."""
+    st_root = str(tmp_path / "st")
+    A.ann_ingest_delta(spark, st_root, emb, "all")
+    qids = [0, 7, 33, 41]
+    queries = (emb.filter(F.col("vec_id").isin(qids))
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+
+    def brows(df):
+        return sorted((int(r.qid), int(r.vec_id), float(r.cosine))
+                      for r in df.collect())
+
+    for root, nb in ((st_root, 9), (st_root, 16), (mt_root, 16),
+                     (mt_root, 37)):
+        want = sorted(
+            (vid, int(r.vec_id), float(r.cosine))
+            for vid in qids
+            for r in A.ann_incremental_topk(
+                spark, root, _qvec(emb, vid), k=10, exclude_id=vid,
+                probe_buckets=nb).collect())
+        got = brows(A.ann_batch_topk(spark, root, queries, k=10,
+                                     probe_buckets=nb))
+        assert got == want, (root, nb)
+    # composes with early exit + chunking
+    want = brows(A.ann_batch_topk(spark, mt_root, queries, k=10,
+                                  probe_buckets=16))
+    for mode in (True, "seed", "seed2"):
+        got = brows(A.ann_batch_topk(spark, mt_root, queries, k=10,
+                                     probe_buckets=16,
+                                     early_exit=mode,
+                                     max_queries_per_job=2))
+        assert got == want, mode

@@ -402,11 +402,15 @@ def main() -> None:
         plain = IV8.ivf_incremental_topk(spark, f"{td}/ee", qv_c,
                                          nprobe=4, exclude_id=0)
         pplan = plain._jdf.queryExecution().executedPlan().toString()
-        ee = IV8.ivf_incremental_topk(spark, f"{td}/ee", qv_c,
-                                      nprobe=4, exclude_id=0,
-                                      early_exit=True)
-        eplan = ee._jdf.queryExecution().executedPlan().toString()
-        lines.append("## ivf_incremental_topk early_exit=True "
+        box = IV8.ivf_incremental_topk(spark, f"{td}/ee", qv_c,
+                                       nprobe=4, exclude_id=0,
+                                       early_exit=True)
+        bplan = box._jdf.queryExecution().executedPlan().toString()
+        seed = IV8.ivf_incremental_topk(spark, f"{td}/ee", qv_c,
+                                        nprobe=4, exclude_id=0,
+                                        early_exit="seed")
+        splan = seed._jdf.queryExecution().executedPlan().toString()
+        lines.append("## ivf_incremental_topk early exit "
                      "(direction-box pruning, clustered int8 root, "
                      "nprobe=4)")
         mm = _re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]",
@@ -414,15 +418,34 @@ def main() -> None:
         assert mm, pplan
         lines.append(f"- plain probe: `{mm.group(0)}` — 4 posting "
                      "lists scanned")
-        assert "ReadSchema" not in eplan, eplan
-        lines.append("- early-exit probe: NO parquet scan in the "
-                     "plan at all — all 3 non-seed cells pruned by "
-                     "the box bound (their best-possible cosine < "
-                     "the seed cell's kth), the result is the "
+        # BOX mode (the r14 default for early_exit=True): the plan
+        # is the plain probe's with the IN-list shrunk to the keys
+        # the zero-job box floor could not prune — here the seed
+        # cell alone (3 of 4 pruned by driver arithmetic, no seed
+        # job, no materialized literals)
+        mb = _re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]",
+                        bplan)
+        assert mb, bplan
+        n_plain = mm.group(0).count(",") + 1
+        n_box = mb.group(0).count(",") + 1
+        assert n_box < n_plain, (mm.group(0), mb.group(0))
+        lines.append(f"- box-mode probe (early_exit=True): "
+                     f"`{mb.group(0)}` — ONE scan, IN-list shrunk "
+                     "to the unprunable seed cell by pure driver "
+                     "arithmetic over the stats sidecar (zero extra "
+                     "jobs; never slower than plain)")
+        # SEED mode: the r13 two-phase shape — threshold measured
+        # from the seed cell's materialized top-m; fully pruned here,
+        # so the final plan holds NO parquet scan at all
+        assert "ReadSchema" not in splan, splan
+        lines.append("- seed-mode probe (early_exit=\"seed\"): NO "
+                     "parquet scan in the plan at all — all 3 "
+                     "non-seed cells pruned against the measured "
+                     "seed kth, the result is the "
                      "already-materialized seed top-k; parity is "
-                     "row-for-row test-pinned "
+                     "row-for-row test-pinned for every mode "
                      "(tests/test_early_exit.py)")
-        lines.extend(audit(eplan))
+        lines.extend(audit(bplan))
         lines.append("")
         print("# early-exit probe done", file=sys.stderr)
 
