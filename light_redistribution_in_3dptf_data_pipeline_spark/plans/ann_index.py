@@ -587,6 +587,16 @@ def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
 
     from ..operators.similarity import _fixed_point, _plane_signs
 
+    if num_planes > 16:
+        # the flip enumeration materializes 2^J rows per (query,
+        # table) pre-window; past J=16 that is ≥65k rows/query —
+        # the single-query path switches to the driver heap there,
+        # the batch path refuses rather than silently exploding.
+        raise ValueError(
+            f"batch probe_buckets supports num_planes <= 16 "
+            f"(got {num_planes}): the executor-side flip enumeration "
+            f"is 2^J rows per query and table; use single-query "
+            f"probes or a smaller J")
     n_buckets = max(1, min(n_buckets, num_tables << num_planes))
     ci = F.when(
         F.size(F.col("embedding")) == dim,
@@ -623,25 +633,34 @@ def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
         "qid", "t", "own", "dots",
         F.explode(F.sequence(
             F.lit(0), F.lit((1 << num_planes) - 1))).alias("mask"))
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, j: acc + F.when(
-            F.shiftright(F.col("mask"), j).bitwiseAND(1) == 1,
-            F.element_at("dots", j + 1).cast("decimal(19,0)")
-            * F.element_at("dots", j + 1).cast("decimal(19,0)"))
-        .otherwise(F.lit(0).cast("decimal(38,0)")))
+    # Σ_{j∈mask} margin_j² as a driver-side fold over the J plane
+    # indices (J is a Python int; F.shiftright's numBits must be a
+    # Python int, so a lambda-bound Column cannot index the bit —
+    # `1 << j` below is a Python literal, same shape as the `own`
+    # fold above). Terms stay DECIMAL so the executor ranking is
+    # bit-identical to the driver's arbitrary-precision integers.
+    score = F.lit(0).cast("decimal(38,0)")
+    for j in range(num_planes):
+        dj = F.element_at("dots", j + 1).cast("decimal(19,0)")
+        score = score + F.when(
+            F.col("mask").bitwiseAND(F.lit(1 << j)) != 0, dj * dj
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    score = score.cast("decimal(38,0)")
     wq = Window.partitionBy("qid").orderBy(F.asc("score"),
                                            F.asc("t"), F.asc("mask"))
     ranked = (masks.withColumn("score", score)
               .withColumn("_rk", F.row_number().over(wq))
               .filter(F.col("_rk") <= n_buckets))
+    # cast t/mask to bigint BEFORE shifting (matches
+    # _mt_bucket_frame's `t << J` bigint literal — int32 shifts
+    # would wrap for large J·t composites)
+    t64 = F.col("t").cast("bigint")
+    m64 = F.col("mask").cast("bigint")
     return ranked.select(
         "qid",
-        (F.shiftleft(F.col("t"), num_planes)
-         + F.col("own").bitwiseXOR(F.col("mask"))).alias("bucket"),
-        (F.shiftleft(F.col("t"), num_planes)
-         + F.col("mask")).alias("m"))
+        (F.shiftleft(t64, num_planes)
+         + F.col("own").bitwiseXOR(m64)).alias("bucket"),
+        (F.shiftleft(t64, num_planes) + m64).alias("m"))
 
 
 def _dedup_tables(scored: DataFrame,
@@ -731,7 +750,8 @@ def ann_incremental_topk(spark: SparkSession, root: str,
         scored, _ = early_exit_scored(
             stats, scan, "bucket", probes, qci, qsq, m,
             lambda s: _ann_scores(s, qci, qsq, exclude_id, storage),
-            mode=ee_mode)
+            mode=ee_mode,
+            excluded=0 if exclude_id is None else 1)
         if nt > 1:   # one row per vector ACROSS the probed tables
             scored = _dedup_tables(scored)
         ranked = scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1026,7 +1046,8 @@ def ann_batch_topk(spark: SparkSession, root: str,
         return _ann_batch_early(spark, stats, probe_all, dec_q, k,
                                 rerank_vectors, rerank_cut, storage,
                                 _fanout, _buckets_of, ee_mode,
-                                dedup=nt > 1, num_planes=num_planes)
+                                dedup=nt > 1, num_planes=num_planes,
+                                excluded=1 if exclude_self else 0)
     scored = _ann_batch_score(_fanout(probe, _buckets_of(probe)),
                               storage)
     return _ann_batch_tail(scored, dec_q, k, rerank_vectors,
@@ -1036,7 +1057,7 @@ def ann_batch_topk(spark: SparkSession, root: str,
 def _ann_batch_early(spark, stats, probe_all, dec_q, k,
                      rerank_vectors, rerank_cut, storage, fanout,
                      buckets_of, mode="box", dedup=False,
-                     num_planes=NUM_PLANES):
+                     num_planes=NUM_PLANES, excluded=0):
     """The LSH batch early exit — structurally
     ``ivf_index._ivf_batch_early`` with (bucket, flip mask) in place
     of (cell, rank): the threshold key is each query's OWN bucket
@@ -1056,10 +1077,13 @@ def _ann_batch_early(spark, stats, probe_all, dec_q, k,
         p1 = probe_all.filter(F.col("m") == 0).drop("m")
         bf = bounds_frame(spark, stats, "bucket",
                           buckets_of(probe_all))
+        # nz >= m + excluded (r14 ADVICE high): exclude_self removes
+        # at most one nz-counted row per query from scoring — demand
+        # one extra box witness (see the IVF twin's note).
         lq = (p1.join(F.broadcast(dec_q), "qid")
               .join(F.broadcast(bf), "bucket", "left")
               .select("qid",
-                      F.when(F.col("nz") >= m,
+                      F.when(F.col("nz") >= m + excluded,
                              lower_bound_col(F.col("qci"),
                                              F.col("qsq")))
                       .alias("_L"))

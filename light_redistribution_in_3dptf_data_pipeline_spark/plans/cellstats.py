@@ -536,8 +536,8 @@ def lower_bound(qci: list, qsq: float, ent: dict) -> float:
 
 def box_prune_keys(stats: dict, probe_keys: "list[int]", qci: list,
                    qsq: float, m: int,
-                   spark: "SparkSession | None" = None
-                   ) -> "tuple[list, list]":
+                   spark: "SparkSession | None" = None,
+                   excluded: int = 0) -> "tuple[list, list]":
     """(kept, pruned) split of ``probe_keys`` by the ZERO-JOB box
     bound: the first key (the query's own cell/bucket) supplies a
     free threshold — its box's :func:`lower_bound` is a floor under
@@ -548,14 +548,20 @@ def box_prune_keys(stats: dict, probe_keys: "list[int]", qci: list,
     ``nz``, not ``n``: zero vectors score NULL and never rank, so
     only nonzero members witness the floor (an r13-era stats entry
     without ``nz`` keeps everything — sound, just unpruned, until
-    the next ingest/compaction records it). Pure driver arithmetic
-    over ≤ len(probe_keys) × dim terms; a parquet-format root
-    prefetches those entries in one key-pruned read
+    the next ingest/compaction records it). ``excluded`` (r14 ADVICE
+    high): the number of stored rows the caller removes from scoring
+    (``exclude_id`` / ``exclude_self`` — at most one per query) that
+    MIGHT live in the seed key; ``nz`` counts them, so the gate
+    demands ``nz ≥ m + excluded`` scoreable witnesses — with exactly
+    ``nz == m`` members one of which is the excluded id, only m−1
+    rows witness the floor and pruning would be unsound. Pure driver
+    arithmetic over ≤ len(probe_keys) × dim terms; a parquet-format
+    root prefetches those entries in one key-pruned read
     (:func:`get_entries` — needs ``spark``)."""
     ents = get_entries(spark, stats, [int(k) for k in probe_keys])
     seed = ents.get(str(int(probe_keys[0])))
     rest = [int(c) for c in probe_keys[1:]]
-    if seed is None or seed.get("nz", 0) < m:
+    if seed is None or seed.get("nz", 0) < m + excluded:
         return list(probe_keys), []
     floor = lower_bound(qci, qsq, seed)
     kept, pruned = [int(probe_keys[0])], []
@@ -631,7 +637,8 @@ def lower_bound_col(qci: Column, qsq: Column) -> Column:
 def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
                       probe_keys: "list[int]", qci: list, qsq: float,
                       m: int, score_fn,
-                      mode: str = "box") -> "tuple[DataFrame, list]":
+                      mode: str = "box",
+                      excluded: int = 0) -> "tuple[DataFrame, list]":
     """The SINGLE-QUERY early-exit candidate frame: a scored frame
     whose top-m rows under (cosine desc, vec_id asc) equal the full
     probed scan's top-m.
@@ -685,7 +692,7 @@ def early_exit_scored(stats: dict, scan: DataFrame, key_col: str,
     prefetched = {"format": "json", "payload": stats["payload"],
                   "keys": ents}
     kept, pruned = box_prune_keys(prefetched, probe_keys, qci, qsq,
-                                  m)
+                                  m, excluded=excluded)
     if mode == "box":
         if not pruned:
             # nothing proved prunable: the plain single-scan plan

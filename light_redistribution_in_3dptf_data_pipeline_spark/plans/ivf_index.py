@@ -552,7 +552,8 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
         scored, _ = early_exit_scored(
             stats, scan, "cell", probe_cells, qci, qsq, m,
             lambda s: _ivf_scores(s, qci, qsq, exclude_id, storage),
-            mode=ee_mode)
+            mode=ee_mode,
+            excluded=0 if exclude_id is None else 1)
     else:
         scored = _ivf_scores(
             scan.filter(F.col("cell").isin(probe_cells)),
@@ -840,7 +841,8 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     if stats is not None:
         return _ivf_batch_early(spark, stats, probe_all, q, k,
                                 rerank_vectors, rerank_cut, storage,
-                                _fanout, _cells_of, ee_mode)
+                                _fanout, _cells_of, ee_mode,
+                                excluded=1 if exclude_self else 0)
     scored = _ivf_batch_score(_fanout(probe, _cells_of(probe)),
                               storage)
     return _ivf_batch_tail(scored, q, k, rerank_vectors, rerank_cut,
@@ -849,7 +851,7 @@ def ivf_batch_topk(spark: SparkSession, root: str,
 
 def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
                      rerank_cut, storage, fanout, cells_of,
-                     mode="box"):
+                     mode="box", excluded=0):
     """The batch-probe early exit (r12 brief #1, batch shape) —
     per-QUERY pruning, fully distributed.
 
@@ -892,9 +894,15 @@ def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
         bf = bounds_frame(spark, stats, "cell",
                           cells_of(probe_all))
         qsq = _fixed_dot("qci", "qci").cast("double") / F.lit(1e18)
+        # nz >= m + excluded (r14 ADVICE high): exclude_self removes
+        # at most one stored row per query — a row nz counts but the
+        # scan never scores; with nz == m exactly, only m-1 rows
+        # witness the floor, so the gate demands one extra witness
+        # whenever an exclusion is active (cellstats.box_prune_keys
+        # is the single-query twin).
         lq = (p1.join(F.broadcast(bf), "cell", "left")
               .select("qid",
-                      F.when(F.col("nz") >= m,
+                      F.when(F.col("nz") >= m + excluded,
                              lower_bound_col(F.col("qci"), qsq))
                       .alias("_L"))
               .filter(F.col("_L").isNotNull()))
