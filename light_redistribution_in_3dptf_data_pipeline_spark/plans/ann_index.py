@@ -1021,7 +1021,10 @@ def ann_batch_topk(spark: SparkSession, root: str,
     from .cellstats import normalize_mode
     ee_mode = normalize_mode(early_exit)
     stats = None
-    if ee_mode and (len(masks) > 1 if probe_buckets is None
+    # gate on the EFFECTIVE per-query probe count (r14 ADVICE low):
+    # a multi-table root fans nt buckets per query even at hamming=0,
+    # so there is something to prune whenever masks × tables > 1
+    if ee_mode and (len(masks) * nt > 1 if probe_buckets is None
                     else probe_buckets > 1):
         from .cellstats import load_stats, payload_column
         stats = load_stats(spark, root)

@@ -369,16 +369,31 @@ def _write_stats(spark: SparkSession, root: str, kind: str,
     frame.write.mode("overwrite").parquet(f"{root}/{rel}")
     n_keys = (spark.read.schema(BOX_SCHEMA)
               .parquet(f"{root}/{rel}").count())
+    # which version was committed BEFORE this flip: probes read the
+    # stub WITHOUT the writer lease and resolve the parquet box table
+    # lazily at job execution, so a reader holding the old stub (or a
+    # bounds_frame plan over it) must still find its files after we
+    # commit — the sweep below therefore keeps ONE prior generation
+    # (r14 ADVICE medium; the previous immediate sweep regressed the
+    # atomically-read JSON format's no-deleted-data discipline).
+    prev_rel = None
+    if path_exists(spark, _stats_path(root)):
+        old = json.loads(read_text(spark, _stats_path(root)))
+        if old.get("format") == "parquet":
+            prev_rel = old.get("data")
     doc = {"version": 1, "payload": kind, "format": "parquet",
            "data": rel, "n_keys": n_keys}
     write_text_atomic(spark, _stats_path(root),
                       json.dumps(doc, sort_keys=True))
     # sweep superseded/orphaned version dirs AFTER the commit flip —
-    # everything but the version the stub now points at (a crash
-    # before the flip left such a dir invisible; the next commit
-    # lands here and sweeps it)
+    # everything except the version the stub now points at AND the
+    # one it pointed at a moment ago (the one-generation grace above;
+    # crash-orphaned dirs, which no stub ever referenced, go now)
+    keep = {rel, prev_rel}
     for v in vers:
-        delete_path(spark, f"{root}/{STATS_DATA_DIR}/v-{v:06d}")
+        vrel = f"{STATS_DATA_DIR}/v-{v:06d}"
+        if vrel not in keep:
+            delete_path(spark, f"{root}/{vrel}")
     doc["_root"] = root
     return doc
 

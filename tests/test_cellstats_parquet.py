@@ -132,14 +132,32 @@ def test_recompute_tightens_and_sweeps_versions(spark, big_root,
                                                 tmp_path):
     root, full = big_root
     from light_redistribution_in_3dptf_data_pipeline_spark.fs import list_dir
+    prev = CS.load_stats(spark, root)
     doc = CS.recompute_stats(spark, root, full, "cell", "float", DIM)
     assert doc.get("format") == "parquet"
     assert doc["n_keys"] == 50_000
-    # exactly ONE live version dir after the sweep
-    vers = [d for d in list_dir(spark, f"{root}/{CS.STATS_DATA_DIR}")
-            if d.startswith("v-")]
-    assert len(vers) == 1
-    assert doc["data"].endswith(vers[0])
+    # the sweep keeps the NEW version plus ONE grace generation (the
+    # previously committed dir — r14 ADVICE medium: probes resolve
+    # the box table lazily, so a reader holding the old stub must
+    # still find its files); everything older is gone
+    vers = sorted(d for d in
+                  list_dir(spark, f"{root}/{CS.STATS_DATA_DIR}")
+                  if d.startswith("v-"))
+    assert len(vers) == 2
+    assert doc["data"].endswith(vers[-1])
+    assert prev["data"].endswith(vers[0])
+    # a reader that loaded the stub BEFORE the commit still reads
+    ents = CS.get_entries(spark, prev, [0, 42])
+    assert set(ents) == {"0", "42"}
+    # the NEXT commit retires that grace generation
+    doc2 = CS.recompute_stats(spark, root, full, "cell", "float", DIM)
+    vers2 = sorted(d for d in
+                   list_dir(spark, f"{root}/{CS.STATS_DATA_DIR}")
+                   if d.startswith("v-"))
+    assert len(vers2) == 2
+    assert doc2["data"].endswith(vers2[-1])
+    assert doc["data"].endswith(vers2[0])
+    assert vers[0] not in vers2
     status, viol = CS.verify_stats(spark, root, full, "cell",
                                    "float", DIM)
     assert status == "checked" and viol == []

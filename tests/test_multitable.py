@@ -197,6 +197,14 @@ def test_mt_early_exit_parity(spark, mt_root, emb):
         gotb = brows(A.ann_batch_topk(spark, mt_root, queries, k=10,
                                       early_exit=mode))
         assert gotb == wantb, mode
+    # hamming=0 on a multi-table root still fans nt buckets per
+    # query, so early exit engages (r14 ADVICE low: the old gate
+    # keyed on len(masks) alone) — and stays row-for-row exact
+    wantb0 = brows(A.ann_batch_topk(spark, mt_root, queries, k=10,
+                                    hamming=0))
+    gotb0 = brows(A.ann_batch_topk(spark, mt_root, queries, k=10,
+                                   hamming=0, early_exit=True))
+    assert gotb0 == wantb0
 
 
 def test_mt_maintenance_lifecycle(spark, emb, tmp_path):
