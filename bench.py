@@ -150,17 +150,22 @@ def main() -> None:
     # so a uniformly slower host (r12: driver 1.29 vs builder 1.12)
     # is separated from plan drift MECHANICALLY. The r13 leg's
     # 0.354 s warm was too small a denominator (its own noise
-    # injected a ±15% phantom "regression"), so v2 runs 256M rows
-    # (≥2 s warm), takes the median of FIVE warm runs, RECORDS the
-    # spread, and the normalization below refuses the adjustment —
-    # and says so — when the calibration CV exceeds 5% or the prior
-    # round ran a different leg version. Not counted in the totals
-    # (it is a ruler, not a workload).
-    CALIB_VERSION = 2
+    # injected a ±15% phantom "regression"); v2's 256M rows ran
+    # ~0.53 s warm on a 32-core host with CV 16% — the 5% gate fired
+    # every round and the ruler never engaged (VERDICT r14 "what's
+    # missing" #3 predicted exactly this). v3 runs 1G rows (~1.2 s
+    # warm, measured CV 4.0% on the same host), takes the median of
+    # FIVE warm runs, RECORDS the spread, and the normalization below
+    # refuses the adjustment — and says so — when the calibration CV
+    # exceeds 5% or the prior round ran a different leg version (so
+    # the r15-vs-r14 comparison reads raw ratios by design; v3-to-v3
+    # engages from r16). Not counted in the totals (it is a ruler,
+    # not a workload).
+    CALIB_VERSION = 3
     from pyspark.sql import functions as _F
 
     def _calibration_leg():
-        (spark.range(0, 256_000_000, 1, 32)
+        (spark.range(0, 1_024_000_000, 1, 32)
          .select((_F.col("id") % 9973).alias("k"),
                  ((_F.col("id") * 2654435761) % 1000003).alias("v"))
          .groupBy("k")
@@ -440,9 +445,12 @@ def main() -> None:
                   clu.filter("vec_id = 0").select("embedding")
                   .head()[0]]
         # early_exit=True is BOX mode since r14 (zero-job bound —
-        # must read ≤ the plain leg on this idle session); the
-        # *_seed legs keep the r13 two-phase shape measurable (its
-        # win is task-seconds / constrained slots, not idle wall)
+        # must read ≤ the plain leg on this idle session). The r13/r14
+        # *_seed headline legs are RETIRED (r14 VERDICT #8): the
+        # opt-in two-phase mode's cost model is recorded in
+        # EE_COSTMODEL_r14.json and stays measurable on demand via
+        # tools/profile_ee_sf1.py — re-measuring a known number cost
+        # 1.7 s of headline wall every round.
         for fam, probe in (
                 ("ivf8_np4_topk",
                  lambda: ivf_incremental_topk(
@@ -451,10 +459,6 @@ def main() -> None:
                  lambda: ivf_incremental_topk(
                      spark, ee_root, qvec_c, nprobe=4, exclude_id=0,
                      early_exit=True)),
-                ("ivf8_np4_seed_topk",
-                 lambda: ivf_incremental_topk(
-                     spark, ee_root, qvec_c, nprobe=4, exclude_id=0,
-                     early_exit="seed")),
                 ("ann8_h2_topk",
                  lambda: ann_incremental_topk(
                      spark, ann_ee_root, qvec_c, hamming=2,
@@ -462,11 +466,7 @@ def main() -> None:
                 ("ann8_h2_ee_topk",
                  lambda: ann_incremental_topk(
                      spark, ann_ee_root, qvec_c, hamming=2,
-                     exclude_id=0, early_exit=True)),
-                ("ann8_h2_seed_topk",
-                 lambda: ann_incremental_topk(
-                     spark, ann_ee_root, qvec_c, hamming=2,
-                     exclude_id=0, early_exit="seed"))):
+                     exclude_id=0, early_exit=True))):
             cold, warm, _ = _run(
                 lambda: probe()
                 .write.format("noop").mode("overwrite").save())
@@ -537,6 +537,20 @@ def main() -> None:
         total += cold
         total_warm += warm
         print(f"# ann_mt4_batch32_topk: {cold:.3f}s (warm median "
+              f"{warm:.3f}s)", file=sys.stderr)
+        # batch BUDGET probes (r15 brief #1): the margin-ranked
+        # probe_buckets mode shipped broken in r14 with no bench
+        # coverage — this leg keeps the path from ever silently
+        # breaking again (37 = the parity test's largest budget)
+        cold, warm, _ = _run(
+            lambda: ann_batch_topk(spark, mt_root, queries32,
+                                   probe_buckets=37)
+            .write.format("noop").mode("overwrite").save())
+        per_query["ann_mt4_batch32_pb37"] = round(cold, 3)
+        per_query_warm["ann_mt4_batch32_pb37"] = round(warm, 3)
+        total += cold
+        total_warm += warm
+        print(f"# ann_mt4_batch32_pb37: {cold:.3f}s (warm median "
               f"{warm:.3f}s)", file=sys.stderr)
     finally:
         shutil.rmtree(mt_root, ignore_errors=True)

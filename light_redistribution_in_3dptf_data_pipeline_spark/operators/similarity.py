@@ -90,26 +90,47 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
         F.lit(f"lsh_buckets: expected {dim}-dim embedding, got "),
         F.size(F.col(vec_col)).cast("string"))))
     signs = _plane_signs(num_planes, dim, table)
-    return emb.select(id_col, _bucket_expr(ci, signs).alias("bucket"))
+    dots = [F.expr(_signed_sum_sql("_ci", row)).alias(f"_d{j}")
+            for j, row in enumerate(signs)]
+    return (emb.select(id_col, ci.alias("_ci"))
+            .select(id_col, *dots)
+            .select(id_col,
+                    F.expr(_pack_bits_sql("_d", num_planes))
+                    .alias("bucket")))
 
 
-def _bucket_expr(ci: Column, signs: list[list[int]]) -> Column:
-    """The J-bit signature fold over already-decoded nano components
-    — shared by :func:`lsh_buckets` and the multi-table bucketing
-    (plans/ann_index), so every table's executor-side signature is
-    the same arithmetic the driver-side ``query_bucket`` signs."""
-    bucket = None
-    for j, row in enumerate(signs):
-        sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
-        dot_j = F.aggregate(
-            F.zip_with(ci, sarr, lambda x, s: x * s),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x)
-        bit = F.when(dot_j > 0, F.lit(1).cast("bigint")) \
-               .otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, j)
-        bucket = term if bucket is None else bucket + term
-    return bucket
+def _signed_sum_sql(ci_name: str, row: list[int]) -> str:
+    """One plane's exact BIGINT dot — the SAME
+    ``aggregate(zip_with(ci, signs, *), 0L, +)`` fold the engine has
+    always evaluated, but authored as SQL TEXT over an already-decoded
+    named nano-component column. Why text and not a Column tree: the
+    ±1 sign matrix is J×dim literals, and building it
+    Column-by-Column costs thousands of py4j round trips PER PLAN —
+    measured ~5.6 s of pure driver time per batch-multiprobe call at
+    L=4 (r15) — while one ``F.expr`` parse is milliseconds. Why keep
+    the HOF form rather than an unrolled ``ci[0]-ci[1]+…`` sum: the
+    unrolled J×dim expression gets re-fused by CollapseProject and
+    overflows janino's 64 KB method limit, and the FAILED compile
+    attempt alone costs seconds per stage before the interpreter
+    fallback runs (measured r15); the HOF is codegen-opaque, so
+    surrounding stages compile small and its own interpreted eval is
+    the r14 status quo. NULL semantics identical: zip_with NULL-pads,
+    a NULL payload folds to a NULL dot → bit 0."""
+    arr = ",".join(f"{s}L" for s in row)
+    return (f"aggregate(zip_with({ci_name}, array({arr}), "
+            f"(x, s) -> x * s), 0L, (acc, x) -> acc + x)")
+
+
+def _pack_bits_sql(dot_prefix: str,
+                   num_planes: int = NUM_PLANES) -> str:
+    """``shiftleft(if(_d0 > 0, 1L, 0L), 0) + …`` — the J-bit
+    signature pack over the staged per-plane dot columns
+    (sign-identical to the driver-side ``query_bucket``: ``> 0`` on
+    the exact integer dot; a NULL payload folds every bit to 0
+    exactly like the old NULL-padded zip_with)."""
+    return "(" + " + ".join(
+        f"shiftleft(if({dot_prefix}{j} > 0, 1L, 0L), {j})"
+        for j in range(num_planes)) + ")"
 
 
 def bucket_histogram(emb: DataFrame, id_col: str = "vec_id",

@@ -546,8 +546,8 @@ def _mt_bucket_frame(emb: DataFrame, id_col: str, vec_col: str,
     each table's signature folds over it; posexplode fans the L
     composite ids out row-side — no joins, no shuffle). L=1
     delegates to :func:`operators.similarity.lsh_buckets` verbatim."""
-    from ..operators.similarity import (_bucket_expr, _plane_signs,
-                                        _fixed_point)
+    from ..operators.similarity import (_pack_bits_sql, _plane_signs,
+                                        _fixed_point, _signed_sum_sql)
 
     if num_tables <= 1:
         return lsh_buckets(emb, id_col, vec_col, num_planes, dim)
@@ -557,11 +557,23 @@ def _mt_bucket_frame(emb: DataFrame, id_col: str, vec_col: str,
         F.lit(f"multi-table bucketing: expected {dim}-dim embedding,"
               f" got "),
         F.size(F.col(vec_col)).cast("string"))))
-    buckets = F.array(*[
-        _bucket_expr(ci, _plane_signs(num_planes, dim, t))
-        + F.lit(t << num_planes).cast("bigint")
-        for t in range(num_tables)])
-    return emb.select(id_col, F.explode(buckets).alias("bucket"))
+    # SQL text + staged per-plane dot columns (see
+    # operators.similarity._signed_sum_sql on why text and why the
+    # dots are separate columns): table t's composite bucket packs
+    # its J staged dots and adds the t<<J table prefix
+    cols, per_table = [], []
+    for t in range(num_tables):
+        signs = _plane_signs(num_planes, dim, t)
+        cols.extend(
+            F.expr(_signed_sum_sql("_ci", row)).alias(f"_d{t}_{j}")
+            for j, row in enumerate(signs))
+        per_table.append(
+            f"({_pack_bits_sql(f'_d{t}_', num_planes)} "
+            f"+ {t << num_planes}L)")
+    arr = "array(" + ", ".join(per_table) + ")"
+    return (emb.select(id_col, ci.alias("_ci"))
+            .select(id_col, *cols)
+            .select(id_col, F.explode(F.expr(arr)).alias("bucket")))
 
 
 def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
@@ -585,7 +597,8 @@ def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
     ``max_queries_per_job`` past that."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import _fixed_point, _plane_signs
+    from ..operators.similarity import (_fixed_point, _plane_signs,
+                                        _signed_sum_sql)
 
     if num_planes > 16:
         # the flip enumeration materializes 2^J rows per (query,
@@ -606,21 +619,25 @@ def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
               f"got "),
         F.size(F.col("embedding")).cast("string"))))
 
-    def dots_expr(table: int):
-        signs = _plane_signs(num_planes, dim, table)
-        return F.array(*[
-            F.aggregate(
-                F.zip_with(ci, F.array(*[F.lit(s).cast("bigint")
-                                         for s in row]),
-                           lambda x, s: x * s),
-                F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-            for row in signs])
-
-    tables = F.explode(F.array(*[
-        F.struct(F.lit(t).alias("t"), dots_expr(t).alias("dots"))
-        for t in range(num_tables)])).alias("tb")
-    per_t = q.select("qid", tables).select(
-        "qid", F.col("tb.t").alias("t"), F.col("tb.dots").alias("dots"))
+    # per-table signed plane dots as SQL text over staged per-plane
+    # columns (the Column-tree build cost thousands of py4j round
+    # trips — ~5.6 s driver time per call at L=4, measured r15; and
+    # one fused expression overflows janino's 64 KB method limit —
+    # see operators.similarity._signed_sum_sql)
+    cols, structs = [], []
+    for t in range(num_tables):
+        signs = _plane_signs(num_planes, dim, t)
+        cols.extend(
+            F.expr(_signed_sum_sql("_ci", row)).alias(f"_d{t}_{j}")
+            for j, row in enumerate(signs))
+        darr = ", ".join(f"_d{t}_{j}" for j in range(num_planes))
+        structs.append(f"struct({t} AS t, array({darr}) AS dots)")
+    tb = "array(" + ", ".join(structs) + ")"
+    per_t = (q.select("qid", ci.alias("_ci"))
+             .select("qid", *cols)
+             .select("qid", F.explode(F.expr(tb)).alias("tb"))
+             .select("qid", F.col("tb.t").alias("t"),
+                     F.col("tb.dots").alias("dots")))
     # own bucket from the SAME dots the margins come from
     own = None
     for j in range(num_planes):
