@@ -81,6 +81,48 @@ def read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+# Per-process memo of small control-plane JSON docs (index _meta,
+# cellstats stub — r14 VERDICT #6 "what's missing" #4): every probe
+# re-read + re-parsed them through py4j (~20-45 ms for a multi-MB
+# JSON stats doc), so a repeat box-mode probe paid a constant the
+# plain probe didn't. Revalidation is ONE getFileStatus per call —
+# any commit flip (write_text_atomic = new file + rename) changes
+# (mtime, length), so out-of-band writers are picked up without an
+# in-process invalidation hook. Staleness window: a rewrite within
+# the same filesystem-mtime tick AND the same byte length — not a
+# shape any committer here produces (docs carry version/batch ids).
+# LRU-bounded: tests churn thousands of throwaway roots; probes hit
+# the same few.
+_JSON_DOC_CACHE: "dict[str, tuple[tuple[int, int], dict]]" = {}
+_JSON_DOC_CACHE_MAX = 16
+
+
+def read_json_doc(spark: SparkSession, path: str) -> "dict | None":
+    """Parsed JSON doc at ``path`` (None if absent), memoized per
+    process and revalidated by (mtime, length). The returned dict is
+    SHARED with the cache — callers must treat it as read-only and
+    shallow-copy before annotating (plans/cellstats.load_stats does)."""
+    import json
+
+    fs, p = _fs(spark, path)
+    try:
+        st = fs.getFileStatus(p)
+    except Exception:   # Py4JJavaError(FileNotFoundException)
+        _JSON_DOC_CACHE.pop(path, None)
+        return None
+    key = (int(st.getModificationTime()), int(st.getLen()))
+    hit = _JSON_DOC_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    doc = json.loads(read_text(spark, path))
+    if len(_JSON_DOC_CACHE) >= _JSON_DOC_CACHE_MAX:
+        # drop an arbitrary entry (insertion order ≈ oldest): the
+        # cache exists for repeat probes against a handful of roots
+        _JSON_DOC_CACHE.pop(next(iter(_JSON_DOC_CACHE)))
+    _JSON_DOC_CACHE[path] = (key, doc)
+    return doc
+
+
 # Filesystems whose rename is an atomic metadata operation. On object
 # stores (s3a, gs, abfss) rename is copy+delete — NOT atomic — but
 # there the single PUT of a direct create already is, so each scheme

@@ -298,11 +298,14 @@ def load_stats(spark: SparkSession, root: str) -> "dict | None":
     ``_root`` is injected here so the accessors
     (:func:`get_entries`, :func:`bounds_frame`) can resolve it
     without re-threading the root through every probe."""
-    if not path_exists(spark, _stats_path(root)):
+    from ..fs import read_json_doc
+    doc = read_json_doc(spark, _stats_path(root))
+    if doc is None:
         return None
-    doc = json.loads(read_text(spark, _stats_path(root)))
-    doc["_root"] = root
-    return doc
+    # shallow copy: the cached doc is shared across calls (fs.py) —
+    # the "_root" annotation and widen_stats' key-map rebuild must
+    # not leak into it
+    return {**doc, "_root": root}
 
 
 def _data_frame(spark: SparkSession, stats: dict) -> DataFrame:
@@ -451,7 +454,10 @@ def widen_stats(spark: SparkSession, root: str, delta: DataFrame,
         _write_stats(spark, root, kind, keys=keys)
         return
     fresh = _delta_bounds(delta, key_col, payload, dim)
-    keys = existing["keys"]
+    # new outer dict: existing["keys"] may be the process-wide doc
+    # cache's object (fs.read_json_doc) — entries are REPLACED, never
+    # mutated in place, so a shallow copy isolates the merge
+    keys = dict(existing["keys"])
     for key, ent in fresh.items():
         old = keys.get(key)
         if old is None:

@@ -86,11 +86,13 @@ def _meta_path(root: str) -> str:
 
 
 def _load_meta(spark: SparkSession, root: str) -> dict:
-    if not path_exists(spark, _meta_path(root)):
+    from ..fs import read_json_doc
+    doc = read_json_doc(spark, _meta_path(root))   # memoized (fs.py)
+    if doc is None:
         raise ValueError(
             f"incremental IVF root {root} has no {META_NAME} — not an "
             f"initialized index (init_ivf_index creates it)")
-    return json.loads(read_text(spark, _meta_path(root)))
+    return dict(doc)   # shallow copy: the cached doc is shared
 
 
 def _centroid_digest(rows) -> str:

@@ -234,3 +234,52 @@ def test_probe_parity_json_vs_parquet_root(spark, tmp_path,
     rep = I.verify_ivf_index(spark, roots["parquet"])
     assert rep["cellstats_check"] == "checked"
     assert rep["violations"] == []
+
+
+def test_multitable_root_crosses_parquet_threshold(spark, tmp_path,
+                                                   monkeypatch):
+    """r15 brief #7: a MULTI-TABLE root's composite key space is
+    L·2^J — at J=8, L=4 the ~800 occupied composite buckets of the
+    sf0.001 fixture cross a (patched-down) parquet threshold, so the
+    boxes live in the sidecar. Pin the full round-trip: two ingests
+    (widen → distributed merge), nz accounting (every vector is
+    counted once PER TABLE), fsck's cellstats check green, and probe
+    parity plain vs box vs seed."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.catalog import (
+        load_table)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        ann_index as A)
+
+    monkeypatch.setattr(CS, "STATS_PARQUET_THRESHOLD", 64)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path / "mt4")
+    A.ann_ingest_delta(spark, root, emb.filter("vec_id % 2 = 0"),
+                       "d1", num_tables=4)
+    A.ann_ingest_delta(spark, root, emb.filter("vec_id % 2 = 1"),
+                       "d2")
+    stats = CS.load_stats(spark, root)
+    assert stats.get("format") == "parquet", stats.get("format")
+    assert stats["n_keys"] > 64
+    # nz accounting at parquet scale: each vector is a nonzero
+    # direction in exactly one bucket PER TABLE
+    agg = CS._data_frame(spark, stats).agg(
+        F.sum("n").alias("n"), F.sum("nz").alias("nz")).head()
+    assert int(agg.n) == emb.count() * 4
+    assert int(agg.nz) == emb.count() * 4
+    # fsck: ledger ×L green AND the cellstats soundness check runs
+    # against the parquet sidecar
+    rep = A.verify_ann_index(spark, root)
+    assert rep["violations"] == []
+    assert rep["cellstats_check"] == "checked"
+    # probe parity: the box/seed floors read the parquet sidecar
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").select("embedding").head()[0]]
+    want = sorted((int(r.vec_id), round(float(r.cosine), 9))
+                  for r in A.ann_incremental_topk(
+                      spark, root, qv, k=10, exclude_id=0).collect())
+    for mode in (True, "seed"):
+        got = sorted((int(r.vec_id), round(float(r.cosine), 9))
+                     for r in A.ann_incremental_topk(
+                         spark, root, qv, k=10, exclude_id=0,
+                         early_exit=mode).collect())
+        assert got == want, mode
