@@ -42,10 +42,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-SEVERITY = {"retrain_migrate": 90, "compact_hot": 70,
+SEVERITY = {"retrain_migrate": 90, "stale_index": 80,
+            "compact_hot": 70,
             "investigate_gates": 60, "compact_batches": 50,
             "prune_superseded": 40, "release_pins": 30,
-            "tune_probes": 20}
+            "tune_probes": 20, "tune_tables": 20}
 
 
 def suggest_maintenance(spark: SparkSession, root: str,
@@ -56,7 +57,10 @@ def suggest_maintenance(spark: SparkSession, root: str,
                         max_pin_held_bytes: int | None = None,
                         now: float | None = None,
                         fsck: dict | None = None,
-                        target_cell_rows: int | None = None) -> dict:
+                        target_cell_rows: int | None = None,
+                        recall_target: float | None = None,
+                        corpus_root: str | None = None,
+                        max_unindexed_batches: int = 0) -> dict:
     """The ranked maintenance advisory for one root — index OR
     corpus (kind-dispatched on the manifest/meta layout; corpus
     signals in :func:`_suggest_corpus` — r12 brief #4). ``root`` may
@@ -205,6 +209,23 @@ def suggest_maintenance(spark: SparkSession, root: str,
     if tune is not None:
         actions.append(tune)
 
+    # 6. table economics (r15 brief #3): the multi-table knob L
+    # multiplies storage and ingest by L — price it from the same
+    # committed series once samples span ≥ 2 table settings
+    tables = _tune_tables_action(hist, recall_target)
+    if tables is not None:
+        actions.append(tables)
+
+    # 7. index freshness vs the corpus (r15 brief #9): the one
+    # operational blind spot — the corpus keeps committing batches
+    # the index never ingested, and nothing said so until a recall
+    # sample happened to notice
+    if corpus_root is not None:
+        stale = _stale_index_action(spark, corpus_root, root,
+                                    max_unindexed_batches)
+        if stale is not None:
+            actions.append(stale)
+
     actions.sort(key=lambda a: (-a["severity"], a["action"]))
     return {"root": root, "kind": kind, "actions": actions,
             "fsck_violations": list(fsck["violations"])}
@@ -304,6 +325,162 @@ def _tune_probes_action(spark, root: str, kind: str, hist: dict,
             "signal": signal}
 
 
+def _stale_index_action(spark, corpus_root: str, index_root: str,
+                        max_unindexed_batches: int = 0
+                        ) -> "dict | None":
+    """INDEX-FRESHNESS advisory (r15 brief #9): the streaming
+    ingestion path keeps committing corpus batches; an index that
+    stopped ingesting silently serves an ever-older view — the one
+    operational blind spot the advisory stack had (recall canaries
+    grade the index against ITS OWN vectors, so they cannot see
+    corpus-side growth). Staleness is PROVENANCE-based, not
+    clock-based: every index manifest records the ``corpus_batch``
+    id(s) it ingested (compaction unions them), so the lag is the
+    set of LIVE corpus batches no live index batch covers — exact
+    under compaction/retention on either side, and immune to clock
+    skew. Fires when that set exceeds ``max_unindexed_batches``
+    (default 0: any uncovered batch), naming the most recently
+    committed uncovered corpus batch (manifest mtime) and the
+    index's newest covered one. Quiet on a fresh index; index
+    batches with NO recorded provenance make coverage unknowable —
+    said in the reason rather than guessed."""
+    from ..fs import file_mtime_ms
+    from .corpus import _load_manifests, _manifest_path, _superseded
+    from .migration import resolve_corpus_root
+
+    corpus_root = resolve_corpus_root(spark, corpus_root,
+                                      strict=False)
+    cms = _load_manifests(spark, corpus_root)
+    corpus_live = sorted(b for b in cms if b not in _superseded(cms))
+    if not corpus_live:
+        return None
+    vms = _load_manifests(spark, index_root)
+    vec_live = sorted(b for b in vms if b not in _superseded(vms))
+    covered: set = set()
+    unprovenanced = []
+    for b in vec_live:
+        v = vms[b].get("corpus_batch")
+        provs = v if isinstance(v, list) else [v] if v is not None \
+            else []
+        if provs:
+            covered.update(provs)
+        else:
+            unprovenanced.append(b)
+    uncovered = [b for b in corpus_live if b not in covered]
+    if len(uncovered) <= max_unindexed_batches:
+        return None
+
+    def _mt(b):
+        try:
+            return file_mtime_ms(spark, _manifest_path(corpus_root,
+                                                       b))
+        except Exception:
+            return -1
+
+    newest = max(uncovered, key=_mt)
+    cov_live = [b for b in corpus_live if b in covered]
+    last_ingested = max(cov_live, key=_mt) if cov_live else None
+    reason = (
+        f"index is behind the corpus: {len(uncovered)} live corpus "
+        f"batch(es) have no covering index ingest (newest: "
+        f"'{newest}'; index's last ingested corpus batch: "
+        f"{'none' if last_ingested is None else repr(last_ingested)})"
+        f" — ingest the lagging batches (ann_ingest_delta/"
+        f"ivf_ingest_delta with corpus_batch=...)")
+    if unprovenanced:
+        reason += (f"; note: index batches {unprovenanced[:4]} record"
+                   f" no corpus_batch provenance — their coverage is "
+                   f"unknowable and counted as none")
+    return {"action": "stale_index",
+            "severity": SEVERITY["stale_index"],
+            "reason": reason,
+            "signal": {"corpus_root": corpus_root,
+                       "unindexed_batches": uncovered,
+                       "newest_unindexed": newest,
+                       "last_ingested": last_ingested,
+                       "unprovenanced_index_batches": unprovenanced}}
+
+
+def _tune_tables_action(hist: dict,
+                        recall_target: "float | None" = None,
+                        near_best: float = 0.95) -> "dict | None":
+    """TABLE-ECONOMICS advisory (r15 brief #3): ``num_tables=L``
+    multiplies storage and ingest work by L, and nothing priced
+    WHICH L until now. Committed recall samples carry ``num_tables``
+    + ``scan_frac`` (plans/recall.measure_recall, r15) — a root that
+    has been MIGRATED between table settings (or graded before and
+    after one) therefore holds a cross-L curve, and this action
+    names the CHEAPEST measured (L, fan-out) meeting the target:
+
+    - target = ``recall_target`` when the operator states one, else
+      ``near_best`` × the best measured recall (the default asks
+      "what is the cheapest setting that is practically as good as
+      the best we ever measured?");
+    - cost order = (scan_frac, num_tables): scan rows are the probe
+      wall, tables the storage/ingest multiplier;
+    - QUIET unless ≥ 2 distinct table settings are measured (one L
+      proves nothing about the knob) AND a config with FEWER tables
+      than the most measured meets the target — if only the largest
+      L reaches it, its storage is buying recall and silence is the
+      honest answer. Advice-only, like ``tune_probes``."""
+    by_cfg: dict = {}
+    for s in hist.get("samples", ()):
+        if "num_tables" not in s or "scan_frac" not in s:
+            continue
+        p = s.get("param") or {}
+        if len(p) != 1:
+            continue
+        (knob, val), = p.items()
+        # seq-ordered history: last sample per config wins
+        by_cfg[(int(s["num_tables"]), knob, int(val))] = s
+    tables_seen = {L for L, _, _ in by_cfg}
+    if len(tables_seen) < 2:
+        return None
+    best = max(s["recall"] for s in by_cfg.values())
+    if best <= 0:
+        return None
+    target = recall_target if recall_target is not None \
+        else round(near_best * best, 4)
+    eligible = {cfg: s for cfg, s in by_cfg.items()
+                if s["recall"] >= target}
+    if not eligible:
+        return None
+    cheapest_cfg = min(
+        eligible, key=lambda c: (eligible[c]["scan_frac"], c[0]))
+    max_l = max(tables_seen)
+    use_l, use_knob, use_val = cheapest_cfg
+    if use_l >= max_l:
+        return None   # the biggest table count is earning its keep
+    use = eligible[cheapest_cfg]
+    # the best-recall config at the LARGEST measured L, for the
+    # price comparison in the reason text
+    big_cfg = max(((c, s) for c, s in by_cfg.items()
+                   if c[0] == max_l),
+                  key=lambda cs: cs[1]["recall"])
+    big_l, big_knob, big_val = big_cfg[0]
+    big = big_cfg[1]
+    return {
+        "action": "tune_tables",
+        "severity": SEVERITY["tune_tables"],
+        "reason": (
+            f"num_tables={use_l} at {use_knob}={use_val} reaches "
+            f"recall@{use['k']} {use['recall']} at scan_frac "
+            f"{use['scan_frac']} — meeting the target {target}; "
+            f"num_tables={big_l}'s extra {max_l / use_l:g}× storage "
+            f"buys {round(big['recall'] - use['recall'], 4)} recall "
+            f"at {round(big['scan_frac'] / max(use['scan_frac'], 1e-9), 2)}× "
+            f"scan ({big_knob}={big_val}: {big['recall']} at "
+            f"{big['scan_frac']}); drop to num_tables={use_l}"),
+        "signal": {
+            "target": target,
+            "use": {"num_tables": use_l, use_knob: use_val,
+                    "recall": use["recall"],
+                    "scan_frac": use["scan_frac"]},
+            "measured_best": {"num_tables": big_l, big_knob: big_val,
+                              "recall": big["recall"],
+                              "scan_frac": big["scan_frac"]}}}
+
+
 def _hot_suppressed(spark, root: str, kind: str, hot,
                     max_rows: int) -> bool:
     """compact_hot LOOP-BREAKER (r12 brief #8): once a size-aware
@@ -389,10 +566,10 @@ def apply_maintenance(spark: SparkSession, root: str,
     compacted = False
     for act in before["actions"]:
         name = act["action"]
-        if name == "tune_probes":
-            # a probe-knob recommendation, not a root mutation —
-            # there is nothing to "apply" here; callers change their
-            # own probe arguments
+        if name in ("tune_probes", "tune_tables"):
+            # a probe/table-knob recommendation, not a root mutation
+            # — there is nothing to "apply" here; callers change
+            # their own probe arguments (tables via migrate_index)
             skipped.append({"action": name,
                             "why": "advice-only (caller-side knobs)"})
             continue

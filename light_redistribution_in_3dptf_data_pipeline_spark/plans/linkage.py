@@ -203,7 +203,11 @@ def verify_deployment(spark: SparkSession, corpus_root: str,
                 spark, iroot,
                 max_pin_age_seconds=max_pin_age_seconds,
                 max_pin_held_bytes=max_pin_held_bytes,
-                fsck=out["roots"][iroot])
+                fsck=out["roots"][iroot],
+                # the deployment check knows the corpus root, so the
+                # index advisories also watch FRESHNESS (r15 brief
+                # #9: a lagging index fires stale_index here)
+                corpus_root=corpus_root)
             for iroot in index_roots}
         # EVERY root kind carries advice (r12 brief #4): the corpus
         # root gets its own advisory, also fsck-reusing

@@ -649,6 +649,25 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             f"the migration (committed migrate-* batches resume by "
             f"identity) before cutting over")
 
+    # carry the committed recall series (r15 brief #3): the samples
+    # are the root's QUALITY PROVENANCE — the advisory's retrain
+    # trigger needs the before/after curve, and tune_tables prices
+    # num_tables settings from samples that span a migration (each
+    # sample records the num_tables/scan_frac it was measured
+    # under). Small control-plane JSON; resume-safe (skip existing).
+    from ..fs import list_dir as _ls
+    from ..fs import path_exists as _pe
+    from ..fs import read_text as _rt
+    from ..fs import write_text_atomic as _wta
+    from .recall import METRICS_DIR
+    for n in _ls(spark, f"{old_root}/{METRICS_DIR}"):
+        if not n.endswith(".json") or ".tmp-" in n:
+            continue
+        dst = f"{new_root}/{METRICS_DIR}/{n}"
+        if not _pe(spark, dst):
+            _wta(spark, dst,
+                 _rt(spark, f"{old_root}/{METRICS_DIR}/{n}"))
+
     report = {"old_root": old_root, "new_root": new_root,
               "kind": kind, "batches_migrated": migrated,
               "batches_skipped": skipped, "n_vectors": n_vectors,

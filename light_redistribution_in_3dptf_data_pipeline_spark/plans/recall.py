@@ -61,17 +61,37 @@ def measure_recall(spark: SparkSession, root: str,
     ``hamming`` to LSH roots (``probe_buckets`` switches LSH to the
     margin-ranked multi-probe sequence at a fixed bucket budget —
     ann_index.multiprobe_set, r12 brief #7). Returns ``{"recall",
-    "k", "n_queries", "param"}``."""
-    from .ann_index import ann_incremental_topk, ann_vectors
-    from .ivf_index import ivf_incremental_topk, ivf_vectors
+    "k", "n_queries", "param", "scan_frac", ["num_tables"]}`` —
+    ``scan_frac`` (r15 brief #3) is the uniform-occupancy expected
+    fraction of the corpus the probe scans (probed buckets / 2^J per
+    table summed for LSH; nprobe / n_cells for IVF): the series'
+    COST axis, so the tune_tables advisory can price (L, fan-out)
+    settings against each other from committed samples alone."""
+    import math
+
+    from .ann_index import (_load_meta as _ann_meta, _num_tables,
+                            ann_incremental_topk, ann_vectors)
+    from .ivf_index import (_load_meta as _ivf_meta,
+                            ivf_incremental_topk, ivf_vectors)
     from .linkage import _index_kind
 
     kind = _index_kind(spark, root)
+    extra: dict = {}
     if kind == "ann_lsh_incremental":
+        meta = _ann_meta(spark, root)
+        nt = _num_tables(meta)
+        j = int(meta["num_planes"])
         full = ann_vectors(spark, root)
-        param = ({"probe_buckets": probe_buckets}
-                 if probe_buckets is not None
-                 else {"hamming": hamming})
+        if probe_buckets is not None:
+            param = {"probe_buckets": probe_buckets}
+            # the budget is TOTAL buckets across tables, capped by
+            # the composite space
+            frac = min(probe_buckets, nt << j) / (1 << j)
+        else:
+            param = {"hamming": hamming}
+            ball = sum(math.comb(j, i) for i in range(hamming + 1))
+            frac = nt * min(ball, 1 << j) / (1 << j)
+        extra = {"num_tables": nt, "scan_frac": round(frac, 4)}
 
         def probe(qvec, qid):
             return ann_incremental_topk(spark, root, qvec, k=k,
@@ -79,8 +99,12 @@ def measure_recall(spark: SparkSession, root: str,
                                         hamming=hamming,
                                         probe_buckets=probe_buckets)
     else:
+        meta = _ivf_meta(spark, root)
         full = ivf_vectors(spark, root)
         param = {"nprobe": nprobe}
+        n_cells = max(1, int(meta.get("n_cells", 1)))
+        extra = {"scan_frac": round(min(nprobe, n_cells)
+                                    / n_cells, 4)}
 
         def probe(qvec, qid):
             return ivf_incremental_topk(spark, root, qvec, k=k,
@@ -94,7 +118,7 @@ def measure_recall(spark: SparkSession, root: str,
         got = {int(r.vec_id) for r in probe(qvec, qid).collect()}
         hits += len(truth & got) / max(1, len(truth))
     return {"recall": round(hits / len(queries), 4), "k": k,
-            "n_queries": len(queries), "param": param}
+            "n_queries": len(queries), "param": param, **extra}
 
 
 def measure_recall_batch(spark: SparkSession, root: str,

@@ -468,3 +468,135 @@ def test_tune_probes_quiet_on_climbing_uniform_root(spark, emb,
     rep = ADV.suggest_maintenance(spark, root)
     assert not [a for a in rep["actions"]
                 if a["action"] == "tune_probes"], rep["actions"]
+
+
+def _tt_sample(seq, num_tables, recall, scan_frac, knob="hamming",
+               val=2):
+    return {"seq": seq, "batch_id": f"b{seq}", "recall": recall,
+            "k": 10, "n_queries": 8, "param": {knob: val},
+            "num_tables": num_tables, "scan_frac": scan_frac}
+
+
+def test_tune_tables_unit_prices_the_knob():
+    """r15 brief #3, the pure pricing logic: two table settings
+    measured, the smaller meets the target at a fraction of the
+    scan — the action names it and prices the bigger L's premium."""
+    hist = {"samples": [
+        _tt_sample(0, 2, 0.6031, 0.2891),
+        _tt_sample(1, 4, 0.8359, 0.5781),
+    ]}
+    # explicit target the cheaper config meets
+    act = ADV._tune_tables_action(hist, recall_target=0.5)
+    assert act is not None and act["action"] == "tune_tables"
+    assert act["signal"]["use"]["num_tables"] == 2
+    assert act["signal"]["measured_best"]["num_tables"] == 4
+    assert "2× storage" in act["reason"] or "2x" in act["reason"] \
+        or "2×" in act["reason"]
+    # default target (0.95 × best = 0.794): only L=4 reaches it →
+    # the big table count is earning its keep → QUIET
+    assert ADV._tune_tables_action(hist) is None
+    # explicit target only the largest L meets → quiet too
+    assert ADV._tune_tables_action(hist, recall_target=0.8) is None
+    # a single table setting proves nothing → quiet
+    assert ADV._tune_tables_action(
+        {"samples": [_tt_sample(0, 4, 0.9, 0.5)]},
+        recall_target=0.5) is None
+    # legacy samples without num_tables/scan_frac are ignored
+    legacy = {"samples": [
+        {"seq": 0, "batch_id": "b0", "recall": 0.9, "k": 10,
+         "n_queries": 8, "param": {"hamming": 1}},
+        _tt_sample(1, 4, 0.9, 0.5)]}
+    assert ADV._tune_tables_action(legacy, recall_target=0.5) is None
+
+
+def test_tune_tables_end_to_end_across_migration(spark, emb, cl,
+                                                 tmp_path):
+    """A clustered single-table root grades ~1.0, migrates to
+    num_tables=4 (the recall series rides along — quality
+    provenance), grades ~1.0 again: the advisory names num_tables=1
+    as the cheapest setting meeting the target and prices L=4's
+    extra storage. Advice-only under apply_maintenance."""
+    old = str(tmp_path / "st")
+    A.ann_ingest_delta(spark, old, cl, "d1")
+    s_old = R.record_recall_sample(spark, old, "d1", n_queries=6,
+                                   hamming=1)
+    assert s_old["num_tables"] == 1 and "scan_frac" in s_old
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.migration import (
+        migrate_index)
+    new = str(tmp_path / "mt4")
+    migrate_index(spark, old, new, num_tables=4)
+    s_new = R.record_recall_sample(spark, new, "mt-d1", n_queries=6,
+                                   hamming=1)
+    assert s_new["num_tables"] == 4
+    hist = R.recall_history(spark, new)
+    assert {s.get("num_tables") for s in hist["samples"]} == {1, 4}
+    assert s_new["seq"] > s_old["seq"]   # series continues, not resets
+    target = min(s_old["recall"], s_new["recall"]) - 0.01
+    rep = ADV.suggest_maintenance(spark, new, recall_target=target)
+    acts = [a for a in rep["actions"] if a["action"] == "tune_tables"]
+    assert len(acts) == 1, rep["actions"]
+    assert acts[0]["signal"]["use"]["num_tables"] == 1
+    assert acts[0]["signal"]["measured_best"]["num_tables"] == 4
+    out = ADV.apply_maintenance(spark, new, dry_run=True,
+                                recall_target=target)
+    whys = {s["action"]: s["why"] for s in out["skipped"]}
+    assert "tune_tables" in whys and "advice-only" in whys["tune_tables"]
+
+
+def test_stale_index_freshness_advisory(spark, emb, tmp_path):
+    """r15 brief #9: the corpus keeps committing batches the index
+    never ingested — the advisory (given the corpus root) fires a
+    stale_index action naming the lagging corpus batch and the
+    index's last ingested one; ingesting the lag silences it."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import (
+        corpus, linkage)
+
+    croot = str(tmp_path / "corpus")
+    vroot = str(tmp_path / "ann")
+
+    def _docs(ids):
+        return spark.createDataFrame(
+            [(int(i), " ".join(f"w{i}x{j}q{(i * 7 + j * 13) % 997}"
+                               for j in range(14)), "en", "s", 1)
+             for i in ids],
+            "doc_id LONG, text STRING, lang STRING, "
+            "source STRING, n_chars LONG")
+
+    got1 = corpus.ingest_delta(spark, croot, _docs(range(1, 31)),
+                               batch_id="d1")
+    ids1 = sorted(r.doc_id for r in got1.select("doc_id").collect())
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter(F.col("vec_id").isin(ids1)),
+                       "v1", corpus_batch="d1")
+    # fresh: every live corpus batch covered → quiet
+    rep = ADV.suggest_maintenance(spark, vroot, corpus_root=croot)
+    assert not [a for a in rep["actions"]
+                if a["action"] == "stale_index"], rep["actions"]
+    # the corpus moves on; the index does not
+    corpus.ingest_delta(spark, croot, _docs(range(100, 120)),
+                        batch_id="d2")
+    rep = ADV.suggest_maintenance(spark, vroot, corpus_root=croot)
+    acts = [a for a in rep["actions"] if a["action"] == "stale_index"]
+    assert len(acts) == 1, rep["actions"]
+    sig = acts[0]["signal"]
+    assert sig["unindexed_batches"] == ["d2"]
+    assert sig["newest_unindexed"] == "d2"
+    assert sig["last_ingested"] == "d1"
+    assert "'d2'" in acts[0]["reason"] and "'d1'" in acts[0]["reason"]
+    # the deployment check surfaces it without extra plumbing
+    dep = linkage.verify_deployment(spark, croot, [vroot],
+                                    advise=True)
+    assert any(a["action"] == "stale_index"
+               for a in dep["advice"][vroot]["actions"])
+    # a tolerance of one batch keeps it quiet
+    rep = ADV.suggest_maintenance(spark, vroot, corpus_root=croot,
+                                  max_unindexed_batches=1)
+    assert not [a for a in rep["actions"]
+                if a["action"] == "stale_index"]
+    # catching up silences it
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter("vec_id >= 100 and vec_id < 120"),
+                       "v2", corpus_batch="d2")
+    rep = ADV.suggest_maintenance(spark, vroot, corpus_root=croot)
+    assert not [a for a in rep["actions"]
+                if a["action"] == "stale_index"], rep["actions"]

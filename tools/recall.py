@@ -191,6 +191,37 @@ def main() -> None:
         finally:
             shutil.rmtree(mt_root, ignore_errors=True)
 
+    # multi-table rows beyond float/uniform (r15 brief #4): the int8
+    # parity claim for mt roots rested on scorer tests alone, and the
+    # clustered regime was never measured at L>1. Hamming rows only —
+    # the budget curve above is the fan-out story; these rows answer
+    # "does storage/regime change mt recall" (done bars: int8 within
+    # 0.05 of the float rows above; clustered ≡ 1.0 like
+    # single-table).
+    def _mt_rows(src, qs, L, label, storage="float"):
+        root = tempfile.mkdtemp(prefix=f"recall_mt{L}_{label}_")
+        try:
+            ann_ingest_delta(spark, root, src, "all", num_tables=L,
+                             storage=storage)
+            sect = {"n_queries": len(qs), "num_tables": L,
+                    "storage": storage}
+            for h, per_table in ((1, 9), (2, 37)):
+                rep = R.measure_recall(spark, root, qs, hamming=h)
+                sect[f"hamming={h}"] = {
+                    "recall": rep["recall"],
+                    "scan_frac": round(L * per_table / 256, 4)}
+                print(f"# mt L={L} {label} hamming={h}: recall@10 = "
+                      f"{rep['recall']}", file=sys.stderr)
+            return sect
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    for L in (2, 4):
+        out[f"multitable_L{L}_uniform_int8_64q"] = _mt_rows(
+            emb, mp_queries, L, "int8", storage="int8")
+        out[f"multitable_L{L}_clustered_64q"] = _mt_rows(
+            cl, R.sample_queries(cl, 64), L, "clustered")
+
     line = json.dumps(out)
     print(line)
     if out_path:
