@@ -151,6 +151,27 @@ def read_ann_index(spark: SparkSession, root: str) -> DataFrame:
     return _visible_scan(spark, path, committed, _schema_of(meta))
 
 
+def read_ann_buckets(spark: SparkSession, root: str,
+                     buckets: "list[int]") -> DataFrame:
+    """:func:`read_ann_index` scoped to a driver-known probed bucket
+    set — the PROBE reader (r15): only the
+    ``batch_id=B/bucket=K`` leaf directories of the probe set are
+    handed to the scan (corpus._visible_scan_keys), so a 36-bucket
+    probe lists 36 × batches directories instead of the whole
+    2^J·L × batches tree. Rows are identical to
+    ``read_ann_index(...).filter(bucket IN buckets)``
+    (parity-pinned)."""
+    from .corpus import _visible_scan_keys
+
+    meta = _load_meta(spark, root)
+    committed = committed_ann_batches(spark, root)
+    path = f"{root}/{ANN_TABLE}"
+    if not committed or not path_exists(spark, path):
+        return spark.createDataFrame([], _schema_of(meta))
+    return _visible_scan_keys(spark, path, committed,
+                              _schema_of(meta), "bucket", buckets)
+
+
 def ann_vectors(spark: SparkSession, root: str) -> DataFrame:
     """(vec_id, embedding) whatever the storage — int8 roots
     dequantize (plans/codes.dequant_embedding, lossy by exactly the
@@ -750,7 +771,11 @@ def ann_incremental_topk(spark: SparkSession, root: str,
     nt = _num_tables(meta)
     probes = _mt_probe_list(query_vec, meta, hamming, probe_buckets)
     storage = meta.get("storage", "float")
-    scan = read_ann_index(spark, root)
+    # probe reader (r15): the probe set is a driver literal list, so
+    # the scan's file index covers ONLY those leaf dirs — the inner
+    # bucket filters below (early-exit kept-sets, the plain IN) keep
+    # their semantics within it
+    scan = read_ann_buckets(spark, root, probes)
     from .cellstats import normalize_mode
     ee_mode = normalize_mode(early_exit)
     stats = None
@@ -1050,10 +1075,10 @@ def ann_batch_topk(spark: SparkSession, root: str,
         if stats is not None and \
                 stats["payload"] != payload_column(storage)[0]:
             stats = None   # fsck names this drift; probe stays exact
-    scan = read_ann_index(spark, root)
-
     def _fanout(pairs, buckets):
-        c = (scan.filter(F.col("bucket").isin(buckets))
+        # probe reader (r15): buckets are a driver list by the time
+        # a fan-out is built — scope the scan's file index to them
+        c = (read_ann_buckets(spark, root, buckets)
              .join(F.broadcast(pairs), "bucket")
              .join(F.broadcast(dec_q), "qid"))
         return (c.filter(F.col("vec_id") != F.col("qid"))

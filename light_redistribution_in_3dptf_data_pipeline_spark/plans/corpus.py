@@ -494,6 +494,41 @@ def _visible_scan(spark: SparkSession, path: str,
     return df
 
 
+def _visible_scan_keys(spark: SparkSession, path: str,
+                       committed: list[str], schema: str,
+                       key_col: str,
+                       keys: "list[int]") -> DataFrame:
+    """:func:`_visible_scan` scoped to a DRIVER-KNOWN probe-key set
+    (r15): a probe that knows its ``bucket``/``cell`` literals can
+    enumerate exactly the ``batch_id=B/{key_col}=K`` leaf
+    directories it needs — O(1 + visible batches) driver listings —
+    instead of handing ``spark.read`` the table root, whose file
+    index lists EVERY leaf (O(batches × 2^J·L) — at bench scale an
+    840-task listing job per probe, at corpus scale 100k+ dir
+    listings for a 36-directory read). Visibility is realized by
+    path selection (present ∩ committed, same semantics as the
+    invisible-set complement); partition columns still parse from
+    the directory names via ``basePath``. Missing leaves (a batch
+    with no rows in a probed key) are simply not selected — no
+    exists-probing per pair."""
+    from ..fs import list_dir
+
+    want = {f"{key_col}={int(k)}" for k in keys}
+    committed_set = set(committed)
+    sel = []
+    for c in list_dir(spark, path):
+        if not c.startswith("batch_id=") \
+                or c[len("batch_id="):] not in committed_set:
+            continue
+        sel.extend(f"{path}/{c}/{kid}"
+                   for kid in list_dir(spark, f"{path}/{c}")
+                   if kid in want)
+    if not sel:
+        return spark.createDataFrame([], schema)
+    return (spark.read.option("basePath", path).schema(schema)
+            .parquet(*sel))
+
+
 def _read_index(spark: SparkSession, root: str, name: str,
                 schema: str, committed: list[str]) -> DataFrame:
     """A dedup index restricted to COMMITTED batches. Restriction is

@@ -296,6 +296,28 @@ def read_ivf_postings(spark: SparkSession, root: str) -> DataFrame:
     return _visible_scan(spark, path, committed, _schema_of(meta))
 
 
+def read_ivf_cells(spark: SparkSession, root: str,
+                   cells: "list[int]") -> DataFrame:
+    """:func:`read_ivf_postings` scoped to a driver-known probed
+    cell set — the PROBE reader (r15, the LSH twin is
+    ann_index.read_ann_buckets): only the ``batch_id=B/cell=K``
+    leaf directories of the probe set are handed to the scan
+    (corpus._visible_scan_keys), so an nprobe-cell probe lists
+    nprobe × batches directories instead of the whole
+    n_cells × batches tree. Rows are identical to
+    ``read_ivf_postings(...).filter(cell IN cells)``
+    (parity-pinned)."""
+    from .corpus import _visible_scan_keys
+
+    meta = _load_meta(spark, root)
+    committed = committed_ivf_batches(spark, root)
+    path = f"{root}/{IVF_TABLE}"
+    if not committed or not path_exists(spark, path):
+        return spark.createDataFrame([], _schema_of(meta))
+    return _visible_scan_keys(spark, path, committed,
+                              _schema_of(meta), "cell", cells)
+
+
 def ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
     """(vec_id, embedding) for every committed vector, whatever the
     storage: float roots project the stored column, int8 roots
@@ -537,7 +559,11 @@ def ivf_incremental_topk(spark: SparkSession, root: str,
     probe_cells = [c for _, c in ranked[:nprobe]]
 
     storage = meta.get("storage", "float")
-    scan = read_ivf_postings(spark, root)
+    # probe reader (r15): the probed cells are a driver literal
+    # list — scope the scan's file index to their leaf dirs; the
+    # inner cell filters (early-exit kept-sets, the plain IN) keep
+    # their semantics within it
+    scan = read_ivf_cells(spark, root, probe_cells)
     from .cellstats import normalize_mode
     ee_mode = normalize_mode(early_exit)
     stats = None
@@ -826,10 +852,10 @@ def ivf_batch_topk(spark: SparkSession, root: str,
         if stats is not None and \
                 stats["payload"] != payload_column(storage)[0]:
             stats = None   # fsck names this drift; probe stays exact
-    scan = read_ivf_postings(spark, root)
-
     def _fanout(pairs, cells):
-        c = scan.filter(F.col("cell").isin(cells)) \
+        # probe reader (r15): cells are a driver list by the time a
+        # fan-out is built — scope the scan's file index to them
+        c = read_ivf_cells(spark, root, cells) \
             .join(F.broadcast(pairs), "cell")
         return (c.filter(F.col("vec_id") != F.col("qid"))
                 if exclude_self else c)
