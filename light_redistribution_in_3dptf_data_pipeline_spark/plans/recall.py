@@ -206,6 +206,7 @@ def record_recall_sample(spark: SparkSession, root: str,
                          k: int = TOP_K,
                          nprobe: int = 2,
                          hamming: int = 1,
+                         probe_buckets: int | None = None,
                          floor: float | None = None) -> "dict | None":
     """ONE recall sample over the root's own committed vectors,
     appended to ``{root}/_metrics/recall/{batch_id}.json`` — the
@@ -245,7 +246,7 @@ def record_recall_sample(spark: SparkSession, root: str,
     if len(queries) < max(2, n_queries // 2):
         return None
     rep = measure_recall(spark, root, queries, k=k, nprobe=nprobe,
-                         hamming=hamming)
+                         hamming=hamming, probe_buckets=probe_buckets)
     prior = recall_history(spark, root)["samples"]
     seq = 1 + max((d.get("seq", -1) for d in prior), default=-1)
     doc = {**rep, "batch_id": batch_id, "seq": seq}

@@ -211,6 +211,10 @@ def main() -> None:
             lines.append(f"- `{m.group(0)}` — two-level directory "
                          "pruning (bucket probes; batch visibility "
                          "adds no IN-list when nothing is invisible)")
+        lines.append("- file index covers ONLY the probed "
+                     "batch_id=B/bucket=K leaf dirs (r15 "
+                     "read_ann_buckets: O(1+batches) driver "
+                     "listings, no full-tree discovery job)")
         assert "Exchange" not in plan
         lines.append("- no Exchange (TakeOrderedAndProject over the "
                      "pruned scan)")
@@ -243,6 +247,10 @@ def main() -> None:
                          "against the frozen centroids; batch "
                          "visibility adds no IN-list when nothing "
                          "is invisible)")
+        lines.append("- file index covers ONLY the probed "
+                     "batch_id=B/cell=K leaf dirs (r15 "
+                     "read_ivf_cells: O(1+batches) driver "
+                     "listings, no full-tree discovery job)")
         assert "Exchange" not in plan
         lines.append("- no Exchange (TakeOrderedAndProject over the "
                      "pruned scan)")
