@@ -70,6 +70,11 @@ def suggest_maintenance(spark: SparkSession, root: str,
     ``target_cell_rows`` (r12 brief #5) makes the retrain advice
     size its k from the MEASURED occupancy against that posting-scan
     budget (:func:`kmeans.suggest_k_feedback`) instead of √N.
+    ``recall_target`` (r15) sets the recall bar the ``tune_tables``
+    pricing answers to (default: 0.95× the best measured sample);
+    ``corpus_root`` (r15) enables the ``stale_index`` freshness check
+    against that corpus' live batches, with ``max_unindexed_batches``
+    the tolerated lag (default 0: any uncovered batch fires).
     Returns::
 
         {"root", "kind", "actions": [
@@ -133,8 +138,13 @@ def suggest_maintenance(spark: SparkSession, root: str,
     # r12 — batch ids sort lexicographically: 'f10' < 'f9'), so
     # [-1] IS the newest sample, not the lexicographically last id.
     hist = recall_history(spark, root, floor=recall_floor)
-    if hist["samples"] and hist["samples"][-1].get("below_floor"):
-        last = hist["samples"][-1]
+    # carried samples (migrated_from — migration provenance) graded
+    # the REPLACED structure: the retrain trigger reads the newest
+    # sample measured against THIS root (recall.py's below_floor
+    # exclusion, same rationale)
+    own = [s for s in hist["samples"] if "migrated_from" not in s]
+    if own and own[-1].get("below_floor"):
+        last = own[-1]
         # the retrain advice NAMES its k (r12 brief #5): from the
         # fsck's MEASURED occupancy when a posting-scan budget is
         # configured (suggest_k_feedback — the closed loop), else

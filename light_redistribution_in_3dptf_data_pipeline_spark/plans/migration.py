@@ -650,11 +650,18 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             f"identity) before cutting over")
 
     # carry the committed recall series (r15 brief #3): the samples
-    # are the root's QUALITY PROVENANCE — the advisory's retrain
-    # trigger needs the before/after curve, and tune_tables prices
+    # are the root's QUALITY PROVENANCE — tune_tables prices
     # num_tables settings from samples that span a migration (each
     # sample records the num_tables/scan_frac it was measured
-    # under). Small control-plane JSON; resume-safe (skip existing).
+    # under). Each carried doc is TAGGED ``migrated_from``: it graded
+    # the OLD structure — the very one this migration replaced — so
+    # recall_history excludes carried samples from the new root's
+    # below-floor accounting and the advisory's retrain trigger
+    # skips them (a fresh post-retrain root must not re-alarm on the
+    # decay it was built to fix). Small control-plane JSON;
+    # resume-safe (skip existing).
+    import json as _json
+
     from ..fs import list_dir as _ls
     from ..fs import path_exists as _pe
     from ..fs import read_text as _rt
@@ -665,8 +672,10 @@ def migrate_index(spark: SparkSession, old_root: str, new_root: str,
             continue
         dst = f"{new_root}/{METRICS_DIR}/{n}"
         if not _pe(spark, dst):
-            _wta(spark, dst,
-                 _rt(spark, f"{old_root}/{METRICS_DIR}/{n}"))
+            doc = _json.loads(
+                _rt(spark, f"{old_root}/{METRICS_DIR}/{n}"))
+            doc.setdefault("migrated_from", old_root)
+            _wta(spark, dst, _json.dumps(doc, sort_keys=True))
 
     report = {"old_root": old_root, "new_root": new_root,
               "kind": kind, "batches_migrated": migrated,

@@ -269,6 +269,13 @@ def recall_history(spark: SparkSession, root: str,
     series' "last" entry a stale sample), with the below-floor ones
     NAMED. ``floor`` re-grades the series against a new threshold;
     without it each sample's own recorded floor applies.
+
+    Samples CARRIED ACROSS A MIGRATION (``migrated_from`` tag —
+    migrate_index, r15) stay in ``samples`` (they are the cross-
+    structure provenance the tune_tables advisory prices) but are
+    EXCLUDED from ``below_floor``: they graded the replaced
+    structure, so a freshly retrained root must not inherit its
+    predecessor's decay as a live deployment violation.
     Control-plane: small JSON reads only."""
     import json as _json
 
@@ -289,7 +296,8 @@ def recall_history(spark: SparkSession, root: str,
     out["samples"].sort(key=lambda d: (d.get("seq", -1),
                                        d["batch_id"]))
     out["below_floor"] = [d["batch_id"] for d in out["samples"]
-                          if d.get("below_floor")]
+                          if d.get("below_floor")
+                          and "migrated_from" not in d]
     return out
 
 

@@ -531,6 +531,15 @@ def test_tune_tables_end_to_end_across_migration(spark, emb, cl,
     hist = R.recall_history(spark, new)
     assert {s.get("num_tables") for s in hist["samples"]} == {1, 4}
     assert s_new["seq"] > s_old["seq"]   # series continues, not resets
+    # carried samples are tagged provenance, not live health signals:
+    # a below-floor sample of the OLD structure must not alarm the
+    # fresh root (the runbook's post-cutover contract)
+    carried = [s for s in hist["samples"] if "migrated_from" in s]
+    assert carried and all(s["migrated_from"] == old for s in carried)
+    strict = R.recall_history(spark, new, floor=1.1)   # everything
+    #                          re-graded below this impossible floor
+    assert all(b not in {c["batch_id"] for c in carried}
+               for b in strict["below_floor"])
     target = min(s_old["recall"], s_new["recall"]) - 0.01
     rep = ADV.suggest_maintenance(spark, new, recall_target=target)
     acts = [a for a in rep["actions"] if a["action"] == "tune_tables"]
