@@ -40,6 +40,7 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     removed. Used only for crash-recovery cleanup of an UNCOMMITTED
     batch's leftovers — committed data is never deleted."""
     fs, p = _fs(spark, path)
+    _doc_cache_invalidate(path)
     if not fs.exists(p):
         return False
     return bool(fs.delete(p, True))
@@ -64,6 +65,7 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
     visible complete-on-close; on object stores the PUT is atomic.
     This is what makes a write-marker-last commit protocol sound."""
     fs, p = _fs(spark, path)
+    _doc_cache_invalidate(path)
     out = fs.create(p, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -88,21 +90,44 @@ def read_text(spark: SparkSession, path: str) -> str:
 # plain probe didn't. Revalidation is ONE getFileStatus per call —
 # any commit flip (write_text_atomic = new file + rename) changes
 # (mtime, length), so out-of-band writers are picked up without an
-# in-process invalidation hook. Staleness window: a rewrite within
-# the same filesystem-mtime tick AND the same byte length — not a
-# shape any committer here produces (docs carry version/batch ids).
-# LRU-bounded: tests churn thousands of throwaway roots; probes hit
-# the same few.
+# in-process invalidation hook. The residual staleness window —
+# a SAME-LENGTH rewrite within one filesystem-mtime tick (the
+# cellstats stub produces exactly that: consecutive version flips
+# differ only in the zero-padded digits — r15 ADVICE medium) — is
+# closed two ways: every in-process writer/deleter invalidates the
+# entry (write-through, below), and a cached entry whose file mtime
+# is within _JSON_DOC_RECENT_MS of *now* is re-read rather than
+# trusted, because an out-of-process rewrite could still land in the
+# same tick. The hot hit path (docs written longer ago than the
+# tick window — every steady-state probe) stays one getFileStatus,
+# zero reads. LRU-bounded (hits refresh recency — r15 ADVICE low:
+# the FIFO eviction dropped the hottest long-lived doc first): tests
+# churn thousands of throwaway roots; probes hit the same few.
 _JSON_DOC_CACHE: "dict[str, tuple[tuple[int, int], dict]]" = {}
 _JSON_DOC_CACHE_MAX = 16
+# widest mtime granularity among supported stores (object stores /
+# network filesystems round to 1 s) plus slack for clock skew between
+# the writer's PUT and the observed mtime tick
+_JSON_DOC_RECENT_MS = 2000
+
+
+def _doc_cache_invalidate(path: str) -> None:
+    """Write-through invalidation: every helper that rewrites or
+    deletes a path drops its cached doc, so a same-process
+    same-tick same-length rewrite can never serve stale."""
+    _JSON_DOC_CACHE.pop(path, None)
 
 
 def read_json_doc(spark: SparkSession, path: str) -> "dict | None":
     """Parsed JSON doc at ``path`` (None if absent), memoized per
-    process and revalidated by (mtime, length). The returned dict is
-    SHARED with the cache — callers must treat it as read-only and
-    shallow-copy before annotating (plans/cellstats.load_stats does)."""
+    process and revalidated by (mtime, length) — plus a re-read
+    instead of a cache hit while the file's mtime is newer than the
+    store's mtime-granularity window (see _JSON_DOC_CACHE notes).
+    The returned dict is SHARED with the cache — callers must treat
+    it as read-only and shallow-copy before annotating
+    (plans/cellstats.load_stats does)."""
     import json
+    import time
 
     fs, p = _fs(spark, path)
     try:
@@ -110,14 +135,19 @@ def read_json_doc(spark: SparkSession, path: str) -> "dict | None":
     except Exception:   # Py4JJavaError(FileNotFoundException)
         _JSON_DOC_CACHE.pop(path, None)
         return None
-    key = (int(st.getModificationTime()), int(st.getLen()))
+    mtime = int(st.getModificationTime())
+    key = (mtime, int(st.getLen()))
     hit = _JSON_DOC_CACHE.get(path)
-    if hit is not None and hit[0] == key:
+    if hit is not None and hit[0] == key \
+            and time.time() * 1000 - mtime > _JSON_DOC_RECENT_MS:
+        # refresh recency so eviction approximates LRU
+        _JSON_DOC_CACHE[path] = _JSON_DOC_CACHE.pop(path)
         return hit[1]
     doc = json.loads(read_text(spark, path))
+    _JSON_DOC_CACHE.pop(path, None)   # re-insert at the fresh end
     if len(_JSON_DOC_CACHE) >= _JSON_DOC_CACHE_MAX:
-        # drop an arbitrary entry (insertion order ≈ oldest): the
-        # cache exists for repeat probes against a handful of roots
+        # drop the least-recently-touched entry: the cache exists
+        # for repeat probes against a handful of roots
         _JSON_DOC_CACHE.pop(next(iter(_JSON_DOC_CACHE)))
     _JSON_DOC_CACHE[path] = (key, doc)
     return doc
@@ -171,6 +201,7 @@ def write_text_atomic(spark: SparkSession, path: str,
             jvm.org.apache.hadoop.fs.Options.Rename, 1)
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         ctx.rename(tmp, p, opts)
+        _doc_cache_invalidate(path)
     except Exception:
         fs.delete(tmp, False)
         raise

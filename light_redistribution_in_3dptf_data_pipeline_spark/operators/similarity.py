@@ -69,6 +69,23 @@ def _fixed_point(vec: Column) -> Column:
                                + F.lit(0.5)).cast("bigint"))
 
 
+def _check_id_col(id_col: str) -> None:
+    """The staged-column bucketing (here and in plans/ann_index's
+    multi-table twin) threads the id column through intermediate
+    selects alongside working columns named ``_ci`` and ``_d{j}`` /
+    ``_d{t}_{j}`` — an id column with one of those names would
+    collide (duplicate/ambiguous column), a surface the old
+    single-expression form did not have (r15 ADVICE low). Reject
+    loudly instead of producing an AnalysisException downstream."""
+    import re
+
+    if id_col == "_ci" or re.match(r"^_d\d", id_col):
+        raise ValueError(
+            f"id_col {id_col!r} collides with the bucketing's "
+            f"reserved staging columns (_ci, _d<j>, _d<t>_<j>) — "
+            f"rename the id column before bucketing")
+
+
 def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 num_planes: int = NUM_PLANES,
@@ -84,6 +101,7 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
     fold its dots to NULL and silently zero every sign bit
     (mis-bucketing instead of failing). A mismatched fixture/schema
     now raises at execution."""
+    _check_id_col(id_col)
     ci = F.when(
         F.size(F.col(vec_col)) == dim, _fixed_point(F.col(vec_col))
     ).otherwise(F.raise_error(F.concat(

@@ -376,6 +376,15 @@ def _stale_index_action(spark, corpus_root: str, index_root: str,
             covered.update(provs)
         else:
             unprovenanced.append(b)
+    if vec_live and not covered:
+        # EVERY live index batch predates corpus_batch provenance:
+        # coverage is UNKNOWABLE, not zero — a legacy deployment
+        # whose ingests never passed the optional argument would
+        # otherwise raise a severity-80 standing false positive
+        # naming every live corpus batch (r15 ADVICE low). Silence
+        # is the honest answer; the first provenance-carrying
+        # ingest makes the lag computable again.
+        return None
     uncovered = [b for b in corpus_live if b not in covered]
     if len(uncovered) <= max_unindexed_batches:
         return None
@@ -433,7 +442,7 @@ def _tune_tables_action(hist: dict,
       than the most measured meets the target — if only the largest
       L reaches it, its storage is buying recall and silence is the
       honest answer. Advice-only, like ``tune_probes``."""
-    by_cfg: dict = {}
+    by_k: dict = {}
     for s in hist.get("samples", ()):
         if "num_tables" not in s or "scan_frac" not in s:
             continue
@@ -441,8 +450,22 @@ def _tune_tables_action(hist: dict,
         if len(p) != 1:
             continue
         (knob, val), = p.items()
-        # seq-ordered history: last sample per config wins
-        by_cfg[(int(s["num_tables"]), knob, int(val))] = s
+        # k is part of the config identity (r15 ADVICE low): recall@5
+        # and recall@10 are incomparable metrics — pooling them would
+        # price one table setting's recall@5 against another's
+        # recall@10. Samples group by k; only same-k curves compare.
+        # seq-ordered history: last sample per (k, config) wins
+        by_k.setdefault(int(s["k"]), {})[
+            (int(s["num_tables"]), knob, int(val))] = s
+    # the curve to price: the k with the most measured configs
+    # carrying ≥ 2 table settings (ties → the most samples, then the
+    # larger k — deterministic)
+    candidates = [(len(cfgs), k) for k, cfgs in by_k.items()
+                  if len({L for L, _, _ in cfgs}) >= 2]
+    if not candidates:
+        return None
+    _, use_k = max(candidates)
+    by_cfg = by_k[use_k]
     tables_seen = {L for L, _, _ in by_cfg}
     if len(tables_seen) < 2:
         return None

@@ -569,11 +569,13 @@ def _mt_bucket_frame(emb: DataFrame, id_col: str, vec_col: str,
     each table's signature folds over it; posexplode fans the L
     composite ids out row-side — no joins, no shuffle). L=1
     delegates to :func:`operators.similarity.lsh_buckets` verbatim."""
-    from ..operators.similarity import (_pack_bits_sql, _plane_signs,
-                                        _fixed_point, _signed_sum_sql)
+    from ..operators.similarity import (_check_id_col, _pack_bits_sql,
+                                        _plane_signs, _fixed_point,
+                                        _signed_sum_sql)
 
     if num_tables <= 1:
         return lsh_buckets(emb, id_col, vec_col, num_planes, dim)
+    _check_id_col(id_col)
     ci = F.when(
         F.size(F.col(vec_col)) == dim, _fixed_point(F.col(vec_col))
     ).otherwise(F.raise_error(F.concat(

@@ -609,3 +609,65 @@ def test_stale_index_freshness_advisory(spark, emb, tmp_path):
     rep = ADV.suggest_maintenance(spark, vroot, corpus_root=croot)
     assert not [a for a in rep["actions"]
                 if a["action"] == "stale_index"], rep["actions"]
+
+
+def test_stale_index_all_unprovenanced_is_quiet(spark, emb, tmp_path):
+    """r15 ADVICE low: a legacy deployment whose ingests never passed
+    corpus_batch has UNKNOWABLE coverage — it must not raise a
+    standing severity-80 stale_index naming every live corpus batch.
+    The first provenance-carrying ingest makes the lag computable
+    again (and any then-uncovered batch fires as before)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans import corpus
+
+    croot = str(tmp_path / "corpus")
+    vroot = str(tmp_path / "ann")
+
+    def _docs(ids):
+        return spark.createDataFrame(
+            [(int(i), " ".join(f"w{i}x{j}q{(i * 7 + j * 13) % 997}"
+                               for j in range(14)), "en", "s", 1)
+             for i in ids],
+            "doc_id LONG, text STRING, lang STRING, "
+            "source STRING, n_chars LONG")
+
+    corpus.ingest_delta(spark, croot, _docs(range(1, 31)),
+                        batch_id="d1")
+    # legacy ingest: NO corpus_batch provenance
+    A.ann_ingest_delta(spark, vroot, emb.filter("vec_id < 40"), "v1")
+    rep = ADV.suggest_maintenance(spark, vroot, corpus_root=croot)
+    assert not [a for a in rep["actions"]
+                if a["action"] == "stale_index"], rep["actions"]
+    # a provenance-carrying ingest restores exact coverage math:
+    # d1 is still uncovered (v1's coverage is unknowable) → fires
+    corpus.ingest_delta(spark, croot, _docs(range(100, 110)),
+                        batch_id="d2")
+    A.ann_ingest_delta(spark, vroot,
+                       emb.filter("vec_id >= 100 and vec_id < 110"),
+                       "v2", corpus_batch="d2")
+    rep = ADV.suggest_maintenance(spark, vroot, corpus_root=croot)
+    acts = [a for a in rep["actions"] if a["action"] == "stale_index"]
+    assert len(acts) == 1
+    assert acts[0]["signal"]["unindexed_batches"] == ["d1"]
+    assert "v1" in str(acts[0]["signal"]["unprovenanced_index_batches"])
+
+
+def test_tune_tables_does_not_pool_different_k():
+    """r15 ADVICE low: recall@5 and recall@10 are incomparable —
+    samples measured at different k must not share one curve. Two
+    table settings measured only at DIFFERENT ks stay quiet; the
+    same measurements with a same-k pair price normally."""
+    mixed = {"samples": [
+        dict(_tt_sample(0, 2, 0.6031, 0.2891), k=5),
+        dict(_tt_sample(1, 4, 0.8359, 0.5781), k=10),
+    ]}
+    assert ADV._tune_tables_action(mixed, recall_target=0.5) is None
+    same_k = {"samples": [
+        dict(_tt_sample(0, 2, 0.6031, 0.2891), k=5),
+        dict(_tt_sample(1, 4, 0.8359, 0.5781), k=5),
+        # a lone off-k sample rides along without poisoning the curve
+        dict(_tt_sample(2, 8, 0.99, 0.9), k=10),
+    ]}
+    act = ADV._tune_tables_action(same_k, recall_target=0.5)
+    assert act is not None
+    assert act["signal"]["use"]["num_tables"] == 2
+    assert act["signal"]["measured_best"]["num_tables"] == 4

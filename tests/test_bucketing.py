@@ -78,3 +78,23 @@ def test_unbucketed_join_needs_exchange(spark):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_reserved_id_col_rejected(spark):
+    """r15 ADVICE low: the staged-column bucketing reserves _ci and
+    _d* working names — an id column named like them must be rejected
+    loudly, not collide into an ambiguous-column AnalysisException."""
+    import pytest
+
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.similarity import (
+        lsh_buckets)
+    from light_redistribution_in_3dptf_data_pipeline_spark.plans.ann_index import (
+        _mt_bucket_frame)
+
+    emb = spark.createDataFrame(
+        [(1, [0.5] * 64)], "_ci LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="reserved"):
+        lsh_buckets(emb, id_col="_ci")
+    emb2 = emb.withColumnRenamed("_ci", "_d0")
+    with pytest.raises(ValueError, match="reserved"):
+        _mt_bucket_frame(emb2, "_d0", "embedding", 8, 64, 2)

@@ -28,9 +28,20 @@ def _emb(spark, n=40, offset=0):
         rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
 
 
+def _age_mtime(spark, path, ms=60_000):
+    """Push a doc's mtime into the past so reads take the memo-hit
+    path (a file younger than the mtime-granularity window is
+    deliberately re-read — see fs._JSON_DOC_RECENT_MS)."""
+    import time
+
+    fs, p = FS._fs(spark, path)
+    fs.setTimes(p, int(time.time() * 1000) - ms, -1)
+
+
 def test_cache_hits_and_revalidates(spark, tmp_path):
     path = str(tmp_path / "doc.json")
     FS.write_text_atomic(spark, path, json.dumps({"v": 1}))
+    _age_mtime(spark, path)
     d1 = FS.read_json_doc(spark, path)
     assert d1 == {"v": 1}
     # identical object on a clean hit (the memo, not a re-parse)
@@ -41,6 +52,57 @@ def test_cache_hits_and_revalidates(spark, tmp_path):
     # deletion → None and the entry is dropped
     FS.delete_path(spark, path)
     assert FS.read_json_doc(spark, path) is None
+
+
+def test_same_length_same_tick_rewrite_reads_fresh(spark, tmp_path):
+    """r15 ADVICE medium: the cellstats stub's consecutive version
+    flips are byte-length-equal, so two flips within one mtime tick
+    used to serve a stale stub. Both closure paths are pinned here:
+    (1) an IN-PROCESS rewrite through the fs helpers invalidates the
+    entry write-through, whatever the clock does; (2) an OUT-OF-BAND
+    same-length rewrite (raw file IO, no helper) is still picked up
+    because a doc younger than the mtime-granularity window is
+    re-read instead of trusted."""
+    path = str(tmp_path / "doc.json")
+    FS.write_text_atomic(spark, path, json.dumps({"v": "000001"}))
+    assert FS.read_json_doc(spark, path) == {"v": "000001"}
+    # (1) helper rewrite, same byte length — fresh via invalidation
+    FS.write_text_atomic(spark, path, json.dumps({"v": "000002"}))
+    assert FS.read_json_doc(spark, path) == {"v": "000002"}
+    # (2) out-of-band same-length rewrite with a PINNED mtime (the
+    # frozen-clock case): length and mtime both match the cached key
+    import os
+
+    old_mtime_s = os.stat(path).st_mtime
+    with open(path, "w") as f:
+        f.write(json.dumps({"v": "000003"}))
+    os.utime(path, (old_mtime_s, old_mtime_s))
+    # drop Hadoop LocalFileSystem's checksum sidecar — the raw
+    # rewrite bypassed it (a real out-of-band writer would go through
+    # the store's API and keep it consistent)
+    crc = os.path.join(os.path.dirname(path),
+                       f".{os.path.basename(path)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert FS.read_json_doc(spark, path) == {"v": "000003"}
+
+
+def test_memo_hit_refreshes_lru_position(spark, tmp_path):
+    """r15 ADVICE low: eviction popped insertion order and hits never
+    refreshed position, so the hottest doc was evicted first once 16
+    distinct paths were touched. A hit must move the entry to the
+    fresh end; churning MAX-1 other paths then must NOT evict it."""
+    hot = str(tmp_path / "hot.json")
+    FS.write_text_atomic(spark, hot, json.dumps({"hot": True}))
+    _age_mtime(spark, hot)
+    d1 = FS.read_json_doc(spark, hot)
+    for i in range(FS._JSON_DOC_CACHE_MAX - 1):
+        p = str(tmp_path / f"churn{i}.json")
+        FS.write_text_atomic(spark, p, json.dumps({"i": i}))
+        FS.read_json_doc(spark, p)
+        assert FS.read_json_doc(spark, hot) is d1   # hit + refresh
+    # the hot doc survived a full churn cycle of other paths
+    assert FS.read_json_doc(spark, hot) is d1
 
 
 def test_load_stats_isolated_from_caller_mutation(spark, tmp_path):
