@@ -854,12 +854,31 @@ def _ingest_delta(spark: SparkSession, root: str, new_docs: DataFrame,
         writes.append(("index_winnow_fp",
                        surv_fps.withColumn("batch_id",
                                            F.lit(batch_id))))
-    for table, df in writes:
+    # The per-table writes are independent jobs over the SAME
+    # localCheckpointed survivors (data writes commit in any order;
+    # the manifest below is the only commit point), so overlap them
+    # from a small driver pool (guide §2.6): each write's task tail
+    # would otherwise idle the cluster before the next write's
+    # ramp-up — three serial barriers per ingest for no ordering
+    # gain. The _crash_after test seam needs a deterministic
+    # "crashed AFTER table X, before the rest" state, so fault
+    # injection keeps the serial loop.
+    def _write_one(item):
+        table, df = item
         (df.write.mode("append").partitionBy("batch_id")
          .parquet(f"{root}/{table}"))
-        if _crash_after == table:
-            raise RuntimeError(
-                f"injected crash after {table} write (batch {batch_id})")
+
+    if _crash_after is not None:
+        for table, df in writes:
+            _write_one((table, df))
+            if _crash_after == table:
+                raise RuntimeError(
+                    f"injected crash after {table} write "
+                    f"(batch {batch_id})")
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            list(pool.map(_write_one, writes))
 
     manifest = {
         "batch_id": batch_id,
