@@ -152,7 +152,8 @@ def read_ann_index(spark: SparkSession, root: str) -> DataFrame:
 
 
 def read_ann_buckets(spark: SparkSession, root: str,
-                     buckets: "list[int]") -> DataFrame:
+                     buckets: "list[int]",
+                     parallelism: "str | None" = "bytes") -> DataFrame:
     """:func:`read_ann_index` scoped to a driver-known probed bucket
     set — the PROBE reader (r15): only the
     ``batch_id=B/bucket=K`` leaf directories of the probe set are
@@ -160,7 +161,11 @@ def read_ann_buckets(spark: SparkSession, root: str,
     probe lists 36 × batches directories instead of the whole
     2^J·L × batches tree. Rows are identical to
     ``read_ann_index(...).filter(bucket IN buckets)``
-    (parity-pinned)."""
+    (parity-pinned). ``parallelism``: task-count bound of the
+    pruned scan — ``"bytes"`` (default; single-query probes) tracks
+    file bytes, ``None`` (batch fan-outs, whose per-byte scoring
+    work is ~Q×) keeps Spark's splitting — see
+    ``corpus._visible_scan_keys``."""
     from .corpus import _visible_scan_keys
 
     meta = _load_meta(spark, root)
@@ -169,7 +174,8 @@ def read_ann_buckets(spark: SparkSession, root: str,
     if not committed or not path_exists(spark, path):
         return spark.createDataFrame([], _schema_of(meta))
     return _visible_scan_keys(spark, path, committed,
-                              _schema_of(meta), "bucket", buckets)
+                              _schema_of(meta), "bucket", buckets,
+                              parallelism)
 
 
 def ann_vectors(spark: SparkSession, root: str) -> DataFrame:
@@ -364,20 +370,20 @@ def _ann_ingest_delta(spark: SparkSession, root: str, emb: DataFrame,
     return manifest
 
 
-def _chunked_batch_topk(queries: DataFrame, id_col: str,
-                        max_queries: int, run,
-                        concurrency: int = 1) -> DataFrame:
-    """Degrade a too-big batch probe into a DETERMINISTIC set of
-    broadcast-sized jobs (VERDICT r11 brief #6): the distinct query
-    ids are collected once (one bigint column — 8 bytes/query, fine
-    even at millions), split into sorted ranges of ``max_queries``,
-    and ``run`` executes the normal broadcast batch probe per range.
-    Each chunk's result is ≤ k rows/query and is MATERIALIZED
-    (localCheckpoint) inside its own job, so no job ever broadcasts
+def _run_chunks(qids: "list[int]", max_queries: int, one,
+                concurrency: int = 1) -> DataFrame:
+    """Run a chunked batch probe over DETERMINISTIC sorted qid
+    ranges of ``max_queries`` (VERDICT r11 brief #6): ``one(bounds)``
+    executes one broadcast-bounded chunk and returns its
+    MATERIALIZED ≤ k rows/query result, so no job ever broadcasts
     more than ``max_queries`` queries; the union is over
     already-computed small frames. Per-qid results are independent,
-    so chunked ≡ unchunked row-for-row. Shared by
-    ``ann_batch_topk`` and ``ivf_batch_topk``.
+    so chunked ≡ unchunked row-for-row. Shared by ``ann_batch_topk``
+    and ``ivf_batch_topk``, which since r17 compute the per-query
+    probe frame ONCE (one ranking job, one checkpoint) and hand each
+    chunk a filtered slice of it — the former shape re-ran the
+    ranking window, its checkpoint and the distinct-keys collect
+    inside every chunk (guide §5: driver-side job elimination).
 
     ``concurrency`` (r12 brief #2): chunks are submitted from a
     BOUNDED driver thread pool instead of strictly serially — the
@@ -394,25 +400,14 @@ def _chunked_batch_topk(queries: DataFrame, id_col: str,
     from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
-    qids = sorted(r[0] for r in queries.select(
-        F.col(id_col).cast("bigint")).distinct().collect())
-    if len(qids) <= max_queries:
-        return run(queries)
     ranges = [(qids[i], qids[min(i + max_queries, len(qids)) - 1])
               for i in range(0, len(qids), max_queries)]
-
-    def _one(bounds):
-        lo, hi = bounds
-        chunk = queries.filter(
-            F.col(id_col).cast("bigint").between(lo, hi))
-        return run(chunk).localCheckpoint()
-
     if concurrency <= 1:
-        parts = [_one(b) for b in ranges]
+        parts = [one(b) for b in ranges]
     else:
         with ThreadPoolExecutor(
                 max_workers=min(concurrency, len(ranges))) as pool:
-            parts = list(pool.map(_one, ranges))
+            parts = list(pool.map(one, ranges))
     return reduce(DataFrame.unionByName, parts)
 
 
@@ -1028,7 +1023,7 @@ def ann_batch_topk(spark: SparkSession, root: str,
     frame and the decoded query table are BROADCAST — pass
     ``max_queries_per_job`` to degrade a too-big batch into a
     deterministic loop of broadcast-sized jobs (r11 brief #6 —
-    :func:`_chunked_batch_topk`; chunked ≡ unchunked row-for-row).
+    :func:`_run_chunks`; chunked ≡ unchunked row-for-row).
     ``chunk_concurrency=N`` (r12 brief #2) submits up to N chunks
     concurrently from a bounded driver pool — measured 2.6× wall at
     sf1/128 queries — but N chunks' broadcasts and checkpointed
@@ -1058,18 +1053,6 @@ def ann_batch_topk(spark: SparkSession, root: str,
     from .migration import resolve_probe_location
 
     root = resolve_probe_location(spark, root)
-    if max_queries_per_job:
-        return _chunked_batch_topk(
-            queries, id_col, max_queries_per_job,
-            lambda chunk: ann_batch_topk(
-                spark, root, chunk, k=k, hamming=hamming,
-                id_col=id_col, vec_col=vec_col,
-                exclude_self=exclude_self,
-                rerank_vectors=rerank_vectors,
-                rerank_cut=rerank_cut,
-                early_exit=early_exit,
-                probe_buckets=probe_buckets),
-            concurrency=chunk_concurrency)
     meta = _load_meta(spark, root)
     num_planes, dim = meta["num_planes"], meta["dim"]
     _check_meta(meta, num_planes, dim, root, "query")
@@ -1124,8 +1107,11 @@ def ann_batch_topk(spark: SparkSession, root: str,
             stats = None   # fsck names this drift; probe stays exact
     def _fanout(pairs, buckets):
         # probe reader (r15): buckets are a driver list by the time
-        # a fan-out is built — scope the scan's file index to them
-        c = (read_ann_buckets(spark, root, buckets)
+        # a fan-out is built — scope the scan's file index to them.
+        # parallelism=None: the fan-out's scoring work is ~Q× per
+        # scanned byte, so the single-probe bytes bound would
+        # under-parallelize it (measured — _visible_scan_keys notes)
+        c = (read_ann_buckets(spark, root, buckets, parallelism=None)
              .join(F.broadcast(pairs), "bucket")
              .join(F.broadcast(dec_q), "qid"))
         return (c.filter(F.col("vec_id") != F.col("qid"))
@@ -1136,6 +1122,44 @@ def ann_batch_topk(spark: SparkSession, root: str,
         return sorted({int(r.bucket) for r in
                        pairs.select("bucket").distinct().collect()})
 
+    if max_queries_per_job:
+        # chunked path (r17 reshape, guide §5): the probe frame above
+        # was computed ONCE for the whole batch — one bucketing/
+        # ranking job, one checkpoint — and each chunk filters that
+        # slice instead of re-deriving it (the former per-chunk
+        # recursion re-ran the sign folds — for ``probe_buckets`` the
+        # whole Q×L×2^J ranking window — plus a checkpoint and the
+        # qid collect inside every chunk). The per-JOB broadcast cap
+        # is untouched: only a chunk's filtered pairs and queries are
+        # ever broadcast; the bucket IN-list per chunk comes from one
+        # ≤ 2^J·L-row distinct collect over the checkpointed pairs.
+        qids = sorted(int(r.qid) for r in
+                      probe_all.select("qid").distinct().collect())
+        if len(qids) > max_queries_per_job:
+            def _one(bounds):
+                lo, hi = bounds
+                within = F.col("qid").between(lo, hi)
+                pa = probe_all.filter(within)
+                dq = dec_q.filter(within)
+                buckets = _buckets_of(pa)
+                if stats is not None:
+                    part = _ann_batch_early(
+                        spark, stats, pa, dq, k, rerank_vectors,
+                        rerank_cut, storage, _fanout, _buckets_of,
+                        ee_mode, dedup=nt > 1, num_planes=num_planes,
+                        excluded=1 if exclude_self else 0,
+                        all_buckets=buckets)
+                else:
+                    part = _ann_batch_tail(
+                        _ann_batch_score(
+                            _fanout(pa.drop("m"), buckets), storage),
+                        dq, k, rerank_vectors, rerank_cut, storage,
+                        dedup=nt > 1)
+                return part.localCheckpoint()
+            return _run_chunks(qids, max_queries_per_job, _one,
+                               chunk_concurrency)
+        # cap not exceeded: the single-job path below, probe frame
+        # already built
     if stats is not None:
         return _ann_batch_early(spark, stats, probe_all, dec_q, k,
                                 rerank_vectors, rerank_cut, storage,
@@ -1151,7 +1175,8 @@ def ann_batch_topk(spark: SparkSession, root: str,
 def _ann_batch_early(spark, stats, probe_all, dec_q, k,
                      rerank_vectors, rerank_cut, storage, fanout,
                      buckets_of, mode="box", dedup=False,
-                     num_planes=NUM_PLANES, excluded=0):
+                     num_planes=NUM_PLANES, excluded=0,
+                     all_buckets=None):
     """The LSH batch early exit — structurally
     ``ivf_index._ivf_batch_early`` with (bucket, flip mask) in place
     of (cell, rank): the threshold key is each query's OWN bucket
@@ -1159,7 +1184,9 @@ def _ann_batch_early(spark, stats, probe_all, dec_q, k,
     bucket's box (zero-job, never slower); ``mode="seed"``
     materializes the own-bucket top-m and prunes against the
     measured m-th cosine. Soundness and the row-for-row parity pin
-    are the same argument as the IVF twin."""
+    are the same argument as the IVF twin. ``all_buckets``: the
+    probe frame's bucket union when the caller already collected it
+    (the chunked path) — skips one control-plane job."""
     from pyspark.sql import Window
 
     from .cellstats import (bounds_frame, lower_bound_col,
@@ -1167,10 +1194,11 @@ def _ann_batch_early(spark, stats, probe_all, dec_q, k,
 
     m = (rerank_cut * k
          if storage == "int8" and rerank_vectors is not None else k)
+    if all_buckets is None:
+        all_buckets = buckets_of(probe_all)
     if mode == "box":
         p1 = probe_all.filter(F.col("m") == 0).drop("m")
-        bf = bounds_frame(spark, stats, "bucket",
-                          buckets_of(probe_all))
+        bf = bounds_frame(spark, stats, "bucket", all_buckets)
         # nz >= m + excluded (r14 ADVICE high): exclude_self removes
         # at most one nz-counted row per query from scoring — demand
         # one extra box witness (see the IVF twin's note).
@@ -1200,7 +1228,7 @@ def _ann_batch_early(spark, stats, probe_all, dec_q, k,
                                rerank_cut, storage, dedup=dedup)
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
-    bf = bounds_frame(spark, stats, "bucket", buckets_of(probe_all))
+    bf = bounds_frame(spark, stats, "bucket", all_buckets)
 
     def _tops(scored):
         # count("cosine"), not count("*") (ADVICE r13): NULL-cosine

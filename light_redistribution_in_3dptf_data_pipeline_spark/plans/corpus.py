@@ -496,8 +496,9 @@ def _visible_scan(spark: SparkSession, path: str,
 
 def _visible_scan_keys(spark: SparkSession, path: str,
                        committed: list[str], schema: str,
-                       key_col: str,
-                       keys: "list[int]") -> DataFrame:
+                       key_col: str, keys: "list[int]",
+                       parallelism: "str | None" = "bytes"
+                       ) -> DataFrame:
     """:func:`_visible_scan` scoped to a DRIVER-KNOWN probe-key set
     (r15): a probe that knows its ``bucket``/``cell`` literals can
     enumerate exactly the ``batch_id=B/{key_col}=K`` leaf
@@ -510,8 +511,34 @@ def _visible_scan_keys(spark: SparkSession, path: str,
     invisible-set complement); partition columns still parse from
     the directory names via ``basePath``. Missing leaves (a batch
     with no rows in a probed key) are simply not selected — no
-    exists-probing per pair."""
-    from ..fs import list_dir
+    exists-probing per pair.
+
+    ``parallelism="bytes"`` (the default; r17, VERDICT r16 #1; guide
+    §6/§2.2) bounds the scan's TASK COUNT by BYTES, not cores:
+    Spark's default split sizing floors scan parallelism at
+    ``defaultParallelism`` (``maxSplitBytes = min(maxPartitionBytes,
+    max(openCost, total/minPartitionNum))``), so a probe over a few
+    MB of pruned leaf files shatters into one tiny task per core —
+    at local[32] the r16 driver measured ``ann_topk`` 4.4 s at 32
+    cores vs 0.69 s at 8 on the same host (scaling 0.15:
+    scheduling/churn, not work), and at 100 TB the analog is
+    many-tiny-file task churn per probe. The leaf file sizes are
+    listed here anyway-adjacent (one ``listStatus`` per selected
+    leaf dir, driver-side, no job), so the probe scan is coalesced
+    to ``ceil((bytes + openCost·files) / maxPartitionBytes)``
+    partitions — the task count Spark itself would choose with no
+    per-core floor, scale-adaptive through the session's
+    ``spark.sql.files.*`` confs (no core-count or local-only
+    constants). Row content is unchanged: ``coalesce`` only merges
+    scan splits.
+
+    ``parallelism=None`` keeps Spark's own splitting — the BATCH
+    probes' fan-out scans pass this: their per-byte work is ~Q×
+    (every posting row scores against every co-bucket query), so the
+    bytes bound UNDER-parallelizes the scoring stage (measured
+    +0.4-0.6 s on ``ivf_batch32_topk`` at sf0.1 when bytes-bounded —
+    rejected)."""
+    from ..fs import _fs, list_dir
 
     want = {f"{key_col}={int(k)}" for k in keys}
     committed_set = set(committed)
@@ -525,8 +552,40 @@ def _visible_scan_keys(spark: SparkSession, path: str,
                    if kid in want)
     if not sel:
         return spark.createDataFrame([], schema)
-    return (spark.read.option("basePath", path).schema(schema)
-            .parquet(*sel))
+    df = (spark.read.option("basePath", path).schema(schema)
+          .parquet(*sel))
+    if parallelism != "bytes":
+        return df
+    fs, _ = _fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    nbytes = nfiles = 0
+    for d in sel:
+        for st in fs.listStatus(jpath(d)):
+            if st.isFile() and not st.getPath().getName().startswith(
+                    ("_", ".")):
+                nbytes += int(st.getLen())
+                nfiles += 1
+    if not nfiles:
+        return df
+
+    def _conf_bytes(key: str, default: int) -> int:
+        from pyspark.errors import PySparkException
+        try:
+            v = spark.conf.get(key)
+        except PySparkException:
+            return default
+        try:
+            return int(v)
+        except ValueError:   # "128m"-style byte strings
+            return int(spark._jvm.org.apache.spark.network.util
+                       .JavaUtils.byteStringAsBytes(v))
+
+    target = _conf_bytes("spark.sql.files.maxPartitionBytes",
+                        128 << 20)
+    open_cost = _conf_bytes("spark.sql.files.openCostInBytes",
+                            4 << 20)
+    n = -(-(nbytes + open_cost * nfiles) // max(1, target))
+    return df.coalesce(max(1, n))
 
 
 def _read_index(spark: SparkSession, root: str, name: str,

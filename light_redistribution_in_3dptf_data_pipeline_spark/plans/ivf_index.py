@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..fs import delete_path, path_exists, read_text, write_text_atomic
 from ..operators.similarity import EMB_DIM, TOP_K, _fixed_point
-from .ann_index import _chunked_batch_topk, _retain_vectors
+from .ann_index import _retain_vectors
 from .corpus import (BatchAlreadyIngested, _load_manifests,
                      _manifest_path, _next_seq_id, _superseded,
                      _visible_scan, _write_snapshot, corpus_writer_lock)
@@ -405,7 +405,8 @@ def read_ivf_postings(spark: SparkSession, root: str) -> DataFrame:
 
 
 def read_ivf_cells(spark: SparkSession, root: str,
-                   cells: "list[int]") -> DataFrame:
+                   cells: "list[int]",
+                   parallelism: "str | None" = "bytes") -> DataFrame:
     """:func:`read_ivf_postings` scoped to a driver-known probed
     cell set — the PROBE reader (r15, the LSH twin is
     ann_index.read_ann_buckets): only the ``batch_id=B/cell=K``
@@ -414,7 +415,11 @@ def read_ivf_cells(spark: SparkSession, root: str,
     nprobe × batches directories instead of the whole
     n_cells × batches tree. Rows are identical to
     ``read_ivf_postings(...).filter(cell IN cells)``
-    (parity-pinned)."""
+    (parity-pinned). ``parallelism``: task-count bound of the
+    pruned scan — ``"bytes"`` (default; single-query probes) tracks
+    file bytes, ``None`` (batch fan-outs, whose per-byte scoring
+    work is ~Q×) keeps Spark's splitting — see
+    ``corpus._visible_scan_keys``."""
     from .corpus import _visible_scan_keys
 
     meta = _load_meta(spark, root)
@@ -423,7 +428,8 @@ def read_ivf_cells(spark: SparkSession, root: str,
     if not committed or not path_exists(spark, path):
         return spark.createDataFrame([], _schema_of(meta))
     return _visible_scan_keys(spark, path, committed,
-                              _schema_of(meta), "cell", cells)
+                              _schema_of(meta), "cell", cells,
+                              parallelism)
 
 
 def ivf_vectors(spark: SparkSession, root: str) -> DataFrame:
@@ -908,17 +914,6 @@ def ivf_batch_topk(spark: SparkSession, root: str,
     from .migration import resolve_probe_location
 
     root = resolve_probe_location(spark, root)
-    if max_queries_per_job:
-        return _chunked_batch_topk(
-            queries, id_col, max_queries_per_job,
-            lambda chunk: ivf_batch_topk(
-                spark, root, chunk, k=k, nprobe=nprobe,
-                id_col=id_col, vec_col=vec_col,
-                exclude_self=exclude_self,
-                rerank_vectors=rerank_vectors,
-                rerank_cut=rerank_cut,
-                early_exit=early_exit),
-            concurrency=chunk_concurrency)
     meta = _load_meta(spark, root)
     dim = meta["dim"]
     cents = spark.createDataFrame(
@@ -959,8 +954,11 @@ def ivf_batch_topk(spark: SparkSession, root: str,
             stats = None   # fsck names this drift; probe stays exact
     def _fanout(pairs, cells):
         # probe reader (r15): cells are a driver list by the time a
-        # fan-out is built — scope the scan's file index to them
-        c = read_ivf_cells(spark, root, cells) \
+        # fan-out is built — scope the scan's file index to them.
+        # parallelism=None: the fan-out's scoring work is ~Q× per
+        # scanned byte, so the single-probe bytes bound would
+        # under-parallelize it (measured — _visible_scan_keys notes)
+        c = read_ivf_cells(spark, root, cells, parallelism=None) \
             .join(F.broadcast(pairs), "cell")
         return (c.filter(F.col("vec_id") != F.col("qid"))
                 if exclude_self else c)
@@ -971,6 +969,45 @@ def ivf_batch_topk(spark: SparkSession, root: str,
         return sorted({int(r.cell) for r in
                        pairs.select("cell").distinct().collect()})
 
+    if max_queries_per_job:
+        # chunked path (r17 reshape, guide §5): the ranking window
+        # above ran ONCE for the whole batch — one job, one
+        # checkpoint — and the tiny (qid, cell) pairs are collected
+        # ONCE, so chunk ranges AND every chunk's literal cell
+        # IN-list derive driver-side with zero further control-plane
+        # jobs (the former per-chunk recursion re-ran the window, its
+        # checkpoint, and a distinct-cells collect inside every
+        # chunk). The per-JOB broadcast cap is untouched: only a
+        # chunk's filtered pairs and queries are ever broadcast; the
+        # window job itself shuffles Q×L unbroadcast rows.
+        pairs_rows = probe_all.select("qid", "cell").collect()
+        qids = sorted({int(r.qid) for r in pairs_rows})
+        if len(qids) > max_queries_per_job:
+            from .ann_index import _run_chunks
+
+            def _one(bounds):
+                lo, hi = bounds
+                within = F.col("qid").between(lo, hi)
+                pa = probe_all.filter(within)
+                qc = q.filter(within)
+                cells = sorted({int(r.cell) for r in pairs_rows
+                                if lo <= r.qid <= hi})
+                if stats is not None:
+                    part = _ivf_batch_early(
+                        spark, stats, pa, qc, k, rerank_vectors,
+                        rerank_cut, storage, _fanout, _cells_of,
+                        ee_mode, excluded=1 if exclude_self else 0,
+                        all_cells=cells)
+                else:
+                    part = _ivf_batch_tail(
+                        _ivf_batch_score(
+                            _fanout(pa.drop("rn"), cells), storage),
+                        qc, k, rerank_vectors, rerank_cut, storage)
+                return part.localCheckpoint()
+            return _run_chunks(qids, max_queries_per_job, _one,
+                               chunk_concurrency)
+        # cap not exceeded: the single-job path below, probe frame
+        # already built
     if stats is not None:
         return _ivf_batch_early(spark, stats, probe_all, q, k,
                                 rerank_vectors, rerank_cut, storage,
@@ -984,7 +1021,7 @@ def ivf_batch_topk(spark: SparkSession, root: str,
 
 def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
                      rerank_cut, storage, fanout, cells_of,
-                     mode="box", excluded=0):
+                     mode="box", excluded=0, all_cells=None):
     """The batch-probe early exit (r12 brief #1, batch shape) —
     per-QUERY pruning, fully distributed.
 
@@ -1014,18 +1051,22 @@ def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
 
     Per-qid results equal the plain batch probe row-for-row in both
     modes (test-pinned) — the same soundness argument as the
-    single-query :func:`cellstats.early_exit_scored`."""
+    single-query :func:`cellstats.early_exit_scored`. ``all_cells``:
+    the probe frame's cell union when the caller already knows it
+    (the chunked path derives it driver-side) — skips one
+    control-plane job."""
     from ..queries.similarity import _fixed_dot
     from .cellstats import (bounds_frame, lower_bound_col,
                             upper_bound_col)
 
+    if all_cells is None:
+        all_cells = cells_of(probe_all)
     if mode == "box":
         m = (rerank_cut * k
              if storage == "int8" and rerank_vectors is not None
              else k)
         p1 = probe_all.filter(F.col("rn") == 1).drop("rn")
-        bf = bounds_frame(spark, stats, "cell",
-                          cells_of(probe_all))
+        bf = bounds_frame(spark, stats, "cell", all_cells)
         qsq = _fixed_dot("qci", "qci").cast("double") / F.lit(1e18)
         # nz >= m + excluded (r14 ADVICE high): exclude_self removes
         # at most one stored row per query — a row nz counts but the
@@ -1059,7 +1100,7 @@ def _ivf_batch_early(spark, stats, probe_all, q, k, rerank_vectors,
     from pyspark.sql import Window
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"),
                                            F.asc("vec_id"))
-    bf = bounds_frame(spark, stats, "cell", cells_of(probe_all))
+    bf = bounds_frame(spark, stats, "cell", all_cells)
     qsq = _fixed_dot("qci", "qci").cast("double") / F.lit(1e18)
 
     def _tops(scored):
