@@ -99,10 +99,19 @@ def _hashmin_components(edges: DataFrame, src: str, dst: str,
     # identity), for the cost of one groupBy instead of a
     # join+union+groupBy round. On the shallow graphs this operator
     # exists for (diameter 2-4), that's ~25-30% of the loop.
+    #
+    # Checkpoints are LAZY (eager=False, r17 — guide §5 driver-side
+    # job elimination): the convergence probe right below is the
+    # round's ONLY action, and materializing it also materializes
+    # (and lineage-truncates) the marked label frame — ONE Spark job
+    # per round where the eager checkpoint + separate probe paid two.
+    # `e`/`und` above stay EAGER: their branches are read twice
+    # concurrently inside one job, which would race the lazy cache
+    # into recomputing the (possibly expensive) pair plan per branch.
     labels = (und.groupBy("u").agg(F.min("v").alias("mv"))
               .select(F.col("u").alias("node"),
                       F.least("u", "mv").alias("comp"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
 
     # Convergence probe: labels only ever DECREASE (min-propagation),
     # so the label total strictly drops on any change and Σcomp
@@ -123,8 +132,8 @@ def _hashmin_components(edges: DataFrame, src: str, dst: str,
         labels = (labels.union(prop)
                   .groupBy("node")
                   .agg(F.min("comp").alias("comp"))
-                  .localCheckpoint())
-        total = _total(labels)
+                  .localCheckpoint(eager=False))
+        total = _total(labels)   # materializes + truncates `labels`
         if total == prev_total:
             converged = True
             break
@@ -222,11 +231,14 @@ def _star_components(edges: DataFrame, src: str, dst: str,
               .filter(F.col("u") != F.col("v")).distinct())
         # small-star (lg edges are already max→min: u > mn)
         mins2 = lg.groupBy("u").agg(F.min("v").alias("mn"))
+        # lazy checkpoint: the fingerprint probe is the round's only
+        # action and materializes + truncates `e` in the SAME job
+        # (one job/round instead of two — see the hash-min loop)
         e = (lg.join(mins2, "u")
              .select(F.col("v").alias("u"), F.col("mn").alias("v"))
              .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
              .filter(F.col("u") != F.col("v")).distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
         fp = _fingerprint(e)
         if fp == prev:
             converged = True

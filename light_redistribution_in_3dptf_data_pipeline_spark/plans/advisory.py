@@ -444,7 +444,11 @@ def _tune_tables_action(hist: dict,
       honest answer. Advice-only, like ``tune_probes``."""
     by_k: dict = {}
     for s in hist.get("samples", ()):
-        if "num_tables" not in s or "scan_frac" not in s:
+        # skip malformed samples wholesale (r16 ADVICE low: a legacy
+        # or foreign-writer sample missing "k" must not KeyError the
+        # whole report — same policy as the other field guards)
+        if "num_tables" not in s or "scan_frac" not in s \
+                or "k" not in s:
             continue
         p = s.get("param") or {}
         if len(p) != 1:
@@ -457,9 +461,10 @@ def _tune_tables_action(hist: dict,
         # seq-ordered history: last sample per (k, config) wins
         by_k.setdefault(int(s["k"]), {})[
             (int(s["num_tables"]), knob, int(val))] = s
-    # the curve to price: the k with the most measured configs
-    # carrying ≥ 2 table settings (ties → the most samples, then the
-    # larger k — deterministic)
+    # the curve to price: the k with the most measured DISTINCT
+    # configs carrying ≥ 2 table settings (ties → the larger k —
+    # deterministic; r16 ADVICE low: the comment used to promise a
+    # most-samples tiebreak the tuple never implemented)
     candidates = [(len(cfgs), k) for k, cfgs in by_k.items()
                   if len({L for L, _, _ in cfgs}) >= 2]
     if not candidates:

@@ -657,11 +657,9 @@ def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
     crossings in the single-query order ((score, table, mask)).
     ``m`` is the global flip id ((t << J) | mask): m == 0 is
     table 0's own bucket, the early-exit seed. The frame is
-    query-batch-sized (Q × 2^J rows pre-window) — the broadcast
+    query-batch-sized (Q × 2^J rows pre-aggregate) — the broadcast
     contract the batch probes already assume; chunk via
     ``max_queries_per_job`` past that."""
-    from pyspark.sql import Window
-
     from ..operators.similarity import (_fixed_point, _plane_signs,
                                         _signed_sum_sql)
 
@@ -728,11 +726,28 @@ def _batch_multiprobe_pairs(q: DataFrame, num_planes: int, dim: int,
             F.col("mask").bitwiseAND(F.lit(1 << j)) != 0, dj * dj
         ).otherwise(F.lit(0).cast("decimal(38,0)"))
     score = score.cast("decimal(38,0)")
-    wq = Window.partitionBy("qid").orderBy(F.asc("score"),
-                                           F.asc("t"), F.asc("mask"))
+    # per-qid top-n_buckets as ONE aggregate (r17, VERDICT r16 #3;
+    # guide §2.3 aggregate-before-shuffle): the former
+    # row_number-over-window shape shuffled AND SORTED the full
+    # Q×L×2^J mask frame to keep n_buckets rows per query; the
+    # aggregate shuffles the same rows but replaces the global
+    # per-partition sort + rank filter with one hash aggregate whose
+    # per-group state is the collected mask structs — BOUNDED at
+    # L·2^J ≤ L·65536 by the num_planes<=16 refusal above, so the
+    # group never outgrows memory. array_sort's ascending struct
+    # order IS the window's (score, t, mask) order (t, mask unique
+    # per qid → `own` can never decide), so the kept set and its
+    # order are bit-identical.
     ranked = (masks.withColumn("score", score)
-              .withColumn("_rk", F.row_number().over(wq))
-              .filter(F.col("_rk") <= n_buckets))
+              .groupBy("qid")
+              .agg(F.slice(F.array_sort(F.collect_list(F.struct(
+                  F.col("score").alias("s"), F.col("t"),
+                  F.col("mask"), F.col("own")))),
+                  1, n_buckets).alias("_top"))
+              .select("qid", F.explode("_top").alias("_e"))
+              .select("qid", F.col("_e.t").alias("t"),
+                      F.col("_e.mask").alias("mask"),
+                      F.col("_e.own").alias("own")))
     # cast t/mask to bigint BEFORE shifting (matches
     # _mt_bucket_frame's `t << J` bigint literal — int32 shifts
     # would wrap for large J·t composites)
@@ -752,12 +767,24 @@ def _dedup_tables(scored: DataFrame,
     the identical cosine (the stored payload is the same bytes), so
     duplicates would occupy several top-k slots. Keep the max
     cosine (they are equal; max is NULL-safe) and the lowest probed
-    composite bucket (deterministic provenance)."""
-    keys = ["qid", "vec_id"] if per_qid else ["vec_id"]
-    return (scored.groupBy(*keys)
+    composite bucket (deterministic provenance).
+
+    ``per_qid`` pre-partitions by qid ALONE (r17; guide §2.4): hash
+    partitioning on qid satisfies the (qid, vec_id) aggregate's
+    clustering AND the downstream per-qid top-k window's, so the
+    dedup + window pipeline runs on ONE Exchange of the candidate
+    set where the former groupBy(qid, vec_id) → window(qid) shape
+    shuffled it twice. Rows identical — same aggregate, same keys."""
+    if per_qid:
+        return (scored.repartition(F.col("qid"))
+                .groupBy("qid", "vec_id")
+                .agg(F.max("cosine").alias("cosine"),
+                     F.min("bucket").alias("bucket"))
+                .select("qid", "vec_id", "cosine", "bucket"))
+    return (scored.groupBy("vec_id")
             .agg(F.max("cosine").alias("cosine"),
                  F.min("bucket").alias("bucket"))
-            .select(*keys, "cosine", "bucket"))
+            .select("vec_id", "cosine", "bucket"))
 
 
 def ann_incremental_topk(spark: SparkSession, root: str,

@@ -123,7 +123,14 @@ _CENTROIDS_CACHE: "dict[str, tuple[tuple, str, list]]" = {}
 _CENTROIDS_CACHE_MAX = 16
 
 
-def _centroid_table_sig(spark: SparkSession, root: str) -> tuple:
+def _centroid_table_sig(spark: SparkSession, root: str) -> "tuple | None":
+    """(name, mtime, length) listing signature of the centroid
+    table, or None when the listing failed (absent table or a
+    transient store error). None NEVER matches and is NEVER cached
+    (r16 ADVICE low: the old constant error sentinel was itself an
+    insertable signature — a transient listing failure at insert
+    time followed by one at hit time after an out-of-band rewrite
+    would false-hit and serve stale rows past the digest guard)."""
     from ..fs import _fs
 
     fs, p = _fs(spark, f"{root}/{CENTROIDS_TABLE}")
@@ -133,7 +140,7 @@ def _centroid_table_sig(spark: SparkSession, root: str) -> tuple:
              int(st.getLen()))
             for st in fs.listStatus(p)))
     except Exception:   # absent table → unique miss, read path raises
-        return ("<absent>",)
+        return None
 
 
 def _load_centroids(spark: SparkSession, root: str,
@@ -143,11 +150,25 @@ def _load_centroids(spark: SparkSession, root: str,
     under would silently re-route every probe, the exact failure
     class the one-shot index's sidecar guards against. Memoized per
     process, revalidated by file listing + digest — see
-    _CENTROIDS_CACHE."""
+    _CENTROIDS_CACHE. While the newest listed mtime is inside the
+    store's mtime-granularity window the hit is NOT trusted (r16
+    VERDICT #5, mirroring fs.read_json_doc): an out-of-band
+    same-name same-length rewrite can land within one mtime tick
+    and slip the listing signature, so a just-written table always
+    re-reads and re-digests; steady-state probes (tables older than
+    the window) keep the zero-read hit path."""
+    import time
+
+    from ..fs import _JSON_DOC_RECENT_MS
+
     want = meta.get("centroid_digest")
     sig = _centroid_table_sig(spark, root)
     hit = _CENTROIDS_CACHE.get(root)
-    if hit is not None and hit[0] == sig and hit[1] == want:
+    if (hit is not None and sig is not None and hit[0] == sig
+            and hit[1] == want
+            and time.time() * 1000
+            - max((m for _, m, _ in sig), default=0)
+            > _JSON_DOC_RECENT_MS):
         _CENTROIDS_CACHE[root] = _CENTROIDS_CACHE.pop(root)  # LRU
         return hit[2]
     rows = (spark.read.parquet(f"{root}/{CENTROIDS_TABLE}")
@@ -160,9 +181,10 @@ def _load_centroids(spark: SparkSession, root: str,
             f"digest {want}, recomputed "
             f"{digest}) — probing would silently mis-route cells")
     _CENTROIDS_CACHE.pop(root, None)
-    if len(_CENTROIDS_CACHE) >= _CENTROIDS_CACHE_MAX:
-        _CENTROIDS_CACHE.pop(next(iter(_CENTROIDS_CACHE)))
-    _CENTROIDS_CACHE[root] = (sig, want, rows)
+    if sig is not None:   # an unlistable table is never cached
+        if len(_CENTROIDS_CACHE) >= _CENTROIDS_CACHE_MAX:
+            _CENTROIDS_CACHE.pop(next(iter(_CENTROIDS_CACHE)))
+        _CENTROIDS_CACHE[root] = (sig, want, rows)
     return rows
 
 
@@ -325,7 +347,15 @@ def _attach_cells(delta: DataFrame, cent_rows, dim: int) -> DataFrame:
       ``argmax`` (first max) ≡ ``max_by(cell, struct(score, -cell))``.
 
     Wrong-dim rows fail loudly (the stacked matrix's width check),
-    matching ``_checked_dim``'s contract."""
+    matching ``_checked_dim``'s contract.
+
+    The centroid arrays ride to executors as ONE ``sc.broadcast``
+    (r17, VERDICT r16 #4; guide §3.2): closure capture pickled the
+    (cells, lo/hi, denom) matrices into the serialized command and
+    re-shipped them with EVERY task — immaterial at toy K, a
+    K·dim-sized per-task tax once the quantizer has thousands of
+    cells. The broadcast ships once per executor and is torrent-
+    distributed; task closures carry only the handle."""
     import numpy as np
 
     cells_sorted = sorted(
@@ -338,6 +368,8 @@ def _attach_cells(delta: DataFrame, cent_rows, dim: int) -> DataFrame:
     s = CSUM_SPLIT
     lo_t = np.mod(csum, s).T.copy()                      # (dim, k)
     hi_t = ((csum - np.mod(csum, s)) // s).T.copy()
+    bc = delta.sparkSession.sparkContext.broadcast(
+        (cells, lo_t, hi_t, denom))
     from pyspark.sql.types import LongType, StructField, StructType
 
     # a NEW StructType: StructType.add would mutate the DataFrame's
@@ -348,6 +380,7 @@ def _attach_cells(delta: DataFrame, cent_rows, dim: int) -> DataFrame:
     def assign(it):
         import pandas as pd  # noqa: F401 — worker-side import
 
+        b_cells, b_lo_t, b_hi_t, b_denom = bc.value
         for pdf in it:
             if not len(pdf):
                 continue
@@ -358,12 +391,12 @@ def _attach_cells(delta: DataFrame, cent_rows, dim: int) -> DataFrame:
                     f"embedding, got {emb.shape[1]}")
             ci = np.floor(emb.astype(np.float64) * 1e9
                           + 0.5).astype(np.int64)
-            lo = ci @ lo_t
-            hi = ci @ hi_t
+            lo = ci @ b_lo_t
+            hi = ci @ b_hi_t
             exact = hi.astype(object) * s + lo
-            score = exact.astype(np.float64) / denom
+            score = exact.astype(np.float64) / b_denom
             out = pdf.copy()
-            out["cell"] = cells[score.argmax(axis=1)]
+            out["cell"] = b_cells[score.argmax(axis=1)]
             yield out
 
     return delta.mapInPandas(assign, schema=out_schema)

@@ -40,6 +40,18 @@ def get_spark(app_name: str = "light_redistribution_in_3dptf_data_pipeline_spark
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Probe reads hand the scan an explicit leaf-dir list (up to
+        # ~2^J·L·batches paths — plans/corpus._visible_scan_keys);
+        # above this threshold Spark file-listing becomes a
+        # DISTRIBUTED JOB, which costs a full job dispatch per probe
+        # DataFrame (measured 2.3 s construction vs 0.6 s driver-side
+        # for 658 leaf dirs at sf0.1 — r17). Driver-side listing of
+        # O(10^3-10^4) directories is the right default at every
+        # deployment size this engine targets; a >10k-leaf probe
+        # (huge batch count × tables) re-engages the parallel job.
+        # Single-root analytic scans pass one path — unaffected.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -282,3 +282,38 @@ def test_a12_sketches_within_documented_error(spark):
         assert g["users_ok"] and g["median_ok"], (et, dict(g.asDict()))
         assert g["exact_users"] == exact[et]["users"]
         assert g["n"] == exact[et]["n"]
+
+
+def test_hashmin_one_action_per_round(spark):
+    """r17 (guide §5): the Σcomp convergence probe is folded into the
+    round's materialization via a LAZY localCheckpoint — the probe is
+    the round's ONLY action, so each extra hash-min round costs a
+    CONSTANT number of Spark jobs, one fewer than the former eager
+    checkpoint + separate probe shape (measured 7 → 6 on this plan
+    under shuffle_partitions=8)."""
+    from light_redistribution_in_3dptf_data_pipeline_spark.operators.components import (
+        _hashmin_components)
+
+    # a 41-node chain: far from converged at max_iter 2/4/6, so the
+    # round count is EXACTLY max_iter and job deltas are per-round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src LONG, dst LONG"
+    ).localCheckpoint()
+    st = spark.sparkContext.statusTracker()
+
+    def _jid() -> int:
+        # max job id, not len(): ids are monotonic while the status
+        # store RETAINS only a bounded tail of finished jobs
+        return max(st.getJobIdsForGroup(None) or [0])
+
+    def jobs(k: int) -> int:
+        j0 = _jid()
+        labels, converged = _hashmin_components(edges, "src", "dst", k)
+        assert not converged
+        return _jid() - j0
+
+    jobs(2)  # warm codegen; counts below are plan-deterministic
+    j2, j4, j6 = jobs(2), jobs(4), jobs(6)
+    per_round = (j4 - j2) / 2
+    assert j6 - j4 == j4 - j2, (j2, j4, j6)
+    assert per_round <= 6, (j2, j4, j6)

@@ -449,3 +449,38 @@ def test_batch_topk_chunked_equals_unchunked(spark, emb, tmp_path):
     ga = rows(A.ann_batch_topk(spark, aroot, queries, k=5,
                                max_queries_per_job=7))
     assert ga == wa and len(wa) == 25 * 5
+
+
+def test_centroid_memo_mtime_window_tamper(spark, emb, qvec,
+                                           tmp_path, monkeypatch):
+    """r17 (VERDICT r16 #5): an out-of-band centroid rewrite that
+    preserves file names, lengths AND the mtime tick slips the
+    listing signature — while the newest mtime is inside the store's
+    granularity window the memo must re-read + re-digest instead of
+    trusting the hit (the fs.read_json_doc rule). Simulated by
+    pinning the signature to its pre-tamper value."""
+    root = str(tmp_path / "ix")
+    I.init_ivf_index(spark, root, emb)
+    I.ivf_ingest_delta(spark, root, emb, "b0")
+    I.ivf_incremental_topk(spark, root, qvec).collect()   # memo fill
+    assert root in I._CENTROIDS_CACHE
+    sig, digest, cached_rows = I._CENTROIDS_CACHE[root]
+    rows = (spark.read.parquet(f"{root}/{I.CENTROIDS_TABLE}")
+            .select("cell", "csum", "nv").collect())
+    tampered = spark.createDataFrame(
+        [(int(r.cell), [int(s) for s in r.csum], int(r.nv) + 1)
+         for r in rows], "cell BIGINT, csum ARRAY<BIGINT>, nv BIGINT")
+    tampered.write.mode("overwrite").parquet(
+        f"{root}/{I.CENTROIDS_TABLE}")
+    # re-stamp the cached signature's mtimes to NOW (after the slow
+    # tamper write, right before the probe): the state of a memo
+    # whose table was written, cached, and rewritten within one
+    # mtime tick — listing signature unchanged, bytes different
+    import time as _time
+    sig0 = tuple((n, int(_time.time() * 1000), ln)
+                 for n, _m, ln in sig)
+    I._CENTROIDS_CACHE[root] = (sig0, digest, cached_rows)
+    monkeypatch.setattr(I, "_centroid_table_sig",
+                        lambda *_a, **_k: sig0)
+    with pytest.raises(ValueError, match="does not match the frozen"):
+        I.ivf_incremental_topk(spark, root, qvec).collect()
