@@ -98,6 +98,16 @@ def test_centroid_memo_hit_and_rewrite_revalidation(spark, tmp_path):
     I.init_ivf_index(spark, root,
                      load_table(spark, SF_DIR, "embeddings"))
     meta = I._load_meta(spark, root)
+    # age the table out of the mtime-granularity window FIRST (r17):
+    # a just-written table is deliberately re-read on every call
+    # (same-tick rewrite hazard — see _load_centroids), so the
+    # zero-read hit contract only holds for the steady state
+    import os
+    import time
+    cdir = f"{root}/{I.CENTROIDS_TABLE}"
+    old = time.time() - 60
+    for name in os.listdir(cdir):
+        os.utime(os.path.join(cdir, name), (old, old))
     r1 = I._load_centroids(spark, root, meta)
     # clean hit: the memo serves the same rows object (no re-read)
     assert I._load_centroids(spark, root, meta) is r1
